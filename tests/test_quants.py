@@ -23,12 +23,15 @@ def test_quant_dequant_error_bound(rng, kind):
     xb = x.reshape(-1, QK)
     yb = y.reshape(-1, QK)
     amax = np.abs(xb).max(axis=-1)
-    steps = {GGMLType.Q8_0: 254, GGMLType.Q4_0: 15, GGMLType.Q4_1: 15}[kind]
-    if kind == GGMLType.Q4_1:
+    if kind == GGMLType.Q8_0:
+        bound = amax / 254.0 + 1e-7  # half a step of d = amax/127
+    elif kind == GGMLType.Q4_0:
+        # step |d| = amax/8; the positive extreme clips at code 7, so the
+        # worst case is a full step, not half.
+        bound = amax / 8.0 + 1e-7
+    else:  # Q4_1 affine: half a step of d = span/15
         span = xb.max(axis=-1) - xb.min(axis=-1)
-        bound = span / steps * 0.5 + 1e-7
-    else:
-        bound = 2 * amax / steps * 0.5 + 1e-7
+        bound = span / 30.0 + 1e-7
     err = np.abs(xb - yb).max(axis=-1)
     assert (err <= bound + 1e-6).all()
 
