@@ -8,13 +8,20 @@ zero tests; /root/reference has no test directory at all).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize registers the tunneled single-TPU "axon"
+# platform and forces jax_platforms="axon,cpu"; unit tests must run on the
+# 8-device virtual CPU mesh instead (fast local compiles, multi-device
+# sharding coverage), so override the config — env vars alone are not
+# honored once the plugin has registered.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
