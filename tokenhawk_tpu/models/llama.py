@@ -1,0 +1,241 @@
+"""LLaMA-family model as pure functions over a parameter pytree.
+
+This is the TPU-native redesign of the reference's model layer
+(/root/reference/th-llama.cpp:270-452 `build_layer_cmdbuf` and
+:240-268 `build_final_compute_cmdbuf`): instead of encoding 19 pipeline
+dispatches per layer into a command buffer, the whole forward pass is one
+traced XLA program — `lax.scan` over stacked layer weights, KV-cache
+updates via dynamic_update_slice on donated buffers, and every matmul
+routed through `ops.matmul` (dense bf16 or fused-dequant quantized).
+
+Weight orientation: GGML stores [out, in] and computes y = x·W^T
+(/root/reference/th.cpp:2839-2892 contracts B's columns); here weights
+are [in, out] so y = x @ W feeds the MXU directly.
+
+GGML tensor names follow the reference loader
+(/root/reference/th-llama-loader.cpp:355-432): tok_embeddings.weight,
+layers.{i}.attention.{wq,wk,wv,wo}.weight, layers.{i}.attention_norm.weight,
+layers.{i}.feed_forward.{w1,w2,w3}.weight, layers.{i}.ffn_norm.weight,
+norm.weight, output.weight.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenhawk_tpu.config import LlamaConfig
+from tokenhawk_tpu.ggml.quants import QuantizedTensor, dequantize
+from tokenhawk_tpu.ops import (
+    ArrayOrQ,
+    QWeight,
+    apply_rope,
+    attend_cache,
+    from_quantized_tensor,
+    matmul,
+    rms_norm,
+    rope_cos_sin,
+    update_kv_cache,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LayerParams:
+    wq: ArrayOrQ
+    wk: ArrayOrQ
+    wv: ArrayOrQ
+    wo: ArrayOrQ
+    w1: ArrayOrQ
+    w2: ArrayOrQ
+    w3: ArrayOrQ
+    attn_norm: jax.Array
+    ffn_norm: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LlamaParams:
+    tok_embd: jax.Array  # [V, D]
+    layers: LayerParams  # leaves stacked along a leading [L] axis
+    norm: jax.Array  # [D]
+    output: ArrayOrQ  # [D, V]
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, B, S, Hkv, Dh]
+    v: jax.Array  # [L, B, S, Hkv, Dh]
+
+    @staticmethod
+    def create(
+        cfg: LlamaConfig, batch: int, max_seq: Optional[int] = None, dtype=jnp.bfloat16
+    ) -> "KVCache":
+        S = max_seq or cfg.n_ctx
+        shape = (cfg.n_layer, batch, S, cfg.n_kv_head, cfg.head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+
+def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, kc, vc, cos, sin, offsets, positions):
+    B, T, D = x.shape
+    H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+
+    h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
+    q = matmul(h, lp.wq).reshape(B, T, H, Dh)
+    k = matmul(h, lp.wk).reshape(B, T, Hkv, Dh)
+    v = matmul(h, lp.wv).reshape(B, T, Hkv, Dh)
+    q = apply_rope(q, cos, sin, cfg.rope_style)
+    k = apply_rope(k, cos, sin, cfg.rope_style)
+
+    kc, vc = update_kv_cache(kc, vc, k, v, offsets)
+    ctx = attend_cache(q, kc, vc, positions)
+    x = x + matmul(ctx.reshape(B, T, D), lp.wo)
+
+    h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)
+    gate = jax.nn.silu(matmul(h2, lp.w1).astype(jnp.float32)).astype(x.dtype)
+    x = x + matmul(gate * matmul(h2, lp.w3), lp.w2)
+    return x, kc, vc
+
+
+def forward(
+    cfg: LlamaConfig,
+    params: LlamaParams,
+    tokens: jax.Array,  # [B, T] int32
+    cache: KVCache,
+    offsets: jax.Array,  # [B] int32: cache write offset per sequence
+) -> Tuple[jax.Array, KVCache]:
+    """Run a token block through all layers.
+
+    Returns hidden states [B, T, D] (pre final norm) and the updated cache.
+    Works for prefill (T = block) and decode (T = 1) alike; the per-token
+    "single vs batch pipeline" split of the reference
+    (/root/reference/th-llama.hpp:118-122) disappears — XLA specializes on
+    the traced shapes.
+    """
+    B, T = tokens.shape
+    x = params.tok_embd[tokens].astype(params.tok_embd.dtype)
+    positions = offsets[:, None] + jnp.arange(T, dtype=offsets.dtype)[None, :]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    def body(x, layer_inputs):
+        lp, kc, vc = layer_inputs
+        x, kc, vc = _layer_forward(cfg, x, lp, kc, vc, cos, sin, offsets, positions)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (params.layers, cache.k, cache.v))
+    return x, KVCache(k_new, v_new)
+
+
+def logits_from_hidden(
+    cfg: LlamaConfig, params: LlamaParams, hidden: jax.Array
+) -> jax.Array:
+    """Final RMSNorm + output projection -> f32 logits [..., V]."""
+    h = rms_norm(hidden, params.norm, cfg.rms_norm_eps)
+    return matmul(h, params.output, accum_dtype=jnp.float32).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+
+def init_params(
+    cfg: LlamaConfig, key: jax.Array, dtype=jnp.bfloat16, scale: float = 0.02
+) -> LlamaParams:
+    """Random parameters (tests, synthetic benchmarks)."""
+    ks = jax.random.split(key, 10)
+    D, F, V, L = cfg.n_embd, cfg.n_ff, cfg.n_vocab, cfg.n_layer
+    Dkv = cfg.n_embd_kv
+
+    def w(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    layers = LayerParams(
+        wq=w(ks[0], (L, D, D)),
+        wk=w(ks[1], (L, D, Dkv)),
+        wv=w(ks[2], (L, D, Dkv)),
+        wo=w(ks[3], (L, D, D)),
+        w1=w(ks[4], (L, D, F)),
+        w2=w(ks[5], (L, F, D)),
+        w3=w(ks[6], (L, D, F)),
+        attn_norm=jnp.ones((L, D), dtype),
+        ffn_norm=jnp.ones((L, D), dtype),
+    )
+    return LlamaParams(
+        tok_embd=w(ks[7], (V, D)),
+        layers=layers,
+        norm=jnp.ones((D,), dtype),
+        output=w(ks[8], (D, V)),
+    )
+
+
+HostTensor = Union[np.ndarray, QuantizedTensor]
+
+
+def _to_device_weight(t: HostTensor, dtype, transpose: bool) -> ArrayOrQ:
+    if isinstance(t, QuantizedTensor):
+        if not transpose:
+            return jnp.asarray(dequantize(t), dtype=dtype)
+        return from_quantized_tensor(t)
+    arr = np.asarray(t)
+    if transpose:
+        arr = np.ascontiguousarray(arr.T)
+    return jnp.asarray(arr.astype(np.float32), dtype=dtype)
+
+
+def params_from_ggml(
+    cfg: LlamaConfig,
+    tensors: Dict[str, HostTensor],
+    dtype=jnp.bfloat16,
+) -> LlamaParams:
+    """Build the device parameter pytree from loaded GGML tensors.
+
+    2-D projection weights transpose from GGML's [out, in] to [in, out];
+    quantized tensors stay quantized (QWeight).  The embedding table is
+    always densified (it is a gather, not a matmul — the reference keeps
+    it CPU-side in f32, /root/reference/th-llama-loader.cpp:180-196).
+    """
+
+    def get(name: str, transpose=True) -> ArrayOrQ:
+        return _to_device_weight(tensors[name], dtype, transpose)
+
+    def stack(fmt: str, transpose=True):
+        ws = [get(fmt.format(i), transpose) for i in range(cfg.n_layer)]
+        if isinstance(ws[0], QWeight):
+            return QWeight(
+                qs=jnp.stack([w.qs for w in ws]),
+                scales=jnp.stack([w.scales for w in ws]),
+                mins=(jnp.stack([w.mins for w in ws]) if ws[0].mins is not None else None),
+                kind=ws[0].kind,
+                group=ws[0].group,
+            )
+        return jnp.stack(ws)
+
+    layers = LayerParams(
+        wq=stack("layers.{}.attention.wq.weight"),
+        wk=stack("layers.{}.attention.wk.weight"),
+        wv=stack("layers.{}.attention.wv.weight"),
+        wo=stack("layers.{}.attention.wo.weight"),
+        w1=stack("layers.{}.feed_forward.w1.weight"),
+        w2=stack("layers.{}.feed_forward.w2.weight"),
+        w3=stack("layers.{}.feed_forward.w3.weight"),
+        attn_norm=stack("layers.{}.attention_norm.weight", transpose=False),
+        ffn_norm=stack("layers.{}.ffn_norm.weight", transpose=False),
+    )
+    tok = tensors["tok_embeddings.weight"]
+    if isinstance(tok, QuantizedTensor):
+        tok = dequantize(tok)
+    tok_embd = jnp.asarray(np.asarray(tok).astype(np.float32), dtype=dtype)
+    return LlamaParams(
+        tok_embd=tok_embd,
+        layers=layers,
+        norm=get("norm.weight", transpose=False),
+        output=get("output.weight"),
+    )

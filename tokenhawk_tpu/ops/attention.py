@@ -1,0 +1,71 @@
+"""Attention over a dense KV cache (XLA reference path).
+
+Replaces the reference's materialized scores + masked/row softmax
+pipeline (/root/reference/th-llama.cpp:361-380: Q·K^T via `mat_mul`,
+`masked_softmax`/`row_softmax`, probs·V) with a single jnp expression;
+the Pallas flash-attention (prefill) and flash-decode (generation)
+kernels override this on TPU.
+
+Supports GQA: queries have H heads, cache has Hkv heads, H % Hkv == 0.
+Mask semantics: query at absolute position p attends to cache slots with
+position <= p; slots beyond the write frontier are masked by that same
+condition because the current block is written to the cache *before*
+attention runs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def attend_cache(
+    q: jax.Array,  # [B, T, H, Dh] (already RoPE'd)
+    k_cache: jax.Array,  # [B, S, Hkv, Dh]
+    v_cache: jax.Array,  # [B, S, Hkv, Dh]
+    q_positions: jax.Array,  # [B, T] absolute positions of the queries
+    scale: float | None = None,
+) -> jax.Array:
+    """Causal attention of a query block against the full cache."""
+    B, T, H, Dh = q.shape
+    S = k_cache.shape[1]
+    Hkv = k_cache.shape[2]
+    rep = H // Hkv
+    if scale is None:
+        scale = 1.0 / (Dh**0.5)
+
+    # [B, T, Hkv, rep, Dh] view of queries grouped by KV head.
+    qg = q.reshape(B, T, Hkv, rep, Dh).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+
+    scores = jnp.einsum("bthrd,bshd->bhrts", qg, kf) * scale  # [B,Hkv,rep,T,S]
+
+    key_pos = jnp.arange(S)[None, None, :]  # [1, 1, S]
+    mask = key_pos <= q_positions[:, :, None]  # [B, T, S]
+    scores = jnp.where(mask[:, None, None, :, :], scores, _MASK_VALUE)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhrts,bshd->bthrd", probs, vf)  # [B,T,Hkv,rep,Dh]
+    return ctx.reshape(B, T, H, Dh).astype(q.dtype)
+
+
+def update_kv_cache(
+    k_cache: jax.Array,  # [B, S, Hkv, Dh]
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [B, T, Hkv, Dh]
+    v_new: jax.Array,
+    offsets: jax.Array,  # [B] write offsets
+):
+    """Write a new block into each sequence's cache at its offset."""
+    k_new = k_new.astype(k_cache.dtype)
+    v_new = v_new.astype(v_cache.dtype)
+
+    def upd(cache, new, off):
+        return jax.lax.dynamic_update_slice(cache, new, (off, 0, 0))
+
+    k_cache = jax.vmap(upd)(k_cache, k_new, offsets)
+    v_cache = jax.vmap(upd)(v_cache, v_new, offsets)
+    return k_cache, v_cache

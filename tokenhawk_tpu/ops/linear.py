@@ -1,0 +1,56 @@
+"""Matmul over dense or quantized weights (XLA path).
+
+This is the portable implementation: XLA fuses the int->float convert and
+scale multiply into the dot on TPU.  The Pallas fused dequant+matmul /
+GEMV kernels in `tokenhawk_tpu.ops.pallas` override it on TPU for the
+bandwidth-critical decode path (the analogue of the reference's
+`vector_mat_mul_trans` GEMV family, /root/reference/th.cpp:2839-3139,
+redesigned for MXU/VMEM instead of workgroup shared memory).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tokenhawk_tpu.ops.qweight import ArrayOrQ, QWeight
+
+
+def matmul(x: jax.Array, w: ArrayOrQ, *, accum_dtype=jnp.float32) -> jax.Array:
+    """x [..., K] @ w [K, N] -> [..., N] in x.dtype, f32 accumulation."""
+    if isinstance(w, QWeight):
+        return _matmul_quant(x, w, accum_dtype=accum_dtype)
+    return jnp.dot(x, w.astype(x.dtype), preferred_element_type=accum_dtype).astype(
+        x.dtype
+    )
+
+
+def _matmul_quant(x: jax.Array, w: QWeight, *, accum_dtype=jnp.float32) -> jax.Array:
+    """Group-wise dequantizing matmul.
+
+    Contracts per quantization group so the scale multiply stays rank-2:
+      y = sum_g (x_g @ q_g) * s_g   (+ (sum_g x_g) @ mins_g for Q4_1)
+    which XLA maps onto the MXU with the convert fused into the dot.
+    """
+    K, N = w.qs.shape
+    g = w.group
+    G = K // g
+    lead = x.shape[:-1]
+    xg = x.reshape(-1, G, g).astype(accum_dtype)  # [B, G, g]
+    qg = w.qs.reshape(G, g, N)
+    # Batched per-group matmul: [B, G, g] x [G, g, N] -> [G, B, N]
+    pg = jax.lax.dot_general(
+        xg,
+        qg.astype(x.dtype),
+        dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+        preferred_element_type=accum_dtype,
+    )  # [G, B, N]
+    y = jnp.sum(pg * w.scales.astype(accum_dtype)[:, None, :], axis=0)  # [B, N]
+    if w.mins is not None:
+        xs = jnp.sum(xg, axis=-1)  # [B, G]
+        y = y + jnp.dot(xs, w.mins.astype(accum_dtype), preferred_element_type=accum_dtype)
+    return y.reshape(*lead, N).astype(x.dtype)
+
+
+def dense_weight(w: ArrayOrQ, dtype=jnp.float32) -> jax.Array:
+    return w.dequantize(dtype) if isinstance(w, QWeight) else w.astype(dtype)
