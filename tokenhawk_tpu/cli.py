@@ -1,0 +1,96 @@
+"""Command-line frontend.
+
+Parity with the reference CLI (/root/reference/cli/main.cpp:182-198):
+
+    python -m tokenhawk_tpu.cli -m models/7B/ggml-model-f16.bin "<prompt>"
+
+plus the TPU-era extensions: --n-ctx, --temp/--top-k/--top-p/--repeat,
+--max-tokens, --greedy, --dtype, --tp (tensor-parallel width).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tokenhawk", description="TPU-native LLaMA inference"
+    )
+    p.add_argument("-m", "--model", required=True, help="GGML model file")
+    p.add_argument("prompt", nargs="?", default="", help="prompt text")
+    p.add_argument("--n-ctx", type=int, default=2048)
+    p.add_argument("--max-tokens", type=int, default=500)
+    p.add_argument("--temp", type=float, default=0.80)
+    p.add_argument("--top-k", type=int, default=40)
+    p.add_argument("--top-p", type=float, default=0.95)
+    p.add_argument("--repeat-penalty", type=float, default=1.10)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--seed", type=int, default=780658349)
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
+    p.add_argument("--timing", action="store_true", help="per-token latency stats")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from tokenhawk_tpu.config import SamplingConfig
+    from tokenhawk_tpu.runtime.engine import Engine
+    from tokenhawk_tpu.runtime.loader import load_model
+    from tokenhawk_tpu.utils.timing import TokenTimer
+
+    mesh = None
+    if args.tp > 1:
+        from tokenhawk_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tp=args.tp)
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    print(f"Loading {args.model} ...", file=sys.stderr)
+    t0 = time.perf_counter()
+    cfg, params, tokenizer = load_model(
+        args.model, n_ctx=args.n_ctx, dtype=dtype, mesh=mesh
+    )
+    print(f"Loaded in {time.perf_counter() - t0:.1f}s "
+          f"({cfg.n_layer} layers, n_embd {cfg.n_embd})", file=sys.stderr)
+
+    sampling = SamplingConfig(
+        temperature=0.0 if args.greedy else args.temp,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        repeat_penalty=args.repeat_penalty,
+        seed=args.seed,
+    )
+    engine = Engine(cfg, params, tokenizer=tokenizer, sampling=sampling, mesh=mesh)
+
+    timer = TokenTimer() if args.timing else None
+
+    def on_text(s: str):
+        if timer:
+            timer.tick()
+        sys.stdout.write(s)
+        sys.stdout.flush()
+
+    result = engine.generate(
+        args.prompt, max_new_tokens=args.max_tokens, on_text=on_text
+    )
+    sys.stdout.write("\n")
+    print(
+        f"[{result.prompt_tokens} prompt tok, {len(result.tokens)} generated; "
+        f"prefill {result.prefill_seconds:.2f}s, "
+        f"decode {result.decode_tokens_per_second:.1f} tok/s]",
+        file=sys.stderr,
+    )
+    if timer:
+        timer.print_stats(file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,43 @@
+"""Device mesh construction.
+
+Axes:
+  "data"  — batch/data parallelism (continuous-batching shards requests)
+  "model" — tensor parallelism (attention heads + FFN columns + vocab)
+
+The reference has no multi-device layer at all (SURVEY.md §2.6); its
+k-way split-GEMV + local reduce (/root/reference/th.cpp:3795-3912,
+:4042-4127) is the single-chip seed of exactly this "model" axis — here
+the splits live on different chips and the reduce is an XLA psum over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    dp: int = 1, tp: Optional[int] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a (data, model) mesh. tp=None uses all remaining devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if tp is None:
+        if n % dp:
+            raise ValueError(f"{n} devices not divisible by dp={dp}")
+        tp = n // dp
+    if dp * tp > n:
+        raise ValueError(f"dp*tp={dp * tp} exceeds {n} devices")
+    grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def single_device_mesh() -> Mesh:
+    return make_mesh(dp=1, tp=1)
