@@ -19,6 +19,13 @@ from tokenhawk_tpu.ops.qweight import ArrayOrQ, QWeight
 def matmul(x: jax.Array, w: ArrayOrQ, *, accum_dtype=jnp.float32) -> jax.Array:
     """x [..., K] @ w [K, N] -> [..., N] in x.dtype, f32 accumulation."""
     if isinstance(w, QWeight):
+        from tokenhawk_tpu.ops.dispatch import pallas_mode
+
+        mode = pallas_mode()
+        if mode is not None and w.kind in ("q8_0", "q4_0"):
+            from tokenhawk_tpu.ops.pallas.qmatmul import quant_matmul
+
+            return quant_matmul(x, w, interpret=(mode == "interpret"))
         return _matmul_quant(x, w, accum_dtype=accum_dtype)
     return jnp.dot(x, w.astype(x.dtype), preferred_element_type=accum_dtype).astype(
         x.dtype
@@ -32,12 +39,13 @@ def _matmul_quant(x: jax.Array, w: QWeight, *, accum_dtype=jnp.float32) -> jax.A
       y = sum_g (x_g @ q_g) * s_g   (+ (sum_g x_g) @ mins_g for Q4_1)
     which XLA maps onto the MXU with the convert fused into the dot.
     """
-    K, N = w.qs.shape
+    qs = w.unpacked_qs()
+    K, N = qs.shape
     g = w.group
     G = K // g
     lead = x.shape[:-1]
     xg = x.reshape(-1, G, g).astype(accum_dtype)  # [B, G, g]
-    qg = w.qs.reshape(G, g, N)
+    qg = qs.reshape(G, g, N)
     # Batched per-group matmul: [B, G, g] x [G, g, N] -> [G, B, N]
     pg = jax.lax.dot_general(
         xg,

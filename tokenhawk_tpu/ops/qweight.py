@@ -32,7 +32,18 @@ from tokenhawk_tpu.ggml.quants import QuantizedTensor
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QWeight:
-    qs: jax.Array  # int8 [K, N]
+    """Quantized weight.
+
+    q8_0:  qs int8 [K, N]
+    q4_0:  qs uint8 [K//2, N] PACKED — byte row j holds logical row j in
+           its low nibble and row j + K//2 in its high nibble, both
+           offset-binary (+8).  This is the canonical device layout: both
+           halves dequantize from contiguous slices (no lane interleave),
+           which the Pallas kernel exploits; see pallas/qmatmul.py.
+    q4_1:  qs int8 [K, N] in [0, 15] with affine mins.
+    """
+
+    qs: jax.Array
     scales: jax.Array  # [K//G, N]
     mins: Optional[jax.Array]  # [K//G, N] or None
     kind: str = dataclasses.field(metadata=dict(static=True), default="q8_0")
@@ -40,6 +51,9 @@ class QWeight:
 
     @property
     def shape(self):
+        if self.kind == "q4_0":
+            s = self.qs.shape
+            return (*s[:-2], s[-2] * 2, s[-1])
         return self.qs.shape
 
     @property
@@ -48,22 +62,30 @@ class QWeight:
 
     @property
     def nbytes(self) -> int:
-        n = self.qs.size + self.scales.nbytes
+        n = self.qs.nbytes + self.scales.nbytes
         if self.mins is not None:
             n += self.mins.nbytes
-        if self.kind in ("q4_0", "q4_1"):
-            n -= self.qs.size // 2  # int4 payload packs two per byte on TPU
         return n
+
+    def unpacked_qs(self) -> jax.Array:
+        """Integer codes at logical shape [..., K, N] (sign already applied)."""
+        if self.kind != "q4_0":
+            return self.qs
+        lo = (self.qs & 0x0F).astype(jnp.int8) - 8
+        hi = (self.qs >> 4).astype(jnp.int8) - 8
+        return jnp.concatenate([lo, hi], axis=-2)
 
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
         """Materialize the dense [K, N] matrix (tests / XLA fallback)."""
-        K, N = self.qs.shape
+        qs = self.unpacked_qs()
+        K, N = qs.shape[-2:]
         g = self.group
-        q = self.qs.astype(jnp.float32).reshape(K // g, g, N)
-        w = q * self.scales.astype(jnp.float32)[:, None, :]
+        lead = qs.shape[:-2]
+        q = qs.astype(jnp.float32).reshape(*lead, K // g, g, N)
+        w = q * self.scales.astype(jnp.float32)[..., :, None, :]
         if self.mins is not None:
-            w = w + self.mins.astype(jnp.float32)[:, None, :]
-        return w.reshape(K, N).astype(dtype)
+            w = w + self.mins.astype(jnp.float32)[..., :, None, :]
+        return w.reshape(*lead, K, N).astype(dtype)
 
 
 ArrayOrQ = Union[jax.Array, QWeight]
@@ -72,18 +94,25 @@ ArrayOrQ = Union[jax.Array, QWeight]
 def from_quantized_tensor(
     qt: QuantizedTensor, scale_dtype=jnp.float32
 ) -> QWeight:
-    """GGML host tensor [out, in] -> device QWeight [in, out]."""
+    """GGML host tensor [out, in] -> device QWeight [in, out] (q4_0 packed)."""
     if qt.qs.ndim != 2:
         raise ValueError(f"expected 2-D weight, got {qt.shape}")
-    out_dim, in_dim = qt.qs.shape
-    qs = jnp.asarray(np.ascontiguousarray(qt.qs.T))  # [in, out] int8
+    kind = {GGMLType.Q8_0: "q8_0", GGMLType.Q4_0: "q4_0", GGMLType.Q4_1: "q4_1"}[
+        qt.kind
+    ]
+    qs_t = np.ascontiguousarray(qt.qs.T)  # [in, out] int8
+    if kind == "q4_0":
+        K = qs_t.shape[0]
+        if K % 64:
+            raise ValueError(f"q4_0 input dim {K} must be a multiple of 64")
+        u = (qs_t.astype(np.int16) + 8).astype(np.uint8)
+        qs = jnp.asarray(u[: K // 2] | (u[K // 2 :] << 4))  # packed uint8
+    else:
+        qs = jnp.asarray(qs_t)
     scales = jnp.asarray(np.ascontiguousarray(qt.scales.T), dtype=scale_dtype)
     mins = None
     if qt.mins is not None:
         mins = jnp.asarray(np.ascontiguousarray(qt.mins.T), dtype=scale_dtype)
-    kind = {GGMLType.Q8_0: "q8_0", GGMLType.Q4_0: "q4_0", GGMLType.Q4_1: "q4_1"}[
-        qt.kind
-    ]
     return QWeight(qs=qs, scales=scales, mins=mins, kind=kind)
 
 
