@@ -1,0 +1,211 @@
+"""Decode-throughput benchmark (driver contract: prints ONE JSON line).
+
+Measures single-chip LLaMA-7B weight-only-quantized greedy decode, the
+headline metric of BASELINE.md (reference: 37 tok/s, LLaMA-7B f16 on an
+RTX 4090 — /root/reference/README.md:69-73).  vs_baseline is tok/s
+divided by that 37 tok/s.
+
+Weights are synthetic (random quantized payloads generated on device —
+decode speed is independent of weight values), sized exactly like
+LLaMA-7B: n_embd 4096, n_ff 11008, n_layer 32, n_vocab 32000.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def synth_qweight(key, K, N, kind, scale_dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from tokenhawk_tpu.ops.qweight import QWeight
+
+    k1, k2 = jax.random.split(key)
+    if kind == "q8_0":
+        qs = jax.random.randint(k1, (K, N), -127, 127, jnp.int8)
+    elif kind == "q4_0":
+        qs = jax.random.randint(k1, (K // 2, N), 0, 255, jnp.int8).astype(jnp.uint8)
+    else:
+        raise ValueError(kind)
+    scales = (jnp.abs(jax.random.normal(k2, (K // 32, N), jnp.float32)) * 0.01).astype(
+        scale_dtype
+    )
+    return QWeight(qs=qs, scales=scales, mins=None, kind=kind)
+
+
+def synth_params(cfg, kind, dtype, scale_dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from tokenhawk_tpu.models.llama import LayerParams, LlamaParams
+
+    key = jax.random.PRNGKey(0)
+    D, F, V, L = cfg.n_embd, cfg.n_ff, cfg.n_vocab, cfg.n_layer
+    Dkv = cfg.n_embd_kv
+    ks = iter(jax.random.split(key, 16))
+
+    def qw(K, N):
+        return synth_qweight(next(ks), K, N, kind, scale_dtype)
+
+    def stack_qw(K, N):
+        from tokenhawk_tpu.ops.qweight import QWeight
+
+        ws = [synth_qweight(jax.random.fold_in(next(ks), i), K, N, kind, scale_dtype)
+              for i in range(1)]
+        # All layers share the same random payload broadcast-stacked: decode
+        # speed only depends on bytes moved, and this keeps setup fast.
+        w = ws[0]
+        return QWeight(
+            qs=jnp.broadcast_to(w.qs[None], (L, *w.qs.shape)),
+            scales=jnp.broadcast_to(w.scales[None], (L, *w.scales.shape)),
+            mins=None,
+            kind=kind,
+        )
+
+    layers = LayerParams(
+        wq=stack_qw(D, D),
+        wk=stack_qw(D, Dkv),
+        wv=stack_qw(D, Dkv),
+        wo=stack_qw(D, D),
+        w1=stack_qw(D, F),
+        w2=stack_qw(F, D),
+        w3=stack_qw(D, F),
+        attn_norm=jnp.ones((L, D), dtype),
+        ffn_norm=jnp.ones((L, D), dtype),
+    )
+    emb = jax.random.normal(next(ks), (V, D), dtype) * 0.01
+    return LlamaParams(
+        tok_embd=emb,
+        layers=layers,
+        norm=jnp.ones((D,), dtype),
+        output=qw(D, V),
+    )
+
+
+def weight_bytes_per_token(params) -> int:
+    """Bytes of weights read once per decoded token."""
+    import jax
+
+    from tokenhawk_tpu.ops.qweight import QWeight
+
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(
+        params, is_leaf=lambda x: isinstance(x, QWeight)
+    ):
+        if isinstance(leaf, QWeight):
+            total += leaf.nbytes
+        else:
+            total += leaf.nbytes
+    # The embedding table is gathered (one row), not streamed: subtract it.
+    total -= params.tok_embd.nbytes
+    return total
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--quant", choices=["q8_0", "q4_0"], default="q4_0")
+    p.add_argument("--ctx", type=int, default=512)
+    p.add_argument("--prompt-tokens", type=int, default=64)
+    p.add_argument("--tokens", type=int, default=96, help="decode tokens to time")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--chunk", type=int, default=32)
+    p.add_argument("--model", choices=["7b", "1b"], default="7b")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tokenhawk_tpu.config import LlamaConfig, SamplingConfig
+    from tokenhawk_tpu.models.llama import KVCache
+    from tokenhawk_tpu.runtime.engine import make_decode_fn, make_prefill_fn
+
+    if args.model == "7b":
+        cfg = LlamaConfig.llama_7b(n_ctx=args.ctx)
+    else:
+        cfg = LlamaConfig(
+            n_vocab=32000, n_embd=2048, n_head=16, n_layer=16, n_ctx=args.ctx,
+            n_ff=5504,
+        )
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    params = synth_params(cfg, args.quant, jnp.bfloat16, jnp.float32)
+    params = jax.block_until_ready(params)
+    print(f"synth {args.model} {args.quant} params ready in "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    B = args.batch
+    cache = KVCache.create(cfg, B, args.ctx, jnp.bfloat16)
+    prefill = make_prefill_fn(cfg)
+    decode = make_decode_fn(cfg, SamplingConfig(temperature=0.0), args.chunk)
+
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(3, cfg.n_vocab, (B, args.prompt_tokens)),
+                         jnp.int32)
+    lengths = jnp.full((B,), args.prompt_tokens, jnp.int32)
+    offsets0 = jnp.zeros((B,), jnp.int32)
+
+    t0 = time.perf_counter()
+    cache, logits = prefill(params, cache, prompt, lengths, offsets0)
+    logits.block_until_ready()
+    prefill_s = time.perf_counter() - t0
+    print(f"prefill({args.prompt_tokens} tok): {prefill_s:.2f}s "
+          f"(incl. compile)", file=sys.stderr)
+
+    last = jnp.argmax(logits, -1).astype(jnp.int32)
+    last_n = jnp.full((B, 64), -1, jnp.int32)
+    done = jnp.zeros((B,), bool)
+    offsets = lengths
+
+    # Warmup decode (compile)
+    t0 = time.perf_counter()
+    cache, toks, offsets, last_n, done = decode(
+        params, cache, last, offsets, last_n, done, jax.random.PRNGKey(0)
+    )
+    toks.block_until_ready()
+    print(f"decode compile+first chunk: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    # Timed decode
+    n_chunks = max(1, args.tokens // args.chunk)
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        cache, toks, offsets, last_n, done = decode(
+            params, cache, toks[:, -1], offsets, last_n, done,
+            jax.random.PRNGKey(i),
+        )
+    toks.block_until_ready()
+    dt = time.perf_counter() - t0
+    n_tok = n_chunks * args.chunk
+    tps = n_tok * B / dt
+    per_tok_ms = dt / n_tok * 1e3
+
+    wbytes = weight_bytes_per_token(params)
+    # v5e HBM ~819 GB/s; report achieved weight-streaming bandwidth.
+    achieved_bw = wbytes * (tps / B) / 1e9
+    print(
+        f"decode: {n_tok} tok x batch {B} in {dt:.2f}s -> {tps:.1f} tok/s "
+        f"({per_tok_ms:.1f} ms/tok); weights {wbytes / 1e9:.2f} GB/tok -> "
+        f"{achieved_bw:.0f} GB/s weight stream",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": f"llama7b_{args.quant}_decode_tokens_per_sec",
+        "value": round(tps, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tps / 37.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,90 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tokenhawk_tpu.config import LlamaConfig, SamplingConfig
+from tokenhawk_tpu.models.llama import params_from_ggml
+from tokenhawk_tpu.runtime.engine import Engine
+from tokenhawk_tpu.runtime.scheduler import Request, Scheduler
+
+from helpers import make_ggml_weights
+
+CFG = LlamaConfig.tiny(n_vocab=512, n_ctx=64)
+GREEDY = SamplingConfig(temperature=0.0)
+
+
+@pytest.fixture(scope="module")
+def params():
+    rng = np.random.default_rng(7)
+    return params_from_ggml(CFG, make_ggml_weights(CFG, rng), dtype=jnp.float32)
+
+
+def make_sched(params, max_batch=4, chunk=4):
+    return Scheduler(
+        CFG, params, sampling=GREEDY, max_batch=max_batch,
+        cache_dtype=jnp.float32, decode_chunk=chunk,
+    )
+
+
+def test_single_request_matches_engine(params):
+    eng = Engine(CFG, params, sampling=GREEDY, cache_dtype=jnp.float32,
+                 decode_chunk=4)
+    want = eng.generate([1, 5, 9, 13], max_new_tokens=10).tokens
+
+    sched = make_sched(params)
+    reqs = sched.generate_many([[1, 5, 9, 13]], max_new_tokens=10)
+    assert reqs[0].output == want
+    assert reqs[0].finish_reason in ("eos", "length")
+
+
+def test_batch_matches_individual(params):
+    prompts = [[1, 5, 9], [1, 30, 60, 90, 120], [1, 7], [1, 2, 3, 4, 5, 6]]
+    eng = Engine(CFG, params, sampling=GREEDY, cache_dtype=jnp.float32,
+                 decode_chunk=4)
+    want = [eng.generate(p, max_new_tokens=8).tokens for p in prompts]
+
+    sched = make_sched(params)
+    reqs = sched.generate_many(prompts, max_new_tokens=8)
+    for r, w in zip(reqs, want):
+        assert r.output == w
+
+
+def test_more_requests_than_slots(params):
+    prompts = [[1, i + 3] for i in range(7)]
+    sched = make_sched(params, max_batch=2)
+    reqs = sched.generate_many(prompts, max_new_tokens=5)
+    assert len(sched.finished) == 7
+    for r in reqs:
+        assert len(r.output) <= 5
+        assert r.finish_reason in ("eos", "length")
+        assert r.ttft_seconds is not None
+
+
+def test_slot_recycling_isolation(params):
+    """A recycled slot must not leak KV state from its previous tenant."""
+    eng = Engine(CFG, params, sampling=GREEDY, cache_dtype=jnp.float32,
+                 decode_chunk=4)
+    wantA = eng.generate([1, 11, 22], max_new_tokens=6).tokens
+    wantB = eng.generate([1, 44, 55], max_new_tokens=6).tokens
+
+    sched = make_sched(params, max_batch=1, chunk=4)
+    reqs = sched.generate_many([[1, 11, 22], [1, 44, 55]], max_new_tokens=6)
+    assert reqs[0].output == wantA
+    assert reqs[1].output == wantB
+
+
+def test_streaming_callbacks(params):
+    seen = []
+    sched = make_sched(params)
+    req = Request(prompt=[1, 9], max_new_tokens=6, on_token=seen.append)
+    sched.submit(req)
+    sched.run()
+    assert seen == req.output
+
+
+def test_prompt_too_long_rejected(params):
+    sched = make_sched(params)
+    req = Request(prompt=list(range(1, 70)), max_new_tokens=4)
+    sched.submit(req)
+    assert req.finish_reason == "error:prompt_too_long"
+    assert not sched.has_work

@@ -1,0 +1,263 @@
+"""Continuous batching scheduler.
+
+The reference serves exactly one request at a time (one model, one queue,
+/root/reference/th-llama.cpp:464-660).  This scheduler multiplexes up to
+`max_batch` concurrent requests through the batched decode step:
+
+  - a fixed pool of batch slots, each owning a stripe of the KV cache;
+  - prompts prefill into a bucket-padded cache fragment which is
+    scatter-inserted into the slot's stripe (one jitted dynamic-update);
+  - every decode chunk advances all active slots together; finished
+    slots latch EOS on device and are recycled on the host side;
+  - per-request streaming callbacks fire as chunks come back.
+
+This is the shape-stable (jit-friendly) formulation of continuous
+batching: the device never sees a dynamic batch size, only a done mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+from functools import partial
+from typing import Callable, Deque, Dict, List, Optional, Sequence
+
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenhawk_tpu.config import LlamaConfig, SamplingConfig
+from tokenhawk_tpu.models.llama import KVCache, LlamaParams
+from tokenhawk_tpu.runtime.engine import make_decode_fn, make_prefill_fn, _bucket
+from tokenhawk_tpu.sampling import sample
+from tokenhawk_tpu.tokenizer import EOS_ID
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: List[int]
+    max_new_tokens: int = 256
+    on_token: Optional[Callable[[int], None]] = None
+    on_done: Optional[Callable[["Request"], None]] = None
+    # filled by the scheduler:
+    id: int = -1
+    output: List[int] = dataclasses.field(default_factory=list)
+    submitted_at: float = 0.0
+    first_token_at: Optional[float] = None
+    done_at: Optional[float] = None
+    finish_reason: str = ""
+
+    @property
+    def ttft_seconds(self) -> Optional[float]:
+        if self.first_token_at is None:
+            return None
+        return self.first_token_at - self.submitted_at
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _insert_fragment(big: jax.Array, frag: jax.Array, slot) -> jax.Array:
+    """frag [L, 1, Tb, H, Dh] -> big [L, B, S, H, Dh] at (slot, seq 0)."""
+    return jax.lax.dynamic_update_slice(
+        big, frag.astype(big.dtype), (0, slot, 0, 0, 0)
+    )
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _admit_state(last_tok, offsets, last_n, done, slot, first_tok, offset, ring):
+    last_tok = last_tok.at[slot].set(first_tok)
+    offsets = offsets.at[slot].set(offset)
+    last_n = last_n.at[slot].set(ring)
+    done = done.at[slot].set(False)
+    return last_tok, offsets, last_n, done
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _kill_slot(done, slot):
+    return done.at[slot].set(True)
+
+
+class Scheduler:
+    def __init__(
+        self,
+        cfg: LlamaConfig,
+        params: LlamaParams,
+        sampling: SamplingConfig = SamplingConfig(),
+        max_batch: int = 8,
+        max_seq: Optional[int] = None,
+        cache_dtype=jnp.bfloat16,
+        decode_chunk: int = 8,
+        eos_id: int = EOS_ID,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.sampling = sampling
+        self.B = max_batch
+        self.S = max_seq or cfg.n_ctx
+        self.eos_id = eos_id
+        self.decode_chunk = decode_chunk
+        self.mesh = mesh
+
+        self._prefill = make_prefill_fn(cfg)
+        self._decode = make_decode_fn(cfg, sampling, decode_chunk, eos_id)
+
+        cache = KVCache.create(cfg, self.B, self.S, cache_dtype)
+        if mesh is not None:
+            from tokenhawk_tpu.parallel import shard_kv_cache
+
+            cache = shard_kv_cache(cache, mesh)
+        self.cache = cache
+        self.cache_dtype = cache_dtype
+
+        n_ring = max(sampling.repeat_last_n, 1)
+        self.n_ring = n_ring
+        self.last_tok = jnp.zeros((self.B,), jnp.int32)
+        self.offsets = jnp.zeros((self.B,), jnp.int32)
+        self.last_n = jnp.full((self.B, n_ring), -1, jnp.int32)
+        self.done = jnp.ones((self.B,), bool)
+
+        self.slots: List[Optional[Request]] = [None] * self.B
+        self.pending: Deque[Request] = deque()
+        self.finished: List[Request] = []
+        self._ids = itertools.count()
+        self._key = jax.random.PRNGKey(sampling.seed)
+
+        # Prefill buckets (powers of two).
+        self.buckets = []
+        b = 16
+        while b < self.S:
+            self.buckets.append(b)
+            b *= 2
+        self.buckets.append(self.S)
+
+    # ------------------------------------------------------------------
+
+    def submit(self, req: Request) -> int:
+        req.id = next(self._ids)
+        req.submitted_at = time.perf_counter()
+        if len(req.prompt) >= self.S:
+            req.finish_reason = "error:prompt_too_long"
+            req.done_at = req.submitted_at
+            self.finished.append(req)
+            if req.on_done:
+                req.on_done(req)
+            return req.id
+        self.pending.append(req)
+        return req.id
+
+    @property
+    def n_active(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    @property
+    def has_work(self) -> bool:
+        return self.n_active > 0 or len(self.pending) > 0
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ------------------------------------------------------------------
+
+    def _admit_one(self, slot: int, req: Request):
+        cfg = self.cfg
+        prompt = req.prompt
+        Tb = _bucket(len(prompt), self.buckets)
+
+        # Prefill into a fragment cache, then scatter into the slot stripe.
+        frag = KVCache.create(cfg, 1, Tb, self.cache_dtype)
+        toks = np.zeros((1, Tb), np.int32)
+        toks[0, : len(prompt)] = prompt
+        frag, logits = self._prefill(
+            self.params, frag,
+            jnp.asarray(toks), jnp.asarray([len(prompt)], jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+        )
+        k_big = _insert_fragment(self.cache.k, frag.k, slot)
+        v_big = _insert_fragment(self.cache.v, frag.v, slot)
+        self.cache = KVCache(k_big, v_big)
+
+        ring = np.full((self.n_ring,), -1, np.int32)
+        m = min(self.n_ring, len(prompt))
+        ring[self.n_ring - m :] = prompt[-m:]
+        first = sample(
+            logits, self._next_key(), self.sampling, jnp.asarray(ring[None, :])
+        )[0]
+
+        self.last_tok, self.offsets, self.last_n, self.done = _admit_state(
+            self.last_tok, self.offsets, self.last_n, self.done,
+            slot, first, len(prompt),
+            jnp.concatenate([jnp.asarray(ring[1:]), first[None]]),
+        )
+        self.slots[slot] = req
+        req.first_token_at = time.perf_counter()
+        self._deliver(slot, int(first))
+
+    def _deliver(self, slot: int, tok: int) -> bool:
+        """Feed one token to the request in `slot`; True if it stays active."""
+        req = self.slots[slot]
+        if req is None:
+            return False
+        if tok == self.eos_id:
+            self._retire(slot, "eos")
+            return False
+        req.output.append(tok)
+        if req.on_token:
+            req.on_token(tok)
+        if len(req.output) >= req.max_new_tokens:
+            self._retire(slot, "length")
+            return False
+        if len(req.prompt) + len(req.output) >= self.S - 1:
+            self._retire(slot, "context_full")
+            return False
+        return True
+
+    def _retire(self, slot: int, reason: str):
+        req = self.slots[slot]
+        req.finish_reason = reason
+        req.done_at = time.perf_counter()
+        self.slots[slot] = None
+        self.done = _kill_slot(self.done, slot)
+        self.finished.append(req)
+        if req.on_done:
+            req.on_done(req)
+
+    # ------------------------------------------------------------------
+
+    def step(self):
+        """Admit what fits, then run one decode chunk."""
+        for slot in range(self.B):
+            if self.slots[slot] is None and self.pending:
+                self._admit_one(slot, self.pending.popleft())
+        if self.n_active == 0:
+            return
+
+        self.cache, toks, self.offsets, self.last_n, self.done = self._decode(
+            self.params, self.cache, self.last_tok, self.offsets,
+            self.last_n, self.done, self._next_key(),
+        )
+        self.last_tok = toks[:, -1]
+        toks_host = np.asarray(toks)
+        for slot in range(self.B):
+            if self.slots[slot] is None:
+                continue
+            for t in toks_host[slot]:
+                if not self._deliver(slot, int(t)):
+                    break
+
+    def run(self):
+        """Run until all submitted work is complete."""
+        while self.has_work:
+            self.step()
+
+    def generate_many(self, prompts: Sequence[Sequence[int]],
+                      max_new_tokens: int = 256) -> List[Request]:
+        reqs = [Request(prompt=list(p), max_new_tokens=max_new_tokens)
+                for p in prompts]
+        for r in reqs:
+            self.submit(r)
+        self.run()
+        return reqs
