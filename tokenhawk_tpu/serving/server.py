@@ -1,0 +1,157 @@
+"""HTTP serving frontend with streaming chat.
+
+Capability parity with the reference's browser frontend
+(/root/reference/web/main.cpp + web/chat.js: a chat page that streams
+tokens into the DOM via the onNewToken callback), rebuilt as a
+server-side component: stdlib HTTP server + Server-Sent-Events token
+streaming, backed by the continuous-batching scheduler so many chats
+share the TPU.
+
+Endpoints:
+  GET  /            chat UI (static HTML/JS, serving/web/)
+  GET  /health      JSON liveness + model info
+  POST /generate    {"prompt": str, "max_tokens": int, ...}
+                    -> text/event-stream of {"token": str} events
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
+
+from tokenhawk_tpu.runtime.scheduler import Request, Scheduler
+from tokenhawk_tpu.tokenizer import Tokenizer
+
+_WEB_DIR = Path(__file__).parent / "web"
+_SENTINEL = object()
+
+
+class ServingLoop:
+    """Owns the Scheduler on a dedicated thread; thread-safe submit()."""
+
+    def __init__(self, scheduler: Scheduler, tokenizer: Tokenizer):
+        self.scheduler = scheduler
+        self.tokenizer = tokenizer
+        self._inbox: "queue.Queue" = queue.Queue()
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=10)
+
+    def submit_text(self, prompt: str, max_tokens: int = 256) -> "queue.Queue":
+        """Returns a queue yielding decoded-token strings, then _SENTINEL."""
+        out: "queue.Queue" = queue.Queue()
+        ids = self.tokenizer.encode(prompt, add_bos=True)
+
+        def on_token(tid: int):
+            out.put(self.tokenizer.decode_token_bytes(tid).decode("utf-8", "replace"))
+
+        def on_done(req: Request):
+            out.put(_SENTINEL)
+
+        req = Request(prompt=ids, max_new_tokens=max_tokens,
+                      on_token=on_token, on_done=on_done)
+        self._inbox.put(req)
+        self._wake.set()
+        return out
+
+    def _run(self):
+        while not self._stop:
+            drained = False
+            while True:
+                try:
+                    req = self._inbox.get_nowait()
+                except queue.Empty:
+                    break
+                self.scheduler.submit(req)
+                drained = True
+            if self.scheduler.has_work:
+                self.scheduler.step()
+            elif not drained:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+
+
+def _make_handler(loop: ServingLoop, model_info: dict):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                page = (_WEB_DIR / "index.html").read_bytes()
+                self._send(200, page, "text/html; charset=utf-8")
+            elif self.path == "/chat.js":
+                self._send(200, (_WEB_DIR / "chat.js").read_bytes(),
+                           "application/javascript")
+            elif self.path == "/health":
+                body = json.dumps({"status": "ok", **model_info}).encode()
+                self._send(200, body, "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, b"not found", "text/plain")
+                return
+            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                prompt = payload["prompt"]
+                max_tokens = int(payload.get("max_tokens", 256))
+            except (KeyError, ValueError, json.JSONDecodeError):
+                self._send(400, b'{"error":"bad request"}', "application/json")
+                return
+
+            out = loop.submit_text(prompt, max_tokens)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            try:
+                while True:
+                    piece = out.get()
+                    if piece is _SENTINEL:
+                        self.wfile.write(b"event: done\ndata: {}\n\n")
+                        self.wfile.flush()
+                        break
+                    data = json.dumps({"token": piece})
+                    self.wfile.write(f"data: {data}\n\n".encode())
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+
+    return Handler
+
+
+def serve(
+    scheduler: Scheduler,
+    tokenizer: Tokenizer,
+    host: str = "127.0.0.1",
+    port: int = 22345,  # parity with the reference's serve.py port
+    model_info: Optional[dict] = None,
+) -> ThreadingHTTPServer:
+    loop = ServingLoop(scheduler, tokenizer).start()
+    handler = _make_handler(loop, model_info or {})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    httpd.serving_loop = loop  # keep a handle for shutdown
+    return httpd
