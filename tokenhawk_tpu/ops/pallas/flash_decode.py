@@ -1,0 +1,152 @@
+"""Flash-decode: single-token attention over a dense KV cache.
+
+One query token per sequence attends to its `length` cached KV slots.
+Online-softmax over KV tiles so the [S] score row is never materialized
+in HBM; the q heads sharing one KV head (GQA group, `rep`) are batched
+into the same MXU matmul (sum-commute trick).
+
+Replaces the reference's decode-attention pipeline — materialized
+Q·K^T scores + `row_softmax` + probs·V (/root/reference/th-llama.cpp:
+361-380 with /root/reference/th.cpp:1865-1961) — with a single kernel
+whose HBM traffic is exactly one read of K and V.
+
+Shapes:
+  q        [B, Hkv, rep, Dh]   (pre-scaled by 1/sqrt(Dh))
+  k_cache  [B, S, Hkv, Dh]
+  v_cache  [B, S, Hkv, Dh]
+  lengths  [B] int32           number of valid cache slots (query attends
+                               to positions < lengths[b])
+  out      [B, Hkv, rep, Dh]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _kernel(
+    lengths_ref,  # SMEM [B]
+    q_ref,  # [1, 1, rep, Dh]
+    k_ref,  # [1, BS, 1, Dh]
+    v_ref,  # [1, BS, 1, Dh]
+    o_ref,  # [1, 1, rep, Dh]
+    m_ref,  # VMEM [rep, 128] f32
+    l_ref,  # VMEM [rep, 128] f32
+    acc_ref,  # VMEM [rep, Dh] f32
+    *,
+    block_s: int,
+    n_s_tiles: int,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    length = lengths_ref[b]
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i * block_s < length)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)  # [rep, Dh]
+        k = k_ref[0, :, 0, :].astype(jnp.float32)  # [BS, Dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [rep, BS]
+
+        kpos = i * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kpos < length, s, _MASK)
+
+        m_prev = m_ref[:, 0:1]  # [rep, 1]
+        l_prev = l_ref[:, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [rep, 1]
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)  # correction for old stats
+        p = jnp.exp(s - m_next)  # [rep, BS]
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+        v = v_ref[0, :, 0, :].astype(jnp.float32)  # [BS, Dh]
+        pv = jnp.dot(p, v, preferred_element_type=jnp.float32)  # [rep, Dh]
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(i == n_s_tiles - 1)
+    def _():
+        l = l_ref[:, 0:1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def flash_decode(
+    q: jax.Array,  # [B, Hkv, rep, Dh]
+    k_cache: jax.Array,  # [B, S, Hkv, Dh]
+    v_cache: jax.Array,  # [B, S, Hkv, Dh]
+    lengths: jax.Array,  # [B] int32
+    *,
+    block_s: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    B, Hkv, rep, Dh = q.shape
+    S = k_cache.shape[1]
+    bs = min(block_s, S)
+    while S % bs:
+        bs //= 2
+    n_s_tiles = S // bs
+
+    grid = (B, Hkv, n_s_tiles)
+    kernel = functools.partial(_kernel, block_s=bs, n_s_tiles=n_s_tiles)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # lengths
+            grid=grid,
+            in_specs=[
+                # index maps receive the scalar-prefetch refs as trailing args
+                pl.BlockSpec((1, 1, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, bs, 1, Dh), lambda b, h, i, *_: (b, i, h, 0)),
+                pl.BlockSpec((1, bs, 1, Dh), lambda b, h, i, *_: (b, i, h, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((rep, 128), jnp.float32),
+                pltpu.VMEM((rep, 128), jnp.float32),
+                pltpu.VMEM((rep, Dh), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, q, k_cache, v_cache)
+
+
+def attend_decode(
+    q: jax.Array,  # [B, 1, H, Dh]
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    q_positions: jax.Array,  # [B, 1]
+    scale: float,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """attend_cache-compatible wrapper for the T=1 decode case."""
+    B, T, H, Dh = q.shape
+    Hkv = k_cache.shape[2]
+    rep = H // Hkv
+    qg = (q[:, 0] * scale).reshape(B, Hkv, rep, Dh)
+    lengths = q_positions[:, 0] + 1  # attend to positions <= q_pos
+    out = flash_decode(qg, k_cache, v_cache, lengths.astype(jnp.int32),
+                       interpret=interpret)
+    return out.reshape(B, 1, H, Dh).astype(q.dtype)
