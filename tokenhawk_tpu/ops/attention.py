@@ -36,6 +36,25 @@ def attend_cache(
     if scale is None:
         scale = 1.0 / (Dh**0.5)
 
+    from tokenhawk_tpu.ops.dispatch import pallas_mode
+
+    mode = pallas_mode()
+    if mode is not None and Dh % 128 == 0 and S % 128 == 0:
+        if T == 1:
+            from tokenhawk_tpu.ops.pallas.flash_decode import attend_decode
+
+            return attend_decode(
+                q, k_cache, v_cache, q_positions, scale,
+                interpret=(mode == "interpret"),
+            )
+        if T % 8 == 0:
+            from tokenhawk_tpu.ops.pallas.flash_attention import attend_prefill
+
+            return attend_prefill(
+                q, k_cache, v_cache, q_positions, scale,
+                interpret=(mode == "interpret"),
+            )
+
     # [B, T, Hkv, rep, Dh] view of queries grouped by KV head.
     qg = q.reshape(B, T, Hkv, rep, Dh).astype(jnp.float32)
     kf = k_cache.astype(jnp.float32)

@@ -67,9 +67,11 @@ def _q4_kernel(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    packed = qs_ref[...]  # uint8 [TKP, TN]; offset-binary nibbles
-    lo = (packed & 0x0F).astype(jnp.int8) - 8
-    hi = (packed >> 4).astype(jnp.int8) - 8
+    # Mosaic cannot legalize int8 vector subtraction; unpack the
+    # offset-binary nibbles and remove the +8 bias in float instead.
+    packed = qs_ref[...]  # uint8 [TKP, TN]
+    lo = (packed & 0x0F).astype(in_dtype) - jnp.asarray(8, in_dtype)
+    hi = (packed >> 4).astype(in_dtype) - jnp.asarray(8, in_dtype)
 
     acc = acc_ref[...]
     acc = _group_dot_acc(x_lo_ref[...], lo, s_lo_ref[...], acc, in_dtype=in_dtype)
