@@ -1,0 +1,245 @@
+// thawk_native — threaded host-side weight transformation kernels.
+//
+// The TPU-native runtime streams GGML tensors from an mmap straight into
+// device layouts ([out,in] row-major file blocks -> [in,out] transposed,
+// q4 nibbles re-packed for the Pallas kernel).  Doing that with numpy
+// costs several single-threaded passes and temporaries per multi-GB
+// tensor; these C kernels do each conversion in one threaded pass.
+//
+// Plays the role the reference's C++ loader plays
+// (/root/reference/th-llama-loader.cpp:121-265 tensor ingest +
+// th.cpp:312-359 fp16 codec), for this framework's layouts.
+//
+// C ABI only; bound via ctypes (no pybind11 in the image).
+
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kQK = 32;  // quantization block length
+
+inline float f16_to_f32(uint16_t h) {
+  // bit-exact half -> float (no F16C dependency)
+  uint32_t sign = (uint32_t)(h >> 15) << 31;
+  uint32_t exp = (h >> 10) & 0x1F;
+  uint32_t man = h & 0x3FF;
+  uint32_t bits;
+  if (exp == 0) {
+    if (man == 0) {
+      bits = sign;
+    } else {  // subnormal
+      int shift = 0;
+      while (!(man & 0x400)) {
+        man <<= 1;
+        ++shift;
+      }
+      man &= 0x3FF;
+      // subnormal value = (1 + man/1024) * 2^(-14 - shift)
+      bits = sign | ((uint32_t)(127 - 14 - shift) << 23) | (man << 13);
+    }
+  } else if (exp == 0x1F) {
+    bits = sign | 0x7F800000u | (man << 13);
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+  }
+  float out;
+  std::memcpy(&out, &bits, sizeof(out));
+  return out;
+}
+
+inline uint16_t f32_to_bf16(float f) {
+  uint32_t bits;
+  std::memcpy(&bits, &f, sizeof(bits));
+  // round-to-nearest-even
+  uint32_t lsb = (bits >> 16) & 1;
+  bits += 0x7FFFu + lsb;
+  return (uint16_t)(bits >> 16);
+}
+
+void parallel_for(int64_t n, const std::function<void(int64_t, int64_t)>& fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = hw ? (int64_t)hw : 4;
+  if (n_threads > n) n_threads = n > 0 ? n : 1;
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = lo + chunk > n ? n : lo + chunk;
+    if (lo >= hi) break;
+    threads.emplace_back([=, &fn] { fn(lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---- fp16 <-> f32/bf16 ----------------------------------------------------
+
+// src: f16 [rows, cols] row-major  ->  dst: f32 [rows, cols]
+void thawk_f16_to_f32(const uint16_t* src, float* dst, int64_t n) {
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) dst[i] = f16_to_f32(src[i]);
+  });
+}
+
+// src: f16 [rows, cols] -> dst: bf16 [cols, rows] (transposed, device layout)
+void thawk_f16_to_bf16_transpose(const uint16_t* src, uint16_t* dst,
+                                 int64_t rows, int64_t cols) {
+  parallel_for(cols, [&](int64_t lo, int64_t hi) {
+    for (int64_t c = lo; c < hi; ++c)
+      for (int64_t r = 0; r < rows; ++r)
+        dst[c * rows + r] = f32_to_bf16(f16_to_f32(src[r * cols + c]));
+  });
+}
+
+// src: f32 [rows, cols] -> dst: bf16 [cols, rows]
+void thawk_f32_to_bf16_transpose(const float* src, uint16_t* dst, int64_t rows,
+                                 int64_t cols) {
+  parallel_for(cols, [&](int64_t lo, int64_t hi) {
+    for (int64_t c = lo; c < hi; ++c)
+      for (int64_t r = 0; r < rows; ++r)
+        dst[c * rows + r] = f32_to_bf16(src[r * cols + c]);
+  });
+}
+
+// ---- ggjt v1 quantized block streams -> device layouts --------------------
+//
+// File layout (per tensor, row-major [rows, cols], blocks of 32 along cols):
+//   q8_0 block: f32 d; int8 qs[32]              (36 B)
+//   q4_0 block: f32 d; uint8 nibbles[16]        (20 B; adjacent-pair packing)
+// Device layout ("in" = file cols = contraction dim):
+//   q8: qs int8 [cols, rows];           scales f32 [cols/32, rows]
+//   q4: qs uint8 [cols/2, rows] packed  (row j pairs logical rows j and
+//       j+cols/2, offset-binary +8);    scales f32 [cols/32, rows]
+
+void thawk_q8_decode_transpose(const uint8_t* raw, int8_t* qs_out,
+                               float* scales_out, int64_t rows, int64_t cols) {
+  const int64_t nbpr = cols / kQK;          // blocks per row
+  const int64_t bb = 4 + kQK;               // bytes per block
+  parallel_for(rows, [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      const uint8_t* rowp = raw + r * nbpr * bb;
+      for (int64_t b = 0; b < nbpr; ++b) {
+        const uint8_t* blk = rowp + b * bb;
+        float d;
+        std::memcpy(&d, blk, 4);
+        scales_out[b * rows + r] = d;
+        const int8_t* q = (const int8_t*)(blk + 4);
+        for (int i = 0; i < kQK; ++i) {
+          int64_t c = b * kQK + i;       // column in file = row in device
+          qs_out[c * rows + r] = q[i];
+        }
+      }
+    }
+  });
+}
+
+void thawk_q4_decode_transpose_pack(const uint8_t* raw, uint8_t* qs_out,
+                                    float* scales_out, int64_t rows,
+                                    int64_t cols) {
+  const int64_t nbpr = cols / kQK;
+  const int64_t bb = 4 + kQK / 2;
+  const int64_t half = cols / 2;
+  parallel_for(rows, [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      const uint8_t* rowp = raw + r * nbpr * bb;
+      for (int64_t b = 0; b < nbpr; ++b) {
+        const uint8_t* blk = rowp + b * bb;
+        float d;
+        std::memcpy(&d, blk, 4);
+        scales_out[b * rows + r] = d;
+        const uint8_t* nib = blk + 4;
+        for (int i = 0; i < kQK / 2; ++i) {
+          // ggjt v1 adjacent-pair packing: byte i = col 2i | col 2i+1 << 4
+          int64_t c0 = b * kQK + 2 * i;
+          int64_t c1 = c0 + 1;
+          uint8_t v0 = nib[i] & 0x0F;        // already offset-binary (+8)
+          uint8_t v1 = nib[i] >> 4;
+          // device packing: byte row j pairs logical rows j and j+half
+          uint8_t* p0 = &qs_out[(c0 % half) * rows + r];
+          uint8_t* p1 = &qs_out[(c1 % half) * rows + r];
+          if (c0 < half) *p0 = (uint8_t)((*p0 & 0xF0) | v0);
+          else           *p0 = (uint8_t)((*p0 & 0x0F) | (v0 << 4));
+          if (c1 < half) *p1 = (uint8_t)((*p1 & 0xF0) | v1);
+          else           *p1 = (uint8_t)((*p1 & 0x0F) | (v1 << 4));
+        }
+      }
+    }
+  });
+}
+
+// ---- host-side quantization (model conversion) ----------------------------
+
+// x: f32 [rows, cols] -> ggjt q8_0 block stream
+void thawk_q8_encode(const float* x, uint8_t* out, int64_t rows, int64_t cols) {
+  const int64_t nbpr = cols / kQK;
+  const int64_t bb = 4 + kQK;
+  parallel_for(rows, [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      for (int64_t b = 0; b < nbpr; ++b) {
+        const float* xb = x + r * cols + b * kQK;
+        float amax = 0.f;
+        for (int i = 0; i < kQK; ++i) {
+          float a = xb[i] < 0 ? -xb[i] : xb[i];
+          if (a > amax) amax = a;
+        }
+        float d = amax / 127.0f;
+        float inv = d != 0.f ? 1.0f / d : 0.0f;
+        uint8_t* blk = out + (r * nbpr + b) * bb;
+        std::memcpy(blk, &d, 4);
+        int8_t* q = (int8_t*)(blk + 4);
+        for (int i = 0; i < kQK; ++i) {
+          float v = xb[i] * inv;
+          int qi = (int)(v + (v >= 0 ? 0.5f : -0.5f));
+          if (qi > 127) qi = 127;
+          if (qi < -127) qi = -127;
+          q[i] = (int8_t)qi;
+        }
+      }
+    }
+  });
+}
+
+// x: f32 [rows, cols] -> ggjt q4_0 block stream (signed-absmax scheme)
+void thawk_q4_encode(const float* x, uint8_t* out, int64_t rows, int64_t cols) {
+  const int64_t nbpr = cols / kQK;
+  const int64_t bb = 4 + kQK / 2;
+  parallel_for(rows, [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      for (int64_t b = 0; b < nbpr; ++b) {
+        const float* xb = x + r * cols + b * kQK;
+        float amax = 0.f, smax = 0.f;
+        for (int i = 0; i < kQK; ++i) {
+          float a = xb[i] < 0 ? -xb[i] : xb[i];
+          if (a > amax) {
+            amax = a;
+            smax = xb[i];
+          }
+        }
+        float d = smax / -8.0f;
+        float inv = d != 0.f ? 1.0f / d : 0.0f;
+        uint8_t* blk = out + (r * nbpr + b) * bb;
+        std::memcpy(blk, &d, 4);
+        uint8_t* q = blk + 4;
+        for (int i = 0; i < kQK / 2; ++i) {
+          float v0 = xb[2 * i] * inv, v1 = xb[2 * i + 1] * inv;
+          int q0 = (int)(v0 + (v0 >= 0 ? 0.5f : -0.5f));
+          int q1 = (int)(v1 + (v1 >= 0 ? 0.5f : -0.5f));
+          if (q0 > 7) q0 = 7;
+          if (q0 < -8) q0 = -8;
+          if (q1 > 7) q1 = 7;
+          if (q1 < -8) q1 = -8;
+          q[i] = (uint8_t)((q0 + 8) | ((q1 + 8) << 4));
+        }
+      }
+    }
+  });
+}
+
+}  // extern "C"

@@ -1,0 +1,151 @@
+"""ctypes binding for the native host-side weight kernels.
+
+`libthawk_native.so` (built from /root/repo/native/, `make -C native`)
+provides threaded one-pass conversions from GGML block streams to device
+layouts.  Every entry point has a numpy fallback, so the library is an
+accelerator, not a dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SEARCH = [
+    Path(__file__).resolve().parents[2] / "native" / "libthawk_native.so",
+    Path(os.environ.get("THAWK_NATIVE_LIB", "")),
+]
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    for p in _SEARCH:
+        if p and p.is_file():
+            try:
+                lib = ctypes.CDLL(str(p))
+            except OSError:
+                continue
+            c_i64 = ctypes.c_int64
+            vp = ctypes.c_void_p
+            lib.thawk_f16_to_f32.argtypes = [vp, vp, c_i64]
+            lib.thawk_f16_to_bf16_transpose.argtypes = [vp, vp, c_i64, c_i64]
+            lib.thawk_f32_to_bf16_transpose.argtypes = [vp, vp, c_i64, c_i64]
+            lib.thawk_q8_decode_transpose.argtypes = [vp, vp, vp, c_i64, c_i64]
+            lib.thawk_q4_decode_transpose_pack.argtypes = [vp, vp, vp, c_i64, c_i64]
+            lib.thawk_q8_encode.argtypes = [vp, vp, c_i64, c_i64]
+            lib.thawk_q4_encode.argtypes = [vp, vp, c_i64, c_i64]
+            _LIB = lib
+            break
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+# ---------------------------------------------------------------------------
+
+
+def f16_to_f32(src: np.ndarray) -> np.ndarray:
+    lib = _load()
+    src = np.ascontiguousarray(src)
+    if lib is None:
+        return src.astype(np.float32)
+    out = np.empty(src.shape, np.float32)
+    lib.thawk_f16_to_f32(_ptr(src.view(np.uint16)), _ptr(out), src.size)
+    return out
+
+
+def q8_decode_transpose(raw: bytes | memoryview, rows: int, cols: int):
+    """ggjt q8_0 block stream -> (qs int8 [cols, rows], scales f32 [cols/32, rows])."""
+    lib = _load()
+    if lib is None:
+        from tokenhawk_tpu.ggml.format import GGMLType
+        from tokenhawk_tpu.ggml.quants import from_blocks
+
+        qt = from_blocks(GGMLType.Q8_0, bytes(raw), (rows, cols))
+        return (
+            np.ascontiguousarray(qt.qs.T),
+            np.ascontiguousarray(qt.scales.T.astype(np.float32)),
+        )
+    buf = np.frombuffer(raw, np.uint8)
+    qs = np.empty((cols, rows), np.int8)
+    scales = np.empty((cols // 32, rows), np.float32)
+    lib.thawk_q8_decode_transpose(_ptr(buf), _ptr(qs), _ptr(scales), rows, cols)
+    return qs, scales
+
+
+def q4_decode_transpose_pack(raw: bytes | memoryview, rows: int, cols: int):
+    """ggjt q4_0 block stream -> (packed uint8 [cols/2, rows], scales f32 [cols/32, rows])."""
+    lib = _load()
+    if lib is None:
+        from tokenhawk_tpu.ggml.format import GGMLType
+        from tokenhawk_tpu.ggml.quants import from_blocks
+
+        qt = from_blocks(GGMLType.Q4_0, bytes(raw), (rows, cols))
+        qs_t = np.ascontiguousarray(qt.qs.T)  # [cols, rows] int8 in [-8,7]
+        u = (qs_t.astype(np.int16) + 8).astype(np.uint8)
+        packed = u[: cols // 2] | (u[cols // 2 :] << 4)
+        return packed, np.ascontiguousarray(qt.scales.T.astype(np.float32))
+    buf = np.frombuffer(raw, np.uint8)
+    qs = np.zeros((cols // 2, rows), np.uint8)
+    scales = np.empty((cols // 32, rows), np.float32)
+    lib.thawk_q4_decode_transpose_pack(_ptr(buf), _ptr(qs), _ptr(scales), rows, cols)
+    return qs, scales
+
+
+def f16_to_bf16_transpose(src: np.ndarray) -> np.ndarray:
+    """f16 [rows, cols] -> bf16-as-uint16 [cols, rows] (view with jnp)."""
+    lib = _load()
+    rows, cols = src.shape
+    if lib is None:
+        import jax.numpy as jnp
+
+        return np.asarray(
+            jnp.asarray(np.ascontiguousarray(src.T), jnp.bfloat16)
+        ).view(np.uint16)
+    src = np.ascontiguousarray(src)
+    out = np.empty((cols, rows), np.uint16)
+    lib.thawk_f16_to_bf16_transpose(_ptr(src.view(np.uint16)), _ptr(out), rows, cols)
+    return out
+
+
+def q8_encode(x: np.ndarray) -> bytes:
+    """f32 [rows, cols] -> ggjt q8_0 block stream."""
+    lib = _load()
+    if lib is None:
+        from tokenhawk_tpu.ggml.quants import quantize_q8_0, to_blocks
+
+        return to_blocks(quantize_q8_0(x))
+    x = np.ascontiguousarray(x, np.float32)
+    rows, cols = x.shape
+    out = np.empty((rows * (cols // 32) * 36,), np.uint8)
+    lib.thawk_q8_encode(_ptr(x), _ptr(out), rows, cols)
+    return out.tobytes()
+
+
+def q4_encode(x: np.ndarray) -> bytes:
+    lib = _load()
+    if lib is None:
+        from tokenhawk_tpu.ggml.quants import quantize_q4_0, to_blocks
+
+        return to_blocks(quantize_q4_0(x))
+    x = np.ascontiguousarray(x, np.float32)
+    rows, cols = x.shape
+    out = np.empty((rows * (cols // 32) * 20,), np.uint8)
+    lib.thawk_q4_encode(_ptr(x), _ptr(out), rows, cols)
+    return out.tobytes()

@@ -53,6 +53,7 @@ class TensorRecord:
     shape: Tuple[int, ...]  # numpy/logical order: rows-major, last dim = columns
     data_offset: int
     data_nbytes: int
+    record_offset: int = -1  # file offset where this record's header begins
 
 
 @dataclasses.dataclass
@@ -124,6 +125,7 @@ class GGMLFile:
         records: List[TensorRecord] = []
         total = len(mm)
         while off < total:
+            record_start = off
             ndims = i32()
             name_len = i32()
             ftype = i32()
@@ -140,7 +142,9 @@ class GGMLFile:
             shape = tuple(reversed(dims)) if dims else (1,)
             n_elem = int(np.prod(shape))
             nbytes = tensor_nbytes(gtype, n_elem)
-            records.append(TensorRecord(name, gtype, shape, off, nbytes))
+            records.append(
+                TensorRecord(name, gtype, shape, off, nbytes, record_start)
+            )
             off += nbytes
         return hp, vocab, records
 

@@ -180,6 +180,8 @@ HostTensor = Union[np.ndarray, QuantizedTensor]
 
 
 def _to_device_weight(t: HostTensor, dtype, transpose: bool) -> ArrayOrQ:
+    if isinstance(t, QWeight):
+        return t  # already in device layout (native fast-path loader)
     if isinstance(t, QuantizedTensor):
         if not transpose:
             return jnp.asarray(dequantize(t), dtype=dtype)

@@ -67,11 +67,11 @@ def _q4_kernel(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Mosaic cannot legalize int8 vector subtraction; unpack the
-    # offset-binary nibbles and remove the +8 bias in float instead.
-    packed = qs_ref[...]  # uint8 [TKP, TN]
-    lo = (packed & 0x0F).astype(in_dtype) - jnp.asarray(8, in_dtype)
-    hi = (packed >> 4).astype(in_dtype) - jnp.asarray(8, in_dtype)
+    # Mosaic supports neither int8 vector subtraction nor uint8->bf16
+    # casts; widen to int32 for the unpack arithmetic, then convert.
+    p32 = qs_ref[...].astype(jnp.int32)  # uint8 [TKP, TN] widened
+    lo = ((p32 & 0x0F) - 8).astype(in_dtype)
+    hi = ((p32 >> 4) - 8).astype(in_dtype)
 
     acc = acc_ref[...]
     acc = _group_dot_acc(x_lo_ref[...], lo, s_lo_ref[...], acc, in_dtype=in_dtype)

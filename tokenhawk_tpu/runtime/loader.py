@@ -20,14 +20,39 @@ from tokenhawk_tpu.tokenizer import Tokenizer
 
 
 def config_from_hparams(hp, n_ctx: int = 2048, **overrides) -> LlamaConfig:
-    return LlamaConfig(
+    kw = dict(
         n_vocab=hp.n_vocab,
         n_embd=hp.n_embd,
         n_head=hp.n_head,
         n_layer=hp.n_layer,
         n_mult=hp.n_mult,
         n_ctx=n_ctx,
-        **overrides,
+    )
+    kw.update(overrides)
+    return LlamaConfig(**kw)
+
+
+def _fast_device_tensor(f: GGMLFile, name: str):
+    """One-pass native decode of q8_0/q4_0 records straight into the
+    device layout (transposed, q4 nibble-packed); None if not applicable."""
+    from tokenhawk_tpu.ggml.format import GGMLType
+    from tokenhawk_tpu.ggml import native
+
+    rec = f.tensors[name]
+    if len(rec.shape) != 2 or rec.ggml_type not in (GGMLType.Q8_0, GGMLType.Q4_0):
+        return None
+    rows, cols = rec.shape
+    raw = f.raw(name)
+    if rec.ggml_type == GGMLType.Q8_0:
+        qs, scales = native.q8_decode_transpose(raw, rows, cols)
+        kind = "q8_0"
+    else:
+        qs, scales = native.q4_decode_transpose_pack(raw, rows, cols)
+        kind = "q4_0"
+    from tokenhawk_tpu.ops.qweight import QWeight
+
+    return QWeight(
+        qs=jnp.asarray(qs), scales=jnp.asarray(scales), mins=None, kind=kind
     )
 
 
@@ -41,7 +66,14 @@ def load_model(
     f = GGMLFile(path)
     cfg = config_from_hparams(f.hparams, n_ctx=n_ctx, **config_overrides)
     tokenizer = Tokenizer.from_vocab(f.vocab)
-    tensors = {name: f.load_tensor(name) for name in f.tensors}
+    tensors = {}
+    for name in f.tensors:
+        if name != "tok_embeddings.weight":
+            fast = _fast_device_tensor(f, name)
+            if fast is not None:
+                tensors[name] = fast
+                continue
+        tensors[name] = f.load_tensor(name)
     if mesh is not None:
         from tokenhawk_tpu.parallel import shard_params
 
