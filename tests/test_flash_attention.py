@@ -16,8 +16,8 @@ from tokenhawk_tpu.ops.pallas.flash_attention import attend_prefill
 def test_prefill_matches_reference(rng, B, T, S, Hkv, rep, Dh):
     H = Hkv * rep
     q = rng.standard_normal((B, T, H, Dh)).astype(np.float32)
-    k = rng.standard_normal((B, S, Hkv, Dh)).astype(np.float32)
-    v = rng.standard_normal((B, S, Hkv, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
     offsets = rng.integers(0, S - T, size=(B,)).astype(np.int32)
     positions = offsets[:, None] + np.arange(T)[None, :]
 
@@ -35,8 +35,8 @@ def test_prefill_zero_offset_causality(rng):
     """First token attends only to itself."""
     B, T, S, Hkv, rep, Dh = 1, 8, 32, 1, 1, 64
     q = rng.standard_normal((B, T, Hkv * rep, Dh)).astype(np.float32)
-    k = rng.standard_normal((B, S, Hkv, Dh)).astype(np.float32)
-    v = rng.standard_normal((B, S, Hkv, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
     positions = np.arange(T)[None, :].astype(np.int32)
     got = np.asarray(attend_prefill(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(positions),

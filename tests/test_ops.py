@@ -69,8 +69,8 @@ def test_quant_matmul_batched_shapes(rng):
 def test_attend_cache_matches_numpy(rng):
     B, T, S, H, Dh = 1, 3, 8, 2, 16
     q = rng.standard_normal((B, T, H, Dh)).astype(np.float32)
-    k = rng.standard_normal((B, S, H, Dh)).astype(np.float32)
-    v = rng.standard_normal((B, S, H, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, H, S, Dh)).astype(np.float32)  # head-major
+    v = rng.standard_normal((B, H, S, Dh)).astype(np.float32)
     offset = 4  # 4 tokens of history; queries at positions 4, 5, 6
     positions = np.array([[4, 5, 6]])
     got = np.asarray(
@@ -79,20 +79,22 @@ def test_attend_cache_matches_numpy(rng):
     for t in range(T):
         for h in range(H):
             n_vis = offset + t + 1
-            scores = (q[0, t, h] @ k[0, :n_vis, h].T) / np.sqrt(Dh)
-            want = softmax_np(scores) @ v[0, :n_vis, h]
+            scores = (q[0, t, h] @ k[0, h, :n_vis].T) / np.sqrt(Dh)
+            want = softmax_np(scores) @ v[0, h, :n_vis]
             np.testing.assert_allclose(got[0, t, h], want, atol=1e-5, rtol=1e-4)
 
 
 def test_update_kv_cache_offsets(rng):
     B, S, H, Dh = 2, 8, 1, 4
-    k_cache = jnp.zeros((B, S, H, Dh))
-    v_cache = jnp.zeros((B, S, H, Dh))
+    k_cache = jnp.zeros((B, H, S, Dh))
+    v_cache = jnp.zeros((B, H, S, Dh))
     k_new = jnp.asarray(rng.standard_normal((B, 2, H, Dh)).astype(np.float32))
     v_new = jnp.asarray(rng.standard_normal((B, 2, H, Dh)).astype(np.float32))
     offsets = jnp.asarray([0, 3])
     kc, vc = update_kv_cache(k_cache, v_cache, k_new, v_new, offsets)
-    np.testing.assert_allclose(np.asarray(kc)[0, 0:2], np.asarray(k_new)[0])
-    np.testing.assert_allclose(np.asarray(kc)[1, 3:5], np.asarray(k_new)[1])
-    assert np.asarray(kc)[0, 2:].sum() == 0
-    assert np.asarray(vc)[1, :3].sum() == 0
+    np.testing.assert_allclose(np.asarray(kc)[0, 0, 0:2],
+                               np.asarray(k_new)[0, :, 0])
+    np.testing.assert_allclose(np.asarray(kc)[1, 0, 3:5],
+                               np.asarray(k_new)[1, :, 0])
+    assert np.asarray(kc)[0, 0, 2:].sum() == 0
+    assert np.asarray(vc)[1, 0, :3].sum() == 0

@@ -1,0 +1,110 @@
+"""shard_map tensor-parallel path vs single-device reference (CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tokenhawk_tpu.config import LlamaConfig, SamplingConfig
+from tokenhawk_tpu.ggml.format import GGMLType
+from tokenhawk_tpu.ggml.quants import quantize
+from tokenhawk_tpu.models.llama import KVCache, params_from_ggml
+from tokenhawk_tpu.parallel import make_mesh
+from tokenhawk_tpu.parallel.tp import (
+    make_tp_decode_fn,
+    make_tp_prefill_fn,
+    shard_params_tp,
+)
+from tokenhawk_tpu.runtime.engine import Engine, make_prefill_fn
+from tokenhawk_tpu.tokenizer import byte_fallback_vocab
+
+from helpers import make_ggml_weights
+
+CFG = LlamaConfig.tiny(n_vocab=512, n_embd=256, n_head=4, n_ctx=64, n_ff=512)
+GREEDY = SamplingConfig(temperature=0.0)
+
+
+@pytest.fixture(scope="module")
+def tensors():
+    return make_ggml_weights(CFG, np.random.default_rng(31))
+
+
+def _quant(tensors, kind):
+    return {
+        k: (quantize(v, kind)
+            if v.ndim == 2 and "norm" not in k and k != "tok_embeddings.weight"
+            else v)
+        for k, v in tensors.items()
+    }
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 4), (1, 2)])
+def test_tp_prefill_matches_reference(tensors, dp, tp):
+    mesh = make_mesh(dp=dp, tp=tp)
+    params = params_from_ggml(CFG, tensors, dtype=jnp.float32)
+    params_tp = shard_params_tp(
+        CFG, params_from_ggml(CFG, tensors, dtype=jnp.float32,
+                              row_parallel_shards=tp), mesh)
+
+    B = dp * 2
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(1, CFG.n_vocab, (B, 16)), jnp.int32)
+    lens = jnp.full((B,), 16, jnp.int32)
+    offs = jnp.zeros((B,), jnp.int32)
+
+    ref_prefill = make_prefill_fn(CFG)
+    cache = KVCache.create(CFG, B, 64, jnp.float32)
+    _, want = ref_prefill(params, cache, toks, lens, offs)
+
+    tp_prefill = make_tp_prefill_fn(CFG, mesh)
+    cache2 = KVCache.create(CFG, B, 64, jnp.float32)
+    _, got = tp_prefill(params_tp, cache2, toks, lens, offs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_tp_engine_generation_matches(tensors):
+    mesh = make_mesh(dp=1, tp=4)
+    params = params_from_ggml(CFG, tensors, dtype=jnp.float32)
+    params_tp = shard_params_tp(
+        CFG, params_from_ggml(CFG, tensors, dtype=jnp.float32,
+                              row_parallel_shards=4), mesh)
+    tok = byte_fallback_vocab()
+
+    e_ref = Engine(CFG, params, tokenizer=tok, sampling=GREEDY,
+                   cache_dtype=jnp.float32, decode_chunk=4)
+    e_tp = Engine(CFG, params_tp, tokenizer=tok, sampling=GREEDY,
+                  cache_dtype=jnp.float32, decode_chunk=4,
+                  mesh=mesh, parallel="tp")
+    want = e_ref.generate([1, 9, 17, 33], max_new_tokens=8).tokens
+    got = e_tp.generate([1, 9, 17, 33], max_new_tokens=8).tokens
+    assert got == want
+
+
+@pytest.mark.parametrize("kind", [GGMLType.Q8_0, GGMLType.Q4_0])
+def test_tp_quantized_generation_matches(tensors, kind):
+    """Quantized weights under shard_map TP (incl. per-shard q4 packing)."""
+    tp = 4
+    mesh = make_mesh(dp=1, tp=tp)
+    qt = _quant(tensors, kind)
+    params = params_from_ggml(CFG, qt, dtype=jnp.float32)
+    params_tp = shard_params_tp(
+        CFG, params_from_ggml(CFG, qt, dtype=jnp.float32,
+                              row_parallel_shards=tp), mesh)
+    tok = byte_fallback_vocab()
+
+    e_ref = Engine(CFG, params, tokenizer=tok, sampling=GREEDY,
+                   cache_dtype=jnp.float32, decode_chunk=4)
+    e_tp = Engine(CFG, params_tp, tokenizer=tok, sampling=GREEDY,
+                  cache_dtype=jnp.float32, decode_chunk=4,
+                  mesh=mesh, parallel="tp")
+    want = e_ref.generate([1, 5, 25], max_new_tokens=6).tokens
+    got = e_tp.generate([1, 5, 25], max_new_tokens=6).tokens
+    assert got == want
+
+
+def test_tp_validation_rejects_bad_widths(tensors):
+    mesh = make_mesh(dp=1, tp=8)  # 8 does not divide n_kv_head=4
+    params = params_from_ggml(CFG, tensors, dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        shard_params_tp(CFG, params, mesh)

@@ -67,7 +67,8 @@ def main(argv=None) -> int:
         repeat_penalty=args.repeat_penalty,
         seed=args.seed,
     )
-    engine = Engine(cfg, params, tokenizer=tokenizer, sampling=sampling, mesh=mesh)
+    engine = Engine(cfg, params, tokenizer=tokenizer, sampling=sampling,
+                    mesh=mesh, parallel="tp")
 
     timer = TokenTimer() if args.timing else None
 

@@ -67,20 +67,25 @@ class LlamaParams:
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # [L, B, S, Hkv, Dh]
-    v: jax.Array  # [L, B, S, Hkv, Dh]
+    """Dense KV cache, head-major: [L, B, Hkv, S, Dh].
+
+    (seq, head_dim) are the minor dims so the flash kernels can tile the
+    sequence without putting a size-1 head slice in the tiled dims."""
+
+    k: jax.Array
+    v: jax.Array
 
     @staticmethod
     def create(
         cfg: LlamaConfig, batch: int, max_seq: Optional[int] = None, dtype=jnp.bfloat16
     ) -> "KVCache":
         S = max_seq or cfg.n_ctx
-        shape = (cfg.n_layer, batch, S, cfg.n_kv_head, cfg.head_dim)
+        shape = (cfg.n_layer, batch, cfg.n_kv_head, S, cfg.head_dim)
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, kc, vc, cos, sin, offsets, positions):
@@ -179,13 +184,15 @@ def init_params(
 HostTensor = Union[np.ndarray, QuantizedTensor]
 
 
-def _to_device_weight(t: HostTensor, dtype, transpose: bool) -> ArrayOrQ:
+def _to_device_weight(
+    t: HostTensor, dtype, transpose: bool, k_shards: int = 1
+) -> ArrayOrQ:
     if isinstance(t, QWeight):
         return t  # already in device layout (native fast-path loader)
     if isinstance(t, QuantizedTensor):
         if not transpose:
             return jnp.asarray(dequantize(t), dtype=dtype)
-        return from_quantized_tensor(t)
+        return from_quantized_tensor(t, k_shards=k_shards)
     arr = np.asarray(t)
     if transpose:
         arr = np.ascontiguousarray(arr.T)
@@ -196,6 +203,7 @@ def params_from_ggml(
     cfg: LlamaConfig,
     tensors: Dict[str, HostTensor],
     dtype=jnp.bfloat16,
+    row_parallel_shards: int = 1,
 ) -> LlamaParams:
     """Build the device parameter pytree from loaded GGML tensors.
 
@@ -203,10 +211,16 @@ def params_from_ggml(
     quantized tensors stay quantized (QWeight).  The embedding table is
     always densified (it is a gather, not a matmul — the reference keeps
     it CPU-side in f32, /root/reference/th-llama-loader.cpp:180-196).
+
+    row_parallel_shards: for shard_map tensor parallelism, q4_0 weights
+    whose contraction dim gets sharded (wo, w2) are nibble-packed per
+    shard (see ops.qweight.pack_q4_rows).
     """
+    _ROW_PARALLEL = ("attention.wo.weight", "feed_forward.w2.weight")
 
     def get(name: str, transpose=True) -> ArrayOrQ:
-        return _to_device_weight(tensors[name], dtype, transpose)
+        ks = row_parallel_shards if name.endswith(_ROW_PARALLEL) else 1
+        return _to_device_weight(tensors[name], dtype, transpose, k_shards=ks)
 
     def stack(fmt: str, transpose=True):
         ws = [get(fmt.format(i), transpose) for i in range(cfg.n_layer)]

@@ -23,15 +23,18 @@ _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def attend_cache(
     q: jax.Array,  # [B, T, H, Dh] (already RoPE'd)
-    k_cache: jax.Array,  # [B, S, Hkv, Dh]
-    v_cache: jax.Array,  # [B, S, Hkv, Dh]
+    k_cache: jax.Array,  # [B, Hkv, S, Dh]
+    v_cache: jax.Array,  # [B, Hkv, S, Dh]
     q_positions: jax.Array,  # [B, T] absolute positions of the queries
     scale: float | None = None,
 ) -> jax.Array:
-    """Causal attention of a query block against the full cache."""
+    """Causal attention of a query block against the full cache.
+
+    Cache layout is head-major [B, Hkv, S, Dh]: (seq, head_dim) are the
+    minor dims, which is what the TPU flash kernels tile.
+    """
     B, T, H, Dh = q.shape
-    S = k_cache.shape[1]
-    Hkv = k_cache.shape[2]
+    Hkv, S = k_cache.shape[1], k_cache.shape[2]
     rep = H // Hkv
     if scale is None:
         scale = 1.0 / (Dh**0.5)
@@ -60,30 +63,30 @@ def attend_cache(
     kf = k_cache.astype(jnp.float32)
     vf = v_cache.astype(jnp.float32)
 
-    scores = jnp.einsum("bthrd,bshd->bhrts", qg, kf) * scale  # [B,Hkv,rep,T,S]
+    scores = jnp.einsum("bthrd,bhsd->bhrts", qg, kf) * scale  # [B,Hkv,rep,T,S]
 
     key_pos = jnp.arange(S)[None, None, :]  # [1, 1, S]
     mask = key_pos <= q_positions[:, :, None]  # [B, T, S]
     scores = jnp.where(mask[:, None, None, :, :], scores, _MASK_VALUE)
 
     probs = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bhrts,bshd->bthrd", probs, vf)  # [B,T,Hkv,rep,Dh]
+    ctx = jnp.einsum("bhrts,bhsd->bthrd", probs, vf)  # [B,T,Hkv,rep,Dh]
     return ctx.reshape(B, T, H, Dh).astype(q.dtype)
 
 
 def update_kv_cache(
-    k_cache: jax.Array,  # [B, S, Hkv, Dh]
+    k_cache: jax.Array,  # [B, Hkv, S, Dh]
     v_cache: jax.Array,
     k_new: jax.Array,  # [B, T, Hkv, Dh]
     v_new: jax.Array,
     offsets: jax.Array,  # [B] write offsets
 ):
     """Write a new block into each sequence's cache at its offset."""
-    k_new = k_new.astype(k_cache.dtype)
-    v_new = v_new.astype(v_cache.dtype)
+    k_new = jnp.swapaxes(k_new.astype(k_cache.dtype), 1, 2)  # [B, Hkv, T, Dh]
+    v_new = jnp.swapaxes(v_new.astype(v_cache.dtype), 1, 2)
 
     def upd(cache, new, off):
-        return jax.lax.dynamic_update_slice(cache, new, (off, 0, 0))
+        return jax.lax.dynamic_update_slice(cache, new, (0, off, 0))
 
     k_cache = jax.vmap(upd)(k_cache, k_new, offsets)
     v_cache = jax.vmap(upd)(v_cache, v_new, offsets)

@@ -13,8 +13,8 @@ cost.
 
 Kernel shapes:
   q        [B, Hkv, rep, T, Dh]  (pre-scaled by 1/sqrt(Dh))
-  k_cache  [B, S, Hkv, Dh]
-  v_cache  [B, S, Hkv, Dh]
+  k_cache  [B, Hkv, S, Dh]       (head-major; (S, Dh) are the tiled dims)
+  v_cache  [B, Hkv, S, Dh]
   offsets  [B] int32             absolute position of q[..., 0, :]
   out      [B, Hkv, rep, T, Dh]
 """
@@ -34,8 +34,8 @@ _MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
 def _kernel(
     offsets_ref,  # SMEM [B]
     q_ref,  # [1, 1, rep, BT, Dh]
-    k_ref,  # [1, BS, 1, Dh]
-    v_ref,  # [1, BS, 1, Dh]
+    k_ref,  # [1, 1, BS, Dh]
+    v_ref,  # [1, 1, BS, Dh]
     o_ref,  # [1, 1, rep, BT, Dh]
     m_ref,  # VMEM [rep, BT, 128] f32
     l_ref,  # VMEM [rep, BT, 128] f32
@@ -62,8 +62,8 @@ def _kernel(
 
     @pl.when(i * block_s <= max_qpos)
     def _():
-        k = k_ref[0, :, 0, :].astype(jnp.float32)  # [BS, Dh]
-        v = v_ref[0, :, 0, :].astype(jnp.float32)  # [BS, Dh]
+        k = k_ref[0, 0].astype(jnp.float32)  # [BS, Dh]
+        v = v_ref[0, 0].astype(jnp.float32)  # [BS, Dh]
         row = jax.lax.broadcasted_iota(jnp.int32, (block_t, block_s), 0)
         kpos = i * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (block_t, block_s), 1
@@ -112,7 +112,7 @@ def flash_attention(
     interpret: bool = False,
 ) -> jax.Array:
     B, Hkv, rep, T, Dh = q.shape
-    S = k_cache.shape[1]
+    S = k_cache.shape[2]
     bt = min(block_t, T)
     while T % bt:
         bt //= 2
@@ -134,8 +134,8 @@ def flash_attention(
                 pl.BlockSpec(
                     (1, 1, rep, bt, Dh), lambda b, h, t, i, *_: (b, h, 0, t, 0)
                 ),
-                pl.BlockSpec((1, bs, 1, Dh), lambda b, h, t, i, *_: (b, i, h, 0)),
-                pl.BlockSpec((1, bs, 1, Dh), lambda b, h, t, i, *_: (b, i, h, 0)),
+                pl.BlockSpec((1, 1, bs, Dh), lambda b, h, t, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bs, Dh), lambda b, h, t, i, *_: (b, h, i, 0)),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, rep, bt, Dh), lambda b, h, t, i, *_: (b, h, 0, t, 0)
@@ -165,7 +165,7 @@ def attend_prefill(
 ) -> jax.Array:
     """attend_cache-compatible wrapper for block prefill."""
     B, T, H, Dh = q.shape
-    Hkv = k_cache.shape[2]
+    Hkv = k_cache.shape[1]  # cache is head-major [B, Hkv, S, Dh]
     rep = H // Hkv
     # [B, T, H, Dh] -> [B, Hkv, rep, T, Dh]
     qg = (q * scale).reshape(B, T, Hkv, rep, Dh).transpose(0, 2, 3, 1, 4)

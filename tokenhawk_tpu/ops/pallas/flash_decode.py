@@ -12,8 +12,8 @@ whose HBM traffic is exactly one read of K and V.
 
 Shapes:
   q        [B, Hkv, rep, Dh]   (pre-scaled by 1/sqrt(Dh))
-  k_cache  [B, S, Hkv, Dh]
-  v_cache  [B, S, Hkv, Dh]
+  k_cache  [B, Hkv, S, Dh]     (head-major; (S, Dh) are the tiled dims)
+  v_cache  [B, Hkv, S, Dh]
   lengths  [B] int32           number of valid cache slots (query attends
                                to positions < lengths[b])
   out      [B, Hkv, rep, Dh]
@@ -34,8 +34,8 @@ _MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
 def _kernel(
     lengths_ref,  # SMEM [B]
     q_ref,  # [1, 1, rep, Dh]
-    k_ref,  # [1, BS, 1, Dh]
-    v_ref,  # [1, BS, 1, Dh]
+    k_ref,  # [1, 1, BS, Dh]
+    v_ref,  # [1, 1, BS, Dh]
     o_ref,  # [1, 1, rep, Dh]
     m_ref,  # VMEM [rep, 128] f32
     l_ref,  # VMEM [rep, 128] f32
@@ -57,7 +57,7 @@ def _kernel(
     @pl.when(i * block_s < length)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)  # [rep, Dh]
-        k = k_ref[0, :, 0, :].astype(jnp.float32)  # [BS, Dh]
+        k = k_ref[0, 0].astype(jnp.float32)  # [BS, Dh]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [rep, BS]
@@ -76,7 +76,7 @@ def _kernel(
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
-        v = v_ref[0, :, 0, :].astype(jnp.float32)  # [BS, Dh]
+        v = v_ref[0, 0].astype(jnp.float32)  # [BS, Dh]
         pv = jnp.dot(p, v, preferred_element_type=jnp.float32)  # [rep, Dh]
         acc_ref[...] = acc_ref[...] * alpha + pv
 
@@ -90,15 +90,15 @@ def _kernel(
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
 def flash_decode(
     q: jax.Array,  # [B, Hkv, rep, Dh]
-    k_cache: jax.Array,  # [B, S, Hkv, Dh]
-    v_cache: jax.Array,  # [B, S, Hkv, Dh]
+    k_cache: jax.Array,  # [B, Hkv, S, Dh]
+    v_cache: jax.Array,  # [B, Hkv, S, Dh]
     lengths: jax.Array,  # [B] int32
     *,
     block_s: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     B, Hkv, rep, Dh = q.shape
-    S = k_cache.shape[1]
+    S = k_cache.shape[2]
     bs = min(block_s, S)
     while S % bs:
         bs //= 2
@@ -114,8 +114,8 @@ def flash_decode(
             in_specs=[
                 # index maps receive the scalar-prefetch refs as trailing args
                 pl.BlockSpec((1, 1, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, bs, 1, Dh), lambda b, h, i, *_: (b, i, h, 0)),
-                pl.BlockSpec((1, bs, 1, Dh), lambda b, h, i, *_: (b, i, h, 0)),
+                pl.BlockSpec((1, 1, bs, Dh), lambda b, h, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bs, Dh), lambda b, h, i, *_: (b, h, i, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
             scratch_shapes=[
@@ -143,7 +143,7 @@ def attend_decode(
 ) -> jax.Array:
     """attend_cache-compatible wrapper for the T=1 decode case."""
     B, T, H, Dh = q.shape
-    Hkv = k_cache.shape[2]
+    Hkv = k_cache.shape[1]  # cache is head-major [B, Hkv, S, Dh]
     rep = H // Hkv
     qg = (q[:, 0] * scale).reshape(B, Hkv, rep, Dh)
     lengths = q_positions[:, 0] + 1  # attend to positions <= q_pos

@@ -91,8 +91,29 @@ class QWeight:
 ArrayOrQ = Union[jax.Array, QWeight]
 
 
+def pack_q4_rows(qs_t: np.ndarray, k_shards: int = 1) -> np.ndarray:
+    """int8 [K, N] in [-8,7] -> packed uint8 [K//2, N].
+
+    Packing is per K-shard: within each of `k_shards` contiguous row
+    blocks, row j pairs with row j + block//2 (offset-binary +8).  With
+    k_shards == tp, slicing the packed array into tp row chunks yields
+    exactly the pack of each shard's local rows — required when the
+    contraction dim is sharded (row-parallel wo/w2 under shard_map TP).
+    """
+    K = qs_t.shape[0]
+    if K % (64 * k_shards):
+        raise ValueError(f"q4_0 input dim {K} must be a multiple of {64 * k_shards}")
+    u = (qs_t.astype(np.int16) + 8).astype(np.uint8)
+    blk = K // k_shards
+    parts = []
+    for s in range(k_shards):
+        b = u[s * blk : (s + 1) * blk]
+        parts.append(b[: blk // 2] | (b[blk // 2 :] << 4))
+    return np.concatenate(parts, axis=0)
+
+
 def from_quantized_tensor(
-    qt: QuantizedTensor, scale_dtype=jnp.float32
+    qt: QuantizedTensor, scale_dtype=jnp.float32, k_shards: int = 1
 ) -> QWeight:
     """GGML host tensor [out, in] -> device QWeight [in, out] (q4_0 packed)."""
     if qt.qs.ndim != 2:
@@ -102,11 +123,7 @@ def from_quantized_tensor(
     ]
     qs_t = np.ascontiguousarray(qt.qs.T)  # [in, out] int8
     if kind == "q4_0":
-        K = qs_t.shape[0]
-        if K % 64:
-            raise ValueError(f"q4_0 input dim {K} must be a multiple of 64")
-        u = (qs_t.astype(np.int16) + 8).astype(np.uint8)
-        qs = jnp.asarray(u[: K // 2] | (u[K // 2 :] << 4))  # packed uint8
+        qs = jnp.asarray(pack_q4_rows(qs_t, k_shards))
     else:
         qs = jnp.asarray(qs_t)
     scales = jnp.asarray(np.ascontiguousarray(qt.scales.T), dtype=scale_dtype)
@@ -116,11 +133,13 @@ def from_quantized_tensor(
     return QWeight(qs=qs, scales=scales, mins=mins, kind=kind)
 
 
-def quantize_array(w, kind: str, group: int = QK, scale_dtype=jnp.float32) -> QWeight:
+def quantize_array(
+    w, kind: str, group: int = QK, scale_dtype=jnp.float32, k_shards: int = 1
+) -> QWeight:
     """Quantize a dense [K, N] device/host array into a QWeight (tests)."""
     from tokenhawk_tpu.ggml import quants as hq
 
     w = np.asarray(w, dtype=np.float32).T  # -> [N, K]: groups along last axis
     gk = {"q8_0": GGMLType.Q8_0, "q4_0": GGMLType.Q4_0, "q4_1": GGMLType.Q4_1}[kind]
     qt = hq.quantize(w, gk)
-    return from_quantized_tensor(qt, scale_dtype=scale_dtype)
+    return from_quantized_tensor(qt, scale_dtype=scale_dtype, k_shards=k_shards)

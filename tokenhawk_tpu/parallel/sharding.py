@@ -53,8 +53,8 @@ def param_specs() -> LlamaParams:
 
 
 def kv_cache_spec() -> P:
-    # [L, B, S, Hkv, Dh]
-    return P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    # [L, B, Hkv, S, Dh]
+    return P(None, DATA_AXIS, MODEL_AXIS, None, None)
 
 
 def _place(leaf, spec: P, mesh: Mesh):

@@ -125,10 +125,12 @@ class Engine:
         decode_chunk: int = 8,
         eos_id: int = EOS_ID,
         mesh=None,
+        parallel: str = "gspmd",  # "gspmd" | "tp" (shard_map, pallas-capable)
     ):
         self.cfg = cfg
         self.params = params
         self.mesh = mesh
+        self.parallel = parallel
         self.tokenizer = tokenizer
         self.sampling = sampling
         self.max_seq = max_seq or cfg.n_ctx
@@ -137,9 +139,20 @@ class Engine:
         self.decode_chunk = decode_chunk
         self.eos_id = eos_id
 
-        self._prefill = make_prefill_fn(cfg)
-        self._decode = make_decode_fn(cfg, sampling, decode_chunk, eos_id)
-        self._decode1 = make_decode_fn(cfg, sampling, 1, eos_id)
+        if mesh is not None and parallel == "tp":
+            from tokenhawk_tpu.parallel.tp import (
+                make_tp_decode_fn,
+                make_tp_prefill_fn,
+            )
+
+            self._prefill = make_tp_prefill_fn(cfg, mesh)
+            self._decode = make_tp_decode_fn(cfg, mesh, sampling, decode_chunk,
+                                             eos_id)
+            self._decode1 = make_tp_decode_fn(cfg, mesh, sampling, 1, eos_id)
+        else:
+            self._prefill = make_prefill_fn(cfg)
+            self._decode = make_decode_fn(cfg, sampling, decode_chunk, eos_id)
+            self._decode1 = make_decode_fn(cfg, sampling, 1, eos_id)
 
         # Prefill buckets: powers of two up to max_seq (shape-specialized
         # compilations, the XLA analogue of the reference's per-shape WGSL

@@ -61,25 +61,42 @@ def load_model(
     n_ctx: int = 2048,
     dtype=jnp.bfloat16,
     mesh=None,
+    parallel: str = "tp",  # with a mesh: "tp" (shard_map) or "gspmd"
     **config_overrides,
 ) -> Tuple[LlamaConfig, LlamaParams, Tokenizer]:
     f = GGMLFile(path)
     cfg = config_from_hparams(f.hparams, n_ctx=n_ctx, **config_overrides)
     tokenizer = Tokenizer.from_vocab(f.vocab)
+
+    tp = 1
+    if mesh is not None and parallel == "tp":
+        from tokenhawk_tpu.parallel.mesh import MODEL_AXIS
+
+        tp = mesh.shape[MODEL_AXIS]
+
+    _ROW_PARALLEL = ("attention.wo.weight", "feed_forward.w2.weight")
     tensors = {}
     for name in f.tensors:
         if name != "tok_embeddings.weight":
-            fast = _fast_device_tensor(f, name)
+            # q4 row-parallel weights need per-shard packing: the native
+            # one-pass decoder packs globally, so route them through the
+            # generic path when tp > 1.
+            skip_fast = tp > 1 and name.endswith(_ROW_PARALLEL)
+            fast = None if skip_fast else _fast_device_tensor(f, name)
             if fast is not None:
                 tensors[name] = fast
                 continue
         tensors[name] = f.load_tensor(name)
-    if mesh is not None:
-        from tokenhawk_tpu.parallel import shard_params
 
-        params = params_from_ggml(cfg, tensors, dtype=dtype)
-        params = shard_params(cfg, params, mesh)
-    else:
-        params = params_from_ggml(cfg, tensors, dtype=dtype)
+    params = params_from_ggml(cfg, tensors, dtype=dtype, row_parallel_shards=tp)
+    if mesh is not None:
+        if parallel == "tp":
+            from tokenhawk_tpu.parallel.tp import shard_params_tp
+
+            params = shard_params_tp(cfg, params, mesh)
+        else:
+            from tokenhawk_tpu.parallel import shard_params
+
+            params = shard_params(cfg, params, mesh)
     f.close()
     return cfg, params, tokenizer
