@@ -2,23 +2,27 @@
 
 Computes y = x @ dequant(W) for weight-only-quantized W without ever
 materializing the dense matrix in HBM: quantized tiles stream
-HBM -> VMEM, dequantize on the VPU, and feed the MXU per 32-element
-quantization group; the per-group scale is applied to the [B, TN] partial
-sum (cheap) instead of the [TK, TN] weight tile (expensive).
+HBM -> VMEM, dequantize+scale on the VPU, and feed the MXU with one dot
+per K-tile.  f32 accumulation across K-tiles in VMEM scratch.
 
 This is the TPU answer to the reference's decode GEMV
 `wgsl_vector_mat_mul_transpose` (/root/reference/th.cpp:2839-2892, one
 256-thread workgroup per output element) and its packed-f16 in-shader
 decode (/root/reference/th.cpp:363-394): the roofline limit is reading
-the weight bytes once per token, so the kernel's only job is to keep the
-dequant off the critical path.
+the weight bytes once per token, so the kernel's job is to keep dequant
+off the critical path and every byte read exactly once.
 
 Layouts (produced by `tokenhawk_tpu.ops.qweight`):
-  q8_0: qs int8 [K, N], scales [K//32, N]
+  q8_0: qs int8 [K, N], scales f32 [K//32, N]
   q4_0 packed: qs uint8 [K//2, N] where byte row j holds logical row j in
         the low nibble and row j + K//2 in the high nibble (offset-binary,
         +8), so both halves dequantize from contiguous slices with no
         lane interleave; scales [K//32, N] ordered by logical row.
+
+The scales BlockSpec covers all K-groups for the current N-tile (its
+block index only varies with j, so Pallas fetches it once per N-tile);
+per-K-tile rows are sliced inside the kernel.  This sidesteps the
+(8, 128) min-tile rule for shapes where K//32 tiles unevenly.
 """
 
 from __future__ import annotations
@@ -34,64 +38,71 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP = 32  # quantization block length (ggml QK)
 
 
-def _group_dot_acc(x, w_q, scales, acc, *, in_dtype):
-    """acc += sum_g (x[:, g] @ w_q[g]) * scales[g]  over groups of GROUP rows."""
-    n_groups = w_q.shape[0] // GROUP
-    for g in range(n_groups):
-        xg = x[:, g * GROUP : (g + 1) * GROUP]
-        wg = w_q[g * GROUP : (g + 1) * GROUP, :].astype(in_dtype)
-        pg = jnp.dot(xg, wg, preferred_element_type=jnp.float32)  # [B, TN]
-        acc = acc + pg * scales[g, :][None, :].astype(jnp.float32)
-    return acc
+def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles, sg):
+    k = pl.program_id(1)
 
-
-def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles, in_dtype):
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    acc_ref[...] = _group_dot_acc(
-        x_ref[...], qs_ref[...], s_ref[...], acc_ref[...], in_dtype=in_dtype
+    x = x_ref[...]
+    w = qs_ref[...].astype(jnp.float32)  # [bk, bn]
+    s = s_ref[pl.ds(k * sg, sg), :]  # [sg, bn]
+    w = w * jnp.repeat(s.astype(jnp.float32), GROUP, axis=0)
+    acc_ref[...] += jnp.dot(
+        x, w.astype(x.dtype), preferred_element_type=jnp.float32
     )
 
-    @pl.when(pl.program_id(1) == n_k_tiles - 1)
+    @pl.when(k == n_k_tiles - 1)
     def _():
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
 def _q4_kernel(
-    x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
-    *, n_k_tiles, in_dtype,
+    x_lo_ref, x_hi_ref, qs_ref, s_ref, o_ref, acc_ref,
+    *, n_k_tiles, sg, kp_groups,
 ):
-    @pl.when(pl.program_id(1) == 0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # Mosaic supports neither int8 vector subtraction nor uint8->bf16
     # casts; widen to int32 for the unpack arithmetic, then convert.
-    p32 = qs_ref[...].astype(jnp.int32)  # uint8 [TKP, TN] widened
-    lo = ((p32 & 0x0F) - 8).astype(in_dtype)
-    hi = ((p32 >> 4) - 8).astype(in_dtype)
+    p32 = qs_ref[...].astype(jnp.int32)  # [bkp, bn]
+    lo = ((p32 & 0x0F) - 8).astype(jnp.float32)
+    hi = ((p32 >> 4) - 8).astype(jnp.float32)
 
-    acc = acc_ref[...]
-    acc = _group_dot_acc(x_lo_ref[...], lo, s_lo_ref[...], acc, in_dtype=in_dtype)
-    acc = _group_dot_acc(x_hi_ref[...], hi, s_hi_ref[...], acc, in_dtype=in_dtype)
-    acc_ref[...] = acc
+    s_lo = s_ref[pl.ds(k * sg, sg), :].astype(jnp.float32)
+    s_hi = s_ref[pl.ds(kp_groups + k * sg, sg), :].astype(jnp.float32)
+    lo = lo * jnp.repeat(s_lo, GROUP, axis=0)
+    hi = hi * jnp.repeat(s_hi, GROUP, axis=0)
 
-    @pl.when(pl.program_id(1) == n_k_tiles - 1)
+    x_lo = x_lo_ref[...]
+    x_hi = x_hi_ref[...]
+    acc_ref[...] += jnp.dot(
+        x_lo, lo.astype(x_lo.dtype), preferred_element_type=jnp.float32
+    )
+    acc_ref[...] += jnp.dot(
+        x_hi, hi.astype(x_hi.dtype), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == n_k_tiles - 1)
     def _():
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _pick_block(dim: int, target: int, multiple: int) -> Optional[int]:
-    """Largest divisor of `dim` that is <= target and a multiple of `multiple`."""
+def _pick_block(dim: int, target: int, multiple: int) -> int:
+    """Largest divisor of `dim` <= target that is a multiple of `multiple`;
+    falls back to `dim` itself (whole-array block)."""
     best = None
     b = multiple
     while b <= min(dim, target):
         if dim % b == 0:
             best = b
         b += multiple
-    return best
+    return best if best is not None else dim
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
@@ -107,21 +118,21 @@ def q8_matmul(
     B, K = x.shape
     K2, N = qs.shape
     assert K == K2, (x.shape, qs.shape)
-    bk = _pick_block(K, block_k, GROUP)
+    bk = _pick_block(K, block_k, 128)
     bn = _pick_block(N, block_n, 128)
-    if bk is None or bn is None:
-        raise ValueError(f"untileable shapes K={K} N={N}")
     n_k_tiles = K // bk
+    sg = bk // GROUP
 
     grid = (N // bn, n_k_tiles)
-    kernel = functools.partial(_q8_kernel, n_k_tiles=n_k_tiles, in_dtype=x.dtype)
+    kernel = functools.partial(_q8_kernel, n_k_tiles=n_k_tiles, sg=sg)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, bk), lambda j, k: (0, k)),
             pl.BlockSpec((bk, bn), lambda j, k: (k, j)),
-            pl.BlockSpec((bk // GROUP, bn), lambda j, k: (k, j)),
+            # all K-groups for this N-tile; constant across k -> one fetch
+            pl.BlockSpec((K // GROUP, bn), lambda j, k: (0, j)),
         ],
         out_specs=pl.BlockSpec((B, bn), lambda j, k: (0, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
@@ -151,15 +162,16 @@ def q4_matmul(
     B, K = x.shape
     KP, N = qs_packed.shape
     assert KP * 2 == K, (x.shape, qs_packed.shape)
-    bkp = _pick_block(KP, block_k, GROUP)
+    bkp = _pick_block(KP, block_k, 128)
     bn = _pick_block(N, block_n, 128)
-    if bkp is None or bn is None:
-        raise ValueError(f"untileable shapes K={K} N={N}")
     n_k_tiles = KP // bkp
-    sg = bkp // GROUP  # scale rows per (half) tile
+    sg = bkp // GROUP
+    kp_groups = KP // GROUP
 
     grid = (N // bn, n_k_tiles)
-    kernel = functools.partial(_q4_kernel, n_k_tiles=n_k_tiles, in_dtype=x.dtype)
+    kernel = functools.partial(
+        _q4_kernel, n_k_tiles=n_k_tiles, sg=sg, kp_groups=kp_groups
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -169,10 +181,7 @@ def q4_matmul(
             # x high half rows [K//2 + k*bkp, ...)
             pl.BlockSpec((B, bkp), lambda j, k, _n=n_k_tiles: (0, k + _n)),
             pl.BlockSpec((bkp, bn), lambda j, k: (k, j)),
-            # scales for the low half: groups [k*sg, k*sg+sg)
-            pl.BlockSpec((sg, bn), lambda j, k: (k, j)),
-            # scales for the high half: offset by KP // GROUP group rows
-            pl.BlockSpec((sg, bn), lambda j, k, _n=n_k_tiles: (k + _n, j)),
+            pl.BlockSpec((K // GROUP, bn), lambda j, k: (0, j)),
         ],
         out_specs=pl.BlockSpec((B, bn), lambda j, k: (0, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
@@ -186,21 +195,7 @@ def q4_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, x, qs_packed, scales, scales)
-
-
-def pack_q4(qs: jax.Array) -> jax.Array:
-    """int8 [K, N] in [-8, 7] -> packed uint8 [K//2, N].
-
-    Byte row j = (qs[j] + 8) | ((qs[j + K//2] + 8) << 4): the low nibbles
-    hold the first half of the rows, the high nibbles the second half, so
-    the kernel dequantizes both halves with contiguous slices.
-    """
-    K = qs.shape[0]
-    u = (qs.astype(jnp.int32) + 8).astype(jnp.uint8)
-    lo = u[: K // 2]
-    hi = u[K // 2 :]
-    return (lo | (hi << 4)).astype(jnp.uint8)
+    )(x, x, qs_packed, scales)
 
 
 def quant_matmul(
@@ -211,9 +206,9 @@ def quant_matmul(
 ) -> jax.Array:
     """Dispatch by QWeight kind. x: [..., K] -> [..., N].
 
-    `qw` is an ops.qweight.QWeight whose payload has been device-packed
-    (q4_0 -> packed nibbles).  Leading dims of x are flattened into B and
-    padded to the f32 sublane count (8).
+    `qw` is an ops.qweight.QWeight in device layout (q4_0 payload packed).
+    Leading dims of x are flattened into B and padded to the f32 sublane
+    count (8).
     """
     lead = x.shape[:-1]
     K = x.shape[-1]
