@@ -27,16 +27,19 @@ def synth_qweight(key, K, N, kind, scale_dtype):
     from tokenhawk_tpu.ops.qweight import QWeight
 
     k1, k2 = jax.random.split(key)
+
+    def rand_scales(rows):
+        return (jnp.abs(jax.random.normal(k2, (rows, N), jnp.float32)) * 0.01
+                ).astype(scale_dtype)
+
     if kind == "q8_0":
         qs = jax.random.randint(k1, (K, N), -127, 127, jnp.int8)
-    elif kind == "q4_0":
+        return QWeight(qs=qs, scales=rand_scales(K // 32), mins=None, kind=kind)
+    if kind == "q4_0":
         qs = jax.random.randint(k1, (K // 2, N), 0, 255, jnp.int8).astype(jnp.uint8)
-    else:
-        raise ValueError(kind)
-    scales = (jnp.abs(jax.random.normal(k2, (K // 32, N), jnp.float32)) * 0.01).astype(
-        scale_dtype
-    )
-    return QWeight(qs=qs, scales=scales, mins=None, kind=kind)
+        return QWeight(qs=qs, scales=rand_scales(K // 64), mins=None,
+                       scales_hi=rand_scales(K // 64), kind=kind)
+    raise ValueError(kind)
 
 
 def synth_params(cfg, kind, dtype, scale_dtype):
@@ -61,11 +64,13 @@ def synth_params(cfg, kind, dtype, scale_dtype):
         # All layers share the same random payload broadcast-stacked: decode
         # speed only depends on bytes moved, and this keeps setup fast.
         w = ws[0]
+
+        def bcast(x):
+            return None if x is None else jnp.broadcast_to(x[None], (L, *x.shape))
+
         return QWeight(
-            qs=jnp.broadcast_to(w.qs[None], (L, *w.qs.shape)),
-            scales=jnp.broadcast_to(w.scales[None], (L, *w.scales.shape)),
-            mins=None,
-            kind=kind,
+            qs=bcast(w.qs), scales=bcast(w.scales), mins=None,
+            scales_hi=bcast(w.scales_hi), kind=kind,
         )
 
     layers = LayerParams(
@@ -88,23 +93,6 @@ def synth_params(cfg, kind, dtype, scale_dtype):
     )
 
 
-def weight_bytes_per_token(params) -> int:
-    """Bytes of weights read once per decoded token."""
-    import jax
-
-    from tokenhawk_tpu.ops.qweight import QWeight
-
-    total = 0
-    for leaf in jax.tree_util.tree_leaves(
-        params, is_leaf=lambda x: isinstance(x, QWeight)
-    ):
-        if isinstance(leaf, QWeight):
-            total += leaf.nbytes
-        else:
-            total += leaf.nbytes
-    # The embedding table is gathered (one row), not streamed: subtract it.
-    total -= params.tok_embd.nbytes
-    return total
 
 
 def main(argv=None) -> int:
@@ -196,13 +184,20 @@ def main(argv=None) -> int:
     tps = args.chunk * B / per_chunk
     per_tok_ms = per_chunk / args.chunk * 1e3
 
-    wbytes = weight_bytes_per_token(params)
-    # v5e HBM ~819 GB/s; report achieved weight-streaming bandwidth.
+    from tokenhawk_tpu.utils.profiling import (
+        decode_speed_of_light,
+        weight_stream_bytes,
+    )
+
+    wbytes = weight_stream_bytes(params)
     achieved_bw = wbytes * (tps / B) / 1e9
+    sol = decode_speed_of_light(params, cfg=cfg,
+                                n_past=args.prompt_tokens + n_tok // 2, batch=B)
     print(
         f"decode: {n_tok} tok x batch {B} in {dt:.2f}s -> {tps:.1f} tok/s "
         f"({per_tok_ms:.1f} ms/tok); weights {wbytes / 1e9:.2f} GB/tok -> "
-        f"{achieved_bw:.0f} GB/s weight stream",
+        f"{achieved_bw:.0f} GB/s weight stream; "
+        f"roofline {sol:.1f} tok/s (v5e) -> {tps / B / sol * 100:.0f}% of SoL",
         file=sys.stderr,
     )
 

@@ -28,7 +28,7 @@ def test_q4_matmul_matches_dequant(rng, B, K, N):
     x = rng.standard_normal((B, K)).astype(np.float32)
     qw = quantize_array(w, "q4_0")
     assert qw.qs.shape == (K // 2, N) and qw.qs.dtype == jnp.uint8
-    got = np.asarray(q4_matmul(jnp.asarray(x), qw.qs, qw.scales, interpret=True))
+    got = np.asarray(q4_matmul(jnp.asarray(x), qw.qs, qw.scales, qw.scales_hi, interpret=True))
     want = x @ np.asarray(qw.dequantize())
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
 
@@ -60,7 +60,7 @@ def test_bf16_inputs(rng):
     qw = quantize_array(w, "q4_0")
     x = rng.standard_normal((8, K)).astype(np.float32)
     got = np.asarray(
-        q4_matmul(jnp.asarray(x, jnp.bfloat16), qw.qs, qw.scales, interpret=True)
+        q4_matmul(jnp.asarray(x, jnp.bfloat16), qw.qs, qw.scales, qw.scales_hi, interpret=True)
     ).astype(np.float32)
     want = x @ np.asarray(qw.dequantize())
     np.testing.assert_allclose(got, want, atol=0.15, rtol=0.1)
@@ -75,5 +75,5 @@ def test_xla_fallback_matches_pallas(rng):
     qw = quantize_array(w, "q4_0")
     x = jnp.asarray(rng.standard_normal((8, K)).astype(np.float32))
     a = np.asarray(_matmul_quant(x, qw))
-    b = np.asarray(q4_matmul(x, qw.qs, qw.scales, interpret=True))
+    b = np.asarray(q4_matmul(x, qw.qs, qw.scales, qw.scales_hi, interpret=True))
     np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-3)

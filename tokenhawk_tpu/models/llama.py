@@ -225,10 +225,15 @@ def params_from_ggml(
     def stack(fmt: str, transpose=True):
         ws = [get(fmt.format(i), transpose) for i in range(cfg.n_layer)]
         if isinstance(ws[0], QWeight):
+            def opt(field):
+                vals = [getattr(w, field) for w in ws]
+                return jnp.stack(vals) if vals[0] is not None else None
+
             return QWeight(
                 qs=jnp.stack([w.qs for w in ws]),
                 scales=jnp.stack([w.scales for w in ws]),
-                mins=(jnp.stack([w.mins for w in ws]) if ws[0].mins is not None else None),
+                mins=opt("mins"),
+                scales_hi=opt("scales_hi"),
                 kind=ws[0].kind,
                 group=ws[0].group,
             )

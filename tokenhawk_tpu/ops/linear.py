@@ -53,7 +53,7 @@ def _matmul_quant(x: jax.Array, w: QWeight, *, accum_dtype=jnp.float32) -> jax.A
         dimension_numbers=(((2,), (1,)), ((1,), (0,))),
         preferred_element_type=accum_dtype,
     )  # [G, B, N]
-    y = jnp.sum(pg * w.scales.astype(accum_dtype)[:, None, :], axis=0)  # [B, N]
+    y = jnp.sum(pg * w.full_scales().astype(accum_dtype)[:, None, :], axis=0)  # [B, N]
     if w.mins is not None:
         xs = jnp.sum(xg, axis=-1)  # [B, G]
         y = y + jnp.dot(xs, w.mins.astype(accum_dtype), preferred_element_type=accum_dtype)

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP = 32  # quantization block length (ggml QK)
 
 
-def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles, sg):
+def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -47,8 +47,8 @@ def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles, sg):
 
     x = x_ref[...]
     w = qs_ref[...].astype(jnp.float32)  # [bk, bn]
-    s = s_ref[pl.ds(k * sg, sg), :]  # [sg, bn]
-    w = w * jnp.repeat(s.astype(jnp.float32), GROUP, axis=0)
+    s = s_ref[...].astype(jnp.float32)  # [bk//GROUP, bn] (tiled by BlockSpec)
+    w = w * jnp.repeat(s, GROUP, axis=0)
     acc_ref[...] += jnp.dot(
         x, w.astype(x.dtype), preferred_element_type=jnp.float32
     )
@@ -59,8 +59,8 @@ def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles, sg):
 
 
 def _q4_kernel(
-    x_lo_ref, x_hi_ref, qs_ref, s_ref, o_ref, acc_ref,
-    *, n_k_tiles, sg, kp_groups,
+    x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
+    *, n_k_tiles,
 ):
     k = pl.program_id(1)
 
@@ -74,10 +74,8 @@ def _q4_kernel(
     lo = ((p32 & 0x0F) - 8).astype(jnp.float32)
     hi = ((p32 >> 4) - 8).astype(jnp.float32)
 
-    s_lo = s_ref[pl.ds(k * sg, sg), :].astype(jnp.float32)
-    s_hi = s_ref[pl.ds(kp_groups + k * sg, sg), :].astype(jnp.float32)
-    lo = lo * jnp.repeat(s_lo, GROUP, axis=0)
-    hi = hi * jnp.repeat(s_hi, GROUP, axis=0)
+    lo = lo * jnp.repeat(s_lo_ref[...].astype(jnp.float32), GROUP, axis=0)
+    hi = hi * jnp.repeat(s_hi_ref[...].astype(jnp.float32), GROUP, axis=0)
 
     x_lo = x_lo_ref[...]
     x_hi = x_hi_ref[...]
@@ -95,7 +93,12 @@ def _q4_kernel(
 
 def _pick_block(dim: int, target: int, multiple: int) -> int:
     """Largest divisor of `dim` <= target that is a multiple of `multiple`;
-    falls back to `dim` itself (whole-array block)."""
+    falls back to `dim` itself (whole-array block).
+
+    The K-tile must be a multiple of 256 so that the per-tile scales
+    block (bk//32 sublanes) satisfies the TPU (8, 128) min-tile rule
+    without any in-kernel slicing (Mosaic rejects sublane offsets it
+    cannot prove 8-aligned)."""
     best = None
     b = multiple
     while b <= min(dim, target):
@@ -118,21 +121,20 @@ def q8_matmul(
     B, K = x.shape
     K2, N = qs.shape
     assert K == K2, (x.shape, qs.shape)
-    bk = _pick_block(K, block_k, 128)
+    bk = _pick_block(K, block_k, 256)
     bn = _pick_block(N, block_n, 128)
     n_k_tiles = K // bk
     sg = bk // GROUP
 
     grid = (N // bn, n_k_tiles)
-    kernel = functools.partial(_q8_kernel, n_k_tiles=n_k_tiles, sg=sg)
+    kernel = functools.partial(_q8_kernel, n_k_tiles=n_k_tiles)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, bk), lambda j, k: (0, k)),
             pl.BlockSpec((bk, bn), lambda j, k: (k, j)),
-            # all K-groups for this N-tile; constant across k -> one fetch
-            pl.BlockSpec((K // GROUP, bn), lambda j, k: (0, j)),
+            pl.BlockSpec((sg, bn), lambda j, k: (k, j)),
         ],
         out_specs=pl.BlockSpec((B, bn), lambda j, k: (0, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
@@ -153,7 +155,8 @@ def q8_matmul(
 def q4_matmul(
     x: jax.Array,  # [B, K]
     qs_packed: jax.Array,  # uint8 [K//2, N]
-    scales: jax.Array,  # [K//32, N]
+    scales_lo: jax.Array,  # [K//64, N] low-half group scales
+    scales_hi: jax.Array,  # [K//64, N] high-half group scales
     *,
     block_n: int = 256,
     block_k: int = 512,  # packed rows per tile
@@ -162,16 +165,13 @@ def q4_matmul(
     B, K = x.shape
     KP, N = qs_packed.shape
     assert KP * 2 == K, (x.shape, qs_packed.shape)
-    bkp = _pick_block(KP, block_k, 128)
+    bkp = _pick_block(KP, block_k, 256)
     bn = _pick_block(N, block_n, 128)
     n_k_tiles = KP // bkp
     sg = bkp // GROUP
-    kp_groups = KP // GROUP
 
     grid = (N // bn, n_k_tiles)
-    kernel = functools.partial(
-        _q4_kernel, n_k_tiles=n_k_tiles, sg=sg, kp_groups=kp_groups
-    )
+    kernel = functools.partial(_q4_kernel, n_k_tiles=n_k_tiles)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -181,7 +181,8 @@ def q4_matmul(
             # x high half rows [K//2 + k*bkp, ...)
             pl.BlockSpec((B, bkp), lambda j, k, _n=n_k_tiles: (0, k + _n)),
             pl.BlockSpec((bkp, bn), lambda j, k: (k, j)),
-            pl.BlockSpec((K // GROUP, bn), lambda j, k: (0, j)),
+            pl.BlockSpec((sg, bn), lambda j, k: (k, j)),
+            pl.BlockSpec((sg, bn), lambda j, k: (k, j)),
         ],
         out_specs=pl.BlockSpec((B, bn), lambda j, k: (0, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
@@ -191,11 +192,11 @@ def q4_matmul(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * N,
-            bytes_accessed=KP * N + (K // GROUP) * N * scales.dtype.itemsize,
+            bytes_accessed=KP * N + (K // GROUP) * N * scales_lo.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, x, qs_packed, scales)
+    )(x, x, qs_packed, scales_lo, scales_hi)
 
 
 def quant_matmul(
@@ -220,7 +221,7 @@ def quant_matmul(
     if qw.kind == "q8_0":
         y = q8_matmul(xb, qw.qs, qw.scales, interpret=interpret)
     elif qw.kind == "q4_0":
-        y = q4_matmul(xb, qw.qs, qw.scales, interpret=interpret)
+        y = q4_matmul(xb, qw.qs, qw.scales, qw.scales_hi, interpret=interpret)
     else:
         raise NotImplementedError(f"pallas path for {qw.kind}")
     if Bp != B:

@@ -44,8 +44,12 @@ class QWeight:
     """
 
     qs: jax.Array
-    scales: jax.Array  # [K//G, N]
+    scales: jax.Array  # [K//G, N]; q4_0: LOW-half scales [K//(2G), N]
     mins: Optional[jax.Array]  # [K//G, N] or None
+    # q4_0 only: scales of the high-half rows [K//(2G), N].  Kept as a
+    # separate array so Pallas BlockSpecs can tile each half without
+    # unaligned sublane slicing (Mosaic requires provable 8-multiples).
+    scales_hi: Optional[jax.Array] = None
     kind: str = dataclasses.field(metadata=dict(static=True), default="q8_0")
     group: int = dataclasses.field(metadata=dict(static=True), default=QK)
 
@@ -65,7 +69,15 @@ class QWeight:
         n = self.qs.nbytes + self.scales.nbytes
         if self.mins is not None:
             n += self.mins.nbytes
+        if self.scales_hi is not None:
+            n += self.scales_hi.nbytes
         return n
+
+    def full_scales(self) -> jax.Array:
+        """Scales at logical group order [..., K//G, N]."""
+        if self.scales_hi is None:
+            return self.scales
+        return jnp.concatenate([self.scales, self.scales_hi], axis=-2)
 
     def unpacked_qs(self) -> jax.Array:
         """Integer codes at logical shape [..., K, N] (sign already applied)."""
@@ -82,7 +94,7 @@ class QWeight:
         g = self.group
         lead = qs.shape[:-2]
         q = qs.astype(jnp.float32).reshape(*lead, K // g, g, N)
-        w = q * self.scales.astype(jnp.float32)[..., :, None, :]
+        w = q * self.full_scales().astype(jnp.float32)[..., :, None, :]
         if self.mins is not None:
             w = w + self.mins.astype(jnp.float32)[..., :, None, :]
         return w.reshape(*lead, K, N).astype(dtype)
@@ -112,6 +124,25 @@ def pack_q4_rows(qs_t: np.ndarray, k_shards: int = 1) -> np.ndarray:
     return np.concatenate(parts, axis=0)
 
 
+def split_q4_scales(scales_t: np.ndarray, k_shards: int = 1):
+    """[K//32, N] group scales -> (lo, hi) halves matching pack_q4_rows.
+
+    Per K-shard block, the first half of its group rows scales the low
+    nibbles and the second half the high nibbles.  With k_shards > 1 the
+    returned arrays are ordered shard-major, so slicing them into
+    k_shards row chunks yields each shard's local lo/hi scales (the
+    layout shard_map sees).
+    """
+    G = scales_t.shape[0]
+    blk = G // k_shards
+    lo_parts, hi_parts = [], []
+    for s in range(k_shards):
+        b = scales_t[s * blk : (s + 1) * blk]
+        lo_parts.append(b[: blk // 2])
+        hi_parts.append(b[blk // 2 :])
+    return np.concatenate(lo_parts, 0), np.concatenate(hi_parts, 0)
+
+
 def from_quantized_tensor(
     qt: QuantizedTensor, scale_dtype=jnp.float32, k_shards: int = 1
 ) -> QWeight:
@@ -122,15 +153,20 @@ def from_quantized_tensor(
         qt.kind
     ]
     qs_t = np.ascontiguousarray(qt.qs.T)  # [in, out] int8
+    scales_t = np.ascontiguousarray(qt.scales.T).astype(np.float32)
+    scales_hi = None
     if kind == "q4_0":
         qs = jnp.asarray(pack_q4_rows(qs_t, k_shards))
+        lo, hi = split_q4_scales(scales_t, k_shards)
+        scales = jnp.asarray(lo, dtype=scale_dtype)
+        scales_hi = jnp.asarray(hi, dtype=scale_dtype)
     else:
         qs = jnp.asarray(qs_t)
-    scales = jnp.asarray(np.ascontiguousarray(qt.scales.T), dtype=scale_dtype)
+        scales = jnp.asarray(scales_t, dtype=scale_dtype)
     mins = None
     if qt.mins is not None:
         mins = jnp.asarray(np.ascontiguousarray(qt.mins.T), dtype=scale_dtype)
-    return QWeight(qs=qs, scales=scales, mins=mins, kind=kind)
+    return QWeight(qs=qs, scales=scales, mins=mins, scales_hi=scales_hi, kind=kind)
 
 
 def quantize_array(

@@ -60,10 +60,14 @@ def kv_cache_spec() -> P:
 def _place(leaf, spec: P, mesh: Mesh):
     sh = NamedSharding(mesh, spec)
     if isinstance(leaf, QWeight):
+        def put(x):
+            return None if x is None else jax.device_put(x, sh)
+
         return QWeight(
             qs=jax.device_put(leaf.qs, sh),
             scales=jax.device_put(leaf.scales, sh),
-            mins=None if leaf.mins is None else jax.device_put(leaf.mins, sh),
+            mins=put(leaf.mins),
+            scales_hi=put(leaf.scales_hi),
             kind=leaf.kind,
             group=leaf.group,
         )

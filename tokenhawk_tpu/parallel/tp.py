@@ -262,10 +262,14 @@ def shard_params_tp(cfg: LlamaConfig, params: LlamaParams, mesh: Mesh) -> LlamaP
     def place(leaf, spec):
         sh = NamedSharding(mesh, spec)
         if isinstance(leaf, QWeight):
+            def put(x):
+                return None if x is None else jax.device_put(x, sh)
+
             return QWeight(
                 qs=jax.device_put(leaf.qs, sh),
                 scales=jax.device_put(leaf.scales, sh),
-                mins=None if leaf.mins is None else jax.device_put(leaf.mins, sh),
+                mins=put(leaf.mins),
+                scales_hi=put(leaf.scales_hi),
                 kind=leaf.kind,
                 group=leaf.group,
             )

@@ -43,17 +43,16 @@ def _fast_device_tensor(f: GGMLFile, name: str):
         return None
     rows, cols = rec.shape
     raw = f.raw(name)
+    from tokenhawk_tpu.ops.qweight import QWeight, split_q4_scales
+
     if rec.ggml_type == GGMLType.Q8_0:
         qs, scales = native.q8_decode_transpose(raw, rows, cols)
-        kind = "q8_0"
-    else:
-        qs, scales = native.q4_decode_transpose_pack(raw, rows, cols)
-        kind = "q4_0"
-    from tokenhawk_tpu.ops.qweight import QWeight
-
-    return QWeight(
-        qs=jnp.asarray(qs), scales=jnp.asarray(scales), mins=None, kind=kind
-    )
+        return QWeight(qs=jnp.asarray(qs), scales=jnp.asarray(scales),
+                       mins=None, kind="q8_0")
+    qs, scales = native.q4_decode_transpose_pack(raw, rows, cols)
+    lo, hi = split_q4_scales(scales)
+    return QWeight(qs=jnp.asarray(qs), scales=jnp.asarray(lo), mins=None,
+                   scales_hi=jnp.asarray(hi), kind="q4_0")
 
 
 def load_model(
