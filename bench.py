@@ -174,11 +174,15 @@ def main(argv=None) -> int:
         return time.perf_counter() - t0, (cache, toks, offsets, last_n, done)
 
     # Overhead-cancelling timing: per-chunk = (T(n2) - T(n1)) / (n2 - n1).
-    n1 = 1
-    n2 = max(2, args.tokens // args.chunk)
+    # n2 must be large enough that device compute dominates the host
+    # dispatch pipeline (calls overlap with device work through the relay).
+    n2 = max(4, args.tokens // args.chunk)
+    n1 = max(1, n2 // 4)
     t_small, state = run_chunks(n1, cache, toks, offsets, last_n, done)
     t_large, state = run_chunks(n2, *state)
     per_chunk = max((t_large - t_small) / (n2 - n1), 1e-9)
+    print(f"T({n1} chunks)={t_small:.3f}s  T({n2} chunks)={t_large:.3f}s",
+          file=sys.stderr)
     dt = t_large
     n_tok = n2 * args.chunk
     tps = args.chunk * B / per_chunk
