@@ -103,7 +103,7 @@ def main(argv=None) -> int:
     p.add_argument("--quant", choices=["q8_0", "q4_0"], default="q4_0")
     p.add_argument("--ctx", type=int, default=512)
     p.add_argument("--prompt-tokens", type=int, default=64)
-    p.add_argument("--tokens", type=int, default=96, help="decode tokens to time")
+    p.add_argument("--tokens", type=int, default=256, help="decode tokens to time")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--chunk", type=int, default=32)
     p.add_argument("--model", choices=["7b", "1b"], default="7b")
