@@ -140,8 +140,11 @@ def main(argv=None) -> int:
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
+    from tokenhawk_tpu.models.llama import fuse_params
+
     t0 = time.perf_counter()
     params = synth_params(cfg, args.quant, jnp.bfloat16, jnp.float32)
+    params = fuse_params(params)
     params = jax.block_until_ready(params)
     print(f"synth {args.model} {args.quant} params ready in "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)

@@ -46,15 +46,20 @@ from tokenhawk_tpu.ops import (
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class LayerParams:
-    wq: ArrayOrQ
-    wk: ArrayOrQ
-    wv: ArrayOrQ
+    wq: Optional[ArrayOrQ]
+    wk: Optional[ArrayOrQ]
+    wv: Optional[ArrayOrQ]
     wo: ArrayOrQ
-    w1: ArrayOrQ
+    w1: Optional[ArrayOrQ]
     w2: ArrayOrQ
-    w3: ArrayOrQ
+    w3: Optional[ArrayOrQ]
     attn_norm: jax.Array
     ffn_norm: jax.Array
+    # Fused variants (see fuse_params): wqkv = [wq|wk|wv], w13 = [w1|w3].
+    # When set, the unfused fields are None — one matmul instead of three
+    # halves the kernel-launch count of the decode hot loop.
+    wqkv: Optional[ArrayOrQ] = None
+    w13: Optional[ArrayOrQ] = None
 
 
 @jax.tree_util.register_dataclass
@@ -93,9 +98,16 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, kc, vc, cos, sin, offse
     H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
 
     h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
-    q = matmul(h, lp.wq).reshape(B, T, H, Dh)
-    k = matmul(h, lp.wk).reshape(B, T, Hkv, Dh)
-    v = matmul(h, lp.wv).reshape(B, T, Hkv, Dh)
+    Dq, Dkv = H * Dh, Hkv * Dh
+    if lp.wqkv is not None:
+        qkv = matmul(h, lp.wqkv)  # [B, T, Dq + 2*Dkv]
+        q = qkv[..., :Dq].reshape(B, T, H, Dh)
+        k = qkv[..., Dq : Dq + Dkv].reshape(B, T, Hkv, Dh)
+        v = qkv[..., Dq + Dkv :].reshape(B, T, Hkv, Dh)
+    else:
+        q = matmul(h, lp.wq).reshape(B, T, H, Dh)
+        k = matmul(h, lp.wk).reshape(B, T, Hkv, Dh)
+        v = matmul(h, lp.wv).reshape(B, T, Hkv, Dh)
     q = apply_rope(q, cos, sin, cfg.rope_style)
     k = apply_rope(k, cos, sin, cfg.rope_style)
 
@@ -104,8 +116,16 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, kc, vc, cos, sin, offse
     x = x + matmul(ctx.reshape(B, T, D), lp.wo)
 
     h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)
-    gate = jax.nn.silu(matmul(h2, lp.w1).astype(jnp.float32)).astype(x.dtype)
-    x = x + matmul(gate * matmul(h2, lp.w3), lp.w2)
+    F = cfg.n_ff
+    if lp.w13 is not None:
+        gate_up = matmul(h2, lp.w13)  # [B, T, 2F]
+        g = gate_up[..., :F]
+        u = gate_up[..., F:]
+    else:
+        g = matmul(h2, lp.w1)
+        u = matmul(h2, lp.w3)
+    gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+    x = x + matmul(gate * u, lp.w2)
     return x, kc, vc
 
 
@@ -144,6 +164,27 @@ def logits_from_hidden(
     """Final RMSNorm + output projection -> f32 logits [..., V]."""
     h = rms_norm(hidden, params.norm, cfg.rms_norm_eps)
     return matmul(h, params.output, accum_dtype=jnp.float32).astype(jnp.float32)
+
+
+def fuse_params(params: LlamaParams) -> LlamaParams:
+    """Fuse wq|wk|wv -> wqkv and w1|w3 -> w13 (single-chip / replicated
+    layouts; for tensor-parallel layouts fusion must interleave per shard
+    — use the unfused form there)."""
+
+    def cat(ws):
+        if isinstance(ws[0], QWeight):
+            from tokenhawk_tpu.ops.qweight import concat_qweights
+
+            return concat_qweights(ws)
+        return jnp.concatenate(ws, axis=-1)
+
+    layers = dataclasses.replace(
+        params.layers,
+        wqkv=cat([params.layers.wq, params.layers.wk, params.layers.wv]),
+        w13=cat([params.layers.w1, params.layers.w3]),
+        wq=None, wk=None, wv=None, w1=None, w3=None,
+    )
+    return dataclasses.replace(params, layers=layers)
 
 
 # ---------------------------------------------------------------------------

@@ -124,6 +124,29 @@ def pack_q4_rows(qs_t: np.ndarray, k_shards: int = 1) -> np.ndarray:
     return np.concatenate(parts, axis=0)
 
 
+def concat_qweights(ws, axis: int = -1) -> QWeight:
+    """Concatenate QWeights along the output (column) axis.
+
+    Column-wise concatenation is always valid for group-quantized
+    weights: each column's groups quantize independently.  Used to fuse
+    wq|wk|wv and w1|w3 into single matmuls.
+    """
+    kinds = {w.kind for w in ws}
+    if len(kinds) != 1:
+        raise ValueError(f"cannot concat mixed kinds {kinds}")
+
+    def cat(field):
+        vals = [getattr(w, field) for w in ws]
+        if vals[0] is None:
+            return None
+        return jnp.concatenate(vals, axis=axis)
+
+    return QWeight(
+        qs=cat("qs"), scales=cat("scales"), mins=cat("mins"),
+        scales_hi=cat("scales_hi"), kind=ws[0].kind, group=ws[0].group,
+    )
+
+
 def split_q4_scales(scales_t: np.ndarray, k_shards: int = 1):
     """[K//32, N] group scales -> (lo, hi) halves matching pack_q4_rows.
 

@@ -64,6 +64,11 @@ def load_model(
     **config_overrides,
 ) -> Tuple[LlamaConfig, LlamaParams, Tokenizer]:
     f = GGMLFile(path)
+    # n_ff is not in the header; read it off the actual w1 tensor rather
+    # than trusting the LLaMA-1 n_mult derivation (robust to any model).
+    w1 = f.tensors.get("layers.0.feed_forward.w1.weight")
+    if w1 is not None:
+        config_overrides.setdefault("n_ff", w1.shape[0])
     cfg = config_from_hparams(f.hparams, n_ctx=n_ctx, **config_overrides)
     tokenizer = Tokenizer.from_vocab(f.vocab)
 
@@ -88,6 +93,10 @@ def load_model(
         tensors[name] = f.load_tensor(name)
 
     params = params_from_ggml(cfg, tensors, dtype=dtype, row_parallel_shards=tp)
+    if mesh is None:
+        from tokenhawk_tpu.models.llama import fuse_params
+
+        params = fuse_params(params)
     if mesh is not None:
         if parallel == "tp":
             from tokenhawk_tpu.parallel.tp import shard_params_tp
