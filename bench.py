@@ -107,6 +107,8 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--chunk", type=int, default=32)
     p.add_argument("--model", choices=["7b", "1b"], default="7b")
+    p.add_argument("--scale-dtype", choices=["f32", "bf16"], default="bf16",
+                   help="quantization scale dtype (bf16 halves scale traffic)")
     args = p.parse_args(argv)
 
     import os
@@ -142,8 +144,9 @@ def main(argv=None) -> int:
 
     from tokenhawk_tpu.models.llama import fuse_params
 
+    scale_dtype = jnp.bfloat16 if args.scale_dtype == "bf16" else jnp.float32
     t0 = time.perf_counter()
-    params = synth_params(cfg, args.quant, jnp.bfloat16, jnp.float32)
+    params = synth_params(cfg, args.quant, jnp.bfloat16, scale_dtype)
     params = fuse_params(params)
     params = jax.block_until_ready(params)
     print(f"synth {args.model} {args.quant} params ready in "

@@ -54,14 +54,20 @@ def test_load_f32_and_generate(tmp_path):
 @pytest.mark.parametrize("kind", [GGMLType.Q8_0, GGMLType.Q4_0])
 def test_native_fast_path_matches_generic(tmp_path, kind):
     """load_model's native one-pass decode == generic numpy conversion."""
+    import jax.numpy as jnp2
+
     path, tensors = _write_model(tmp_path, kind)
     cfg, params_fast, _ = load_model(str(path), n_ctx=64, dtype=jnp.float32,
+                                     scale_dtype=jnp.float32,
                                      n_vocab=CFG.n_vocab)
     params_ref = params_from_ggml(cfg, tensors, dtype=jnp.float32)
 
-    np.testing.assert_array_equal(
-        np.asarray(params_fast.layers.wq.qs), np.asarray(params_ref.layers.wq.qs)
-    )
+    # load_model fuses: compare wqkv against the concat of the reference.
+    want_qkv = np.concatenate(
+        [np.asarray(params_ref.layers.wq.qs),
+         np.asarray(params_ref.layers.wk.qs),
+         np.asarray(params_ref.layers.wv.qs)], axis=-1)
+    np.testing.assert_array_equal(np.asarray(params_fast.layers.wqkv.qs), want_qkv)
     np.testing.assert_allclose(
         np.asarray(params_fast.layers.w2.scales),
         np.asarray(params_ref.layers.w2.scales), rtol=1e-6,

@@ -226,14 +226,15 @@ HostTensor = Union[np.ndarray, QuantizedTensor]
 
 
 def _to_device_weight(
-    t: HostTensor, dtype, transpose: bool, k_shards: int = 1
+    t: HostTensor, dtype, transpose: bool, k_shards: int = 1,
+    scale_dtype=jnp.float32,
 ) -> ArrayOrQ:
     if isinstance(t, QWeight):
         return t  # already in device layout (native fast-path loader)
     if isinstance(t, QuantizedTensor):
         if not transpose:
             return jnp.asarray(dequantize(t), dtype=dtype)
-        return from_quantized_tensor(t, k_shards=k_shards)
+        return from_quantized_tensor(t, k_shards=k_shards, scale_dtype=scale_dtype)
     arr = np.asarray(t)
     if transpose:
         arr = np.ascontiguousarray(arr.T)
@@ -245,6 +246,7 @@ def params_from_ggml(
     tensors: Dict[str, HostTensor],
     dtype=jnp.bfloat16,
     row_parallel_shards: int = 1,
+    scale_dtype=jnp.float32,
 ) -> LlamaParams:
     """Build the device parameter pytree from loaded GGML tensors.
 
@@ -261,7 +263,8 @@ def params_from_ggml(
 
     def get(name: str, transpose=True) -> ArrayOrQ:
         ks = row_parallel_shards if name.endswith(_ROW_PARALLEL) else 1
-        return _to_device_weight(tensors[name], dtype, transpose, k_shards=ks)
+        return _to_device_weight(tensors[name], dtype, transpose, k_shards=ks,
+                                 scale_dtype=scale_dtype)
 
     def stack(fmt: str, transpose=True):
         ws = [get(fmt.format(i), transpose) for i in range(cfg.n_layer)]

@@ -32,7 +32,7 @@ def config_from_hparams(hp, n_ctx: int = 2048, **overrides) -> LlamaConfig:
     return LlamaConfig(**kw)
 
 
-def _fast_device_tensor(f: GGMLFile, name: str):
+def _fast_device_tensor(f: GGMLFile, name: str, scale_dtype=jnp.float32):
     """One-pass native decode of q8_0/q4_0 records straight into the
     device layout (transposed, q4 nibble-packed); None if not applicable."""
     from tokenhawk_tpu.ggml.format import GGMLType
@@ -47,12 +47,14 @@ def _fast_device_tensor(f: GGMLFile, name: str):
 
     if rec.ggml_type == GGMLType.Q8_0:
         qs, scales = native.q8_decode_transpose(raw, rows, cols)
-        return QWeight(qs=jnp.asarray(qs), scales=jnp.asarray(scales),
+        return QWeight(qs=jnp.asarray(qs),
+                       scales=jnp.asarray(scales, dtype=scale_dtype),
                        mins=None, kind="q8_0")
     qs, scales = native.q4_decode_transpose_pack(raw, rows, cols)
     lo, hi = split_q4_scales(scales)
-    return QWeight(qs=jnp.asarray(qs), scales=jnp.asarray(lo), mins=None,
-                   scales_hi=jnp.asarray(hi), kind="q4_0")
+    return QWeight(qs=jnp.asarray(qs),
+                   scales=jnp.asarray(lo, dtype=scale_dtype), mins=None,
+                   scales_hi=jnp.asarray(hi, dtype=scale_dtype), kind="q4_0")
 
 
 def load_model(
@@ -61,6 +63,7 @@ def load_model(
     dtype=jnp.bfloat16,
     mesh=None,
     parallel: str = "tp",  # with a mesh: "tp" (shard_map) or "gspmd"
+    scale_dtype=jnp.bfloat16,  # quant scale dtype (bf16 halves scale traffic)
     **config_overrides,
 ) -> Tuple[LlamaConfig, LlamaParams, Tokenizer]:
     f = GGMLFile(path)
@@ -86,13 +89,14 @@ def load_model(
             # one-pass decoder packs globally, so route them through the
             # generic path when tp > 1.
             skip_fast = tp > 1 and name.endswith(_ROW_PARALLEL)
-            fast = None if skip_fast else _fast_device_tensor(f, name)
+            fast = None if skip_fast else _fast_device_tensor(f, name, scale_dtype)
             if fast is not None:
                 tensors[name] = fast
                 continue
         tensors[name] = f.load_tensor(name)
 
-    params = params_from_ggml(cfg, tensors, dtype=dtype, row_parallel_shards=tp)
+    params = params_from_ggml(cfg, tensors, dtype=dtype, row_parallel_shards=tp,
+                              scale_dtype=scale_dtype)
     if mesh is None:
         from tokenhawk_tpu.models.llama import fuse_params
 
