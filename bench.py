@@ -109,6 +109,8 @@ def main(argv=None) -> int:
     p.add_argument("--model", choices=["7b", "1b"], default="7b")
     p.add_argument("--scale-dtype", choices=["f32", "bf16"], default="bf16",
                    help="quantization scale dtype (bf16 halves scale traffic)")
+    p.add_argument("--no-fuse", action="store_true",
+                   help="keep wq/wk/wv and w1/w3 as separate matmuls")
     args = p.parse_args(argv)
 
     import os
@@ -147,7 +149,8 @@ def main(argv=None) -> int:
     scale_dtype = jnp.bfloat16 if args.scale_dtype == "bf16" else jnp.float32
     t0 = time.perf_counter()
     params = synth_params(cfg, args.quant, jnp.bfloat16, scale_dtype)
-    params = fuse_params(params)
+    if not args.no_fuse:
+        params = fuse_params(params)
     params = jax.block_until_ready(params)
     print(f"synth {args.model} {args.quant} params ready in "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)

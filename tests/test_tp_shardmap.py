@@ -108,3 +108,24 @@ def test_tp_validation_rejects_bad_widths(tensors):
     params = params_from_ggml(CFG, tensors, dtype=jnp.float32)
     with pytest.raises(ValueError):
         shard_params_tp(CFG, params, mesh)
+
+
+def test_tp_scheduler_matches(tensors):
+    from tokenhawk_tpu.runtime.scheduler import Scheduler
+
+    tp = 4
+    mesh = make_mesh(dp=1, tp=tp)
+    params = params_from_ggml(CFG, tensors, dtype=jnp.float32)
+    params_tp = shard_params_tp(
+        CFG, params_from_ggml(CFG, tensors, dtype=jnp.float32,
+                              row_parallel_shards=tp), mesh)
+
+    s_ref = Scheduler(CFG, params, sampling=GREEDY, max_batch=2,
+                      cache_dtype=jnp.float32, decode_chunk=4)
+    s_tp = Scheduler(CFG, params_tp, sampling=GREEDY, max_batch=2,
+                     cache_dtype=jnp.float32, decode_chunk=4,
+                     mesh=mesh, parallel="tp")
+    prompts = [[1, 8, 16], [1, 64, 128, 192]]
+    want = [r.output for r in s_ref.generate_many(prompts, max_new_tokens=6)]
+    got = [r.output for r in s_tp.generate_many(prompts, max_new_tokens=6)]
+    assert got == want

@@ -37,6 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 32  # quantization block length (ggml QK)
 
+# Default tile sizes; overridable for tuning sweeps.
+import os as _os
+
+BLOCK_N = int(_os.environ.get("THAWK_QBLOCK_N", "256"))
+BLOCK_K = int(_os.environ.get("THAWK_QBLOCK_K", "1024"))
+BLOCK_KP = int(_os.environ.get("THAWK_QBLOCK_KP", "512"))
+
 
 def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
     k = pl.program_id(1)
@@ -114,8 +121,8 @@ def q8_matmul(
     qs: jax.Array,  # int8 [K, N]
     scales: jax.Array,  # [K//32, N]
     *,
-    block_n: int = 256,
-    block_k: int = 1024,
+    block_n: int = BLOCK_N,
+    block_k: int = BLOCK_K,
     interpret: bool = False,
 ) -> jax.Array:
     B, K = x.shape
@@ -158,8 +165,8 @@ def q4_matmul(
     scales_lo: jax.Array,  # [K//64, N] low-half group scales
     scales_hi: jax.Array,  # [K//64, N] high-half group scales
     *,
-    block_n: int = 256,
-    block_k: int = 512,  # packed rows per tile
+    block_n: int = BLOCK_N,
+    block_k: int = BLOCK_KP,  # packed rows per tile
     interpret: bool = False,
 ) -> jax.Array:
     B, K = x.shape

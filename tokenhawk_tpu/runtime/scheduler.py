@@ -91,6 +91,7 @@ class Scheduler:
         decode_chunk: int = 8,
         eos_id: int = EOS_ID,
         mesh=None,
+        parallel: str = "gspmd",
     ):
         self.cfg = cfg
         self.params = params
@@ -101,8 +102,18 @@ class Scheduler:
         self.decode_chunk = decode_chunk
         self.mesh = mesh
 
-        self._prefill = make_prefill_fn(cfg)
-        self._decode = make_decode_fn(cfg, sampling, decode_chunk, eos_id)
+        if mesh is not None and parallel == "tp":
+            from tokenhawk_tpu.parallel.tp import (
+                make_tp_decode_fn,
+                make_tp_prefill_fn,
+            )
+
+            self._prefill = make_tp_prefill_fn(cfg, mesh)
+            self._decode = make_tp_decode_fn(cfg, mesh, sampling, decode_chunk,
+                                             eos_id)
+        else:
+            self._prefill = make_prefill_fn(cfg)
+            self._decode = make_decode_fn(cfg, sampling, decode_chunk, eos_id)
 
         cache = KVCache.create(cfg, self.B, self.S, cache_dtype)
         if mesh is not None:
