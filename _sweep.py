@@ -1,0 +1,50 @@
+import time, functools, itertools, jax, jax.numpy as jnp, numpy as np
+from tokenhawk_tpu.ops.pallas.qmatmul import q4_matmul, q8_matmul
+
+K, N, B = 4096, 11008, 8
+NW = 8          # distinct weights cycled (360MB q4 > VMEM)
+ITER = 24       # scan steps per call
+
+k0 = jax.random.PRNGKey(0)
+x0 = jax.random.normal(k0, (B, K), jnp.bfloat16)
+qs4 = [jnp.full((K//2, N), i+1, jnp.uint8) for i in range(NW)]
+
+def run(label, sdtype, bn, bkp):
+    s = [jnp.full((K//64, N), 0.01, sdtype) for _ in range(NW)]
+    @jax.jit
+    def f(x, qs_list, s_list):
+        def body(x, i):
+            def at(i, lst):
+                return jax.lax.switch(i, [lambda l=l: l for l in lst])
+            # static unroll over NW inside scan via index arithmetic is
+            # awkward; instead unroll python loop over NW weights per step
+            y = x
+            for w, sc in zip(qs_list, s_list):
+                y = q4_matmul(y[:, :K].astype(jnp.bfloat16), w, sc, sc,
+                              block_n=bn, block_k=bkp)
+                y = y[:, :K] * 1e-3
+            return y.astype(jnp.bfloat16), ()
+        x, _ = jax.lax.scan(body, x, None, length=ITER // NW)
+        return x
+    t0 = time.perf_counter()
+    r = f(x0, qs4, s); np.asarray(jnp.sum(r.astype(jnp.float32)))
+    compile_s = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = f(x0, qs4, s); np.asarray(jnp.sum(r.astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    n_mm = (ITER // NW) * NW
+    per = best / n_mm
+    bpi = K//2*N + 2*(K//64)*N*s[0].dtype.itemsize
+    print(f"{label}: {per*1e6:.0f} us/mm -> {bpi/per/1e9:.0f} GB/s (compile {compile_s:.0f}s)", flush=True)
+
+for sdt, bn, bkp in [
+    (jnp.float32, 256, 512),
+    (jnp.bfloat16, 256, 512),
+    (jnp.float32, 512, 1024),
+    (jnp.float32, 256, 2048),
+    (jnp.float32, 512, 2048),
+    (jnp.float32, 1024, 1024),
+]:
+    run(f"q4 s={sdt.__name__} bn={bn} bkp={bkp}", sdt, bn, bkp)

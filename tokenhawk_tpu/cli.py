@@ -19,7 +19,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="tokenhawk", description="TPU-native LLaMA inference"
     )
-    p.add_argument("-m", "--model", required=True, help="GGML model file")
+    p.add_argument("-m", "--model", help="GGML model file")
+    p.add_argument("-d", "--dir", help="TH chunk directory (split model)")
     p.add_argument("prompt", nargs="?", default="", help="prompt text")
     p.add_argument("--n-ctx", type=int, default=2048)
     p.add_argument("--max-tokens", type=int, default=500)
@@ -36,7 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    model_path = args.model or args.dir
+    if not model_path:
+        parser.error("one of -m/--model or -d/--dir is required")
 
     import jax.numpy as jnp
 
@@ -52,10 +57,10 @@ def main(argv=None) -> int:
         mesh = make_mesh(tp=args.tp)
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    print(f"Loading {args.model} ...", file=sys.stderr)
+    print(f"Loading {model_path} ...", file=sys.stderr)
     t0 = time.perf_counter()
     cfg, params, tokenizer = load_model(
-        args.model, n_ctx=args.n_ctx, dtype=dtype, mesh=mesh
+        model_path, n_ctx=args.n_ctx, dtype=dtype, mesh=mesh
     )
     print(f"Loaded in {time.perf_counter() - t0:.1f}s "
           f"({cfg.n_layer} layers, n_embd {cfg.n_embd})", file=sys.stderr)

@@ -213,6 +213,9 @@ class ChunkedReader:
     def raw(self, name: str) -> bytes:
         return self._data[name]
 
+    def close(self):  # API parity with GGMLFile
+        self._data.clear()
+
     def load_tensor(self, name: str, dequant: bool = False):
         r = self.tensors[name]
         raw = self._data[name]

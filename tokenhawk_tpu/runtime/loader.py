@@ -66,7 +66,16 @@ def load_model(
     scale_dtype=jnp.bfloat16,  # quant scale dtype (bf16 halves scale traffic)
     **config_overrides,
 ) -> Tuple[LlamaConfig, LlamaParams, Tokenizer]:
-    f = GGMLFile(path)
+    import os as _os
+
+    if _os.path.isdir(path):
+        # TH chunk directory (reference CLI `-d`,
+        # /root/reference/cli/main.cpp:44-49).
+        from tokenhawk_tpu.ggml.chunked import ChunkedReader
+
+        f = ChunkedReader(path)
+    else:
+        f = GGMLFile(path)
     # n_ff is not in the header; read it off the actual w1 tensor rather
     # than trusting the LLaMA-1 n_mult derivation (robust to any model).
     w1 = f.tensors.get("layers.0.feed_forward.w1.weight")
