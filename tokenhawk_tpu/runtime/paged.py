@@ -95,22 +95,8 @@ def append_kv(
         pos = lengths + t
         page = jnp.take_along_axis(page_table, (pos // ps)[:, None], axis=1)[:, 0]
         slot = pos % ps
-
-        def write(pages, new):
-            # pages: [L, Hkv, n_pages, ps, Dh]; new: [B, Hkv, Dh]
-            def upd(pages, b):
-                return jax.lax.dynamic_update_slice(
-                    pages,
-                    new[b].astype(pages.dtype)[:, None, None, :],  # [Hkv,1,1,Dh]
-                    (layer, 0, page[b], slot[b], 0),
-                )
-
-            return jax.lax.fori_loop(
-                0, B, lambda b, p: upd(p, b), pages
-            ) if False else _batched_write(pages, new, page, slot, layer)
-
-        k_pages = write(k_pages, k_new[:, t])
-        v_pages = write(v_pages, v_new[:, t])
+        k_pages = _batched_write(k_pages, k_new[:, t], page, slot, layer)
+        v_pages = _batched_write(v_pages, v_new[:, t], page, slot, layer)
     return PagedKVCache(k_pages, v_pages)
 
 
