@@ -158,6 +158,71 @@ def forward(
     return x, KVCache(k_new, v_new)
 
 
+def forward_paged_decode(
+    cfg: LlamaConfig,
+    params: LlamaParams,
+    tokens: jax.Array,  # [B, 1] int32
+    cache,  # runtime.paged.PagedKVCache
+    page_table: jax.Array,  # [B, max_pages]
+    lengths: jax.Array,  # [B] tokens already stored (new token's position)
+):
+    """One decode step over the paged KV cache.
+
+    Same math as `forward` with T=1, but KV state lives in pages mapped
+    through per-sequence page tables (runtime/paged.py).  Returns
+    (hidden [B, 1, D], new cache).
+    """
+    from tokenhawk_tpu.runtime.paged import (
+        PagedKVCache,
+        append_token_layer,
+        attend_paged_layer,
+    )
+
+    B = tokens.shape[0]
+    H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    D = cfg.n_embd
+    x = params.tok_embd[tokens].astype(params.tok_embd.dtype)  # [B, 1, D]
+    positions = lengths[:, None]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    def body(x, layer_inputs):
+        lp, k_l, v_l = layer_inputs
+        h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
+        if lp.wqkv is not None:
+            qkv = matmul(h, lp.wqkv)
+            Dq, Dkv = H * Dh, Hkv * Dh
+            q = qkv[..., :Dq].reshape(B, 1, H, Dh)
+            k = qkv[..., Dq : Dq + Dkv].reshape(B, 1, Hkv, Dh)
+            v = qkv[..., Dq + Dkv :].reshape(B, 1, Hkv, Dh)
+        else:
+            q = matmul(h, lp.wq).reshape(B, 1, H, Dh)
+            k = matmul(h, lp.wk).reshape(B, 1, Hkv, Dh)
+            v = matmul(h, lp.wv).reshape(B, 1, Hkv, Dh)
+        q = apply_rope(q, cos, sin, cfg.rope_style)
+        k = apply_rope(k, cos, sin, cfg.rope_style)
+
+        k_l = append_token_layer(k_l, k[:, 0], page_table, lengths)
+        v_l = append_token_layer(v_l, v[:, 0], page_table, lengths)
+        ctx = attend_paged_layer(q, k_l, v_l, page_table, lengths + 1)
+        x = x + matmul(ctx.reshape(B, 1, D), lp.wo)
+
+        h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)
+        F = cfg.n_ff
+        if lp.w13 is not None:
+            gate_up = matmul(h2, lp.w13)
+            g, u = gate_up[..., :F], gate_up[..., F:]
+        else:
+            g, u = matmul(h2, lp.w1), matmul(h2, lp.w3)
+        gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+        x = x + matmul(gate * u, lp.w2)
+        return x, (k_l, v_l)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params.layers, cache.k_pages, cache.v_pages)
+    )
+    return x, PagedKVCache(k_new, v_new)
+
+
 def logits_from_hidden(
     cfg: LlamaConfig, params: LlamaParams, hidden: jax.Array
 ) -> jax.Array:

@@ -10,11 +10,14 @@ realized TPU-style:
   page_table        : [B, max_pages]  int32 physical page ids
   lengths           : [B]             tokens currently stored
 
-Appends write through `jax.lax.dynamic_update_slice` at (physical page,
-in-page offset); decode attention gathers the sequence's pages.  The
-XLA path materializes the gather (portable, tested everywhere); the
-Pallas path (ops/pallas/paged_decode.py) streams pages HBM->VMEM with
-double-buffered async DMA.
+This replaces the reference's dense per-conversation KV buffers sized
+n_ctx (/root/reference/th-llama-loader.cpp:428-429).
+
+Layer-sliced ops (`*_layer`) take one layer's pages
+[Hkv, n_pages, ps, Dh] so they compose with lax.scan over layers; the
+layer-indexed wrappers operate on the full [L, ...] arrays.  Decode
+attention uses the Pallas paged flash-decode kernel on TPU
+(ops/pallas/paged_decode.py) and an XLA gather fallback elsewhere.
 
 Host-side page allocation is a free list (`PageAllocator`), owned by the
 scheduler.
@@ -74,73 +77,132 @@ class PageAllocator:
             self._free.append(p)
 
 
-def append_kv(
-    cache: PagedKVCache,
-    k_new: jax.Array,  # [B, T, Hkv, Dh]
-    v_new: jax.Array,
-    page_table: jax.Array,  # [B, max_pages] int32
-    lengths: jax.Array,  # [B] tokens already stored (write offsets)
-    layer: jax.Array,  # scalar layer index
-) -> PagedKVCache:
-    """Append a token block for each sequence into its mapped pages.
-
-    T must not cross more pages than the table covers; each (b, t) write
-    lands at page page_table[b, (lengths[b]+t) // ps], slot (..) % ps.
-    One dynamic_update_slice per (b, t) — decode (T=1) is the hot case.
-    """
-    B, T, Hkv, Dh = k_new.shape
-    ps = cache.page_size
-    k_pages, v_pages = cache.k_pages, cache.v_pages
-    for t in range(T):  # static unroll (T is 1 for decode, small for prefill)
-        pos = lengths + t
-        page = jnp.take_along_axis(page_table, (pos // ps)[:, None], axis=1)[:, 0]
-        slot = pos % ps
-        k_pages = _batched_write(k_pages, k_new[:, t], page, slot, layer)
-        v_pages = _batched_write(v_pages, v_new[:, t], page, slot, layer)
-    return PagedKVCache(k_pages, v_pages)
+# ---------------------------------------------------------------------------
+# Layer-sliced ops (compose with lax.scan over layers)
+# ---------------------------------------------------------------------------
 
 
-def _batched_write(pages, new, page, slot, layer):
-    """Scatter [B, Hkv, Dh] rows into pages at (layer, :, page[b], slot[b])."""
+def append_token_layer(
+    pages: jax.Array,  # [Hkv, n_pages, ps, Dh]
+    new: jax.Array,  # [B, Hkv, Dh] one token per sequence
+    page_table: jax.Array,  # [B, max_pages]
+    positions: jax.Array,  # [B] token positions to write
+) -> jax.Array:
+    ps = pages.shape[2]
+    page = jnp.take_along_axis(page_table, (positions // ps)[:, None], axis=1)[:, 0]
+    slot = positions % ps
     B = new.shape[0]
 
     def body(b, pages):
         return jax.lax.dynamic_update_slice(
             pages,
-            new[b].astype(pages.dtype)[None, :, None, None, :],
-            (layer, 0, page[b], slot[b], 0),
+            new[b].astype(pages.dtype)[:, None, None, :],  # [Hkv, 1, 1, Dh]
+            (0, page[b], slot[b], 0),
         )
 
     return jax.lax.fori_loop(0, B, body, pages)
 
 
-def gather_kv(
-    cache: PagedKVCache,
+def paginate_fragment_layer(
+    pages: jax.Array,  # [Hkv, n_pages, ps, Dh]
+    frag: jax.Array,  # [B, Hkv, Tb, Dh] head-major dense fragment (from seq 0)
     page_table: jax.Array,  # [B, max_pages]
-    layer: jax.Array,
-):
+) -> jax.Array:
+    """Copy a freshly-prefilled dense fragment into pages (page-sized DMAs).
+
+    The fragment starts at position 0; Tb must be a multiple of ps or the
+    tail page is partially filled (extra rows are dead until overwritten)."""
+    B, Hkv, Tb, Dh = frag.shape
+    ps = pages.shape[2]
+    n_frag_pages = -(-Tb // ps)
+    for p in range(n_frag_pages):
+        chunk = frag[:, :, p * ps : (p + 1) * ps, :]
+        pad = ps - chunk.shape[2]
+        if pad:
+            chunk = jnp.pad(chunk, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+        def write(b, pages):
+            return jax.lax.dynamic_update_slice(
+                pages,
+                chunk[b].astype(pages.dtype)[:, None, :, :],  # [Hkv, 1, ps, Dh]
+                (0, page_table[b, p], 0, 0),
+            )
+
+        pages = jax.lax.fori_loop(0, B, write, pages)
+    return pages
+
+
+def attend_paged_layer(
+    q: jax.Array,  # [B, 1, H, Dh]
+    k_pages_l: jax.Array,  # [Hkv, n_pages, ps, Dh]
+    v_pages_l: jax.Array,
+    page_table: jax.Array,  # [B, max_pages]
+    lengths: jax.Array,  # [B] valid tokens (including the current one)
+    scale: Optional[float] = None,
+) -> jax.Array:
+    B, T, H, Dh = q.shape
+    Hkv = k_pages_l.shape[0]
+    rep = H // Hkv
+    if scale is None:
+        scale = 1.0 / (Dh**0.5)
+
+    from tokenhawk_tpu.ops.dispatch import pallas_mode
+
+    mode = pallas_mode()
+    if mode == "compiled" and Dh % 128 == 0 and k_pages_l.shape[2] % 128 == 0:
+        from tokenhawk_tpu.ops.pallas.paged_decode import paged_flash_decode
+
+        qg = (q[:, 0] * scale).reshape(B, Hkv, rep, Dh)
+        out = paged_flash_decode(qg, k_pages_l, v_pages_l, page_table,
+                                 lengths.astype(jnp.int32))
+        return out.reshape(B, 1, H, Dh).astype(q.dtype)
+
+    # XLA gather fallback
+    from tokenhawk_tpu.ops.attention import attend_cache
+
+    kg = jnp.swapaxes(k_pages_l[:, page_table], 0, 1)  # [B, Hkv, mp, ps, Dh]
+    vg = jnp.swapaxes(v_pages_l[:, page_table], 0, 1)
+    mp, ps = kg.shape[2], kg.shape[3]
+    kg = kg.reshape(B, Hkv, mp * ps, Dh)
+    vg = vg.reshape(B, Hkv, mp * ps, Dh)
+    return attend_cache(q, kg, vg, (lengths - 1)[:, None], scale=scale)
+
+
+# ---------------------------------------------------------------------------
+# Layer-indexed wrappers (single-layer use / tests)
+# ---------------------------------------------------------------------------
+
+
+def append_kv(cache: PagedKVCache, k_new, v_new, page_table, lengths, layer):
+    """Append a [B, T, Hkv, Dh] block at `lengths` into layer `layer`."""
+    B, T, Hkv, Dh = k_new.shape
+    k_l = cache.k_pages[layer]
+    v_l = cache.v_pages[layer]
+    for t in range(T):
+        pos = lengths + t
+        k_l = append_token_layer(k_l, k_new[:, t], page_table, pos)
+        v_l = append_token_layer(v_l, v_new[:, t], page_table, pos)
+    k_pages = jax.lax.dynamic_update_slice(
+        cache.k_pages, k_l[None].astype(cache.k_pages.dtype), (layer, 0, 0, 0, 0))
+    v_pages = jax.lax.dynamic_update_slice(
+        cache.v_pages, v_l[None].astype(cache.v_pages.dtype), (layer, 0, 0, 0, 0))
+    return PagedKVCache(k_pages, v_pages)
+
+
+def gather_kv(cache: PagedKVCache, page_table, layer):
     """Materialize [B, Hkv, max_pages*ps, Dh] views (XLA reference path)."""
-    k = cache.k_pages[layer]  # [Hkv, n_pages, ps, Dh]
+    k = cache.k_pages[layer]
     v = cache.v_pages[layer]
-    kg = jnp.swapaxes(k[:, page_table], 0, 1)  # [B, Hkv, max_pages, ps, Dh]
+    kg = jnp.swapaxes(k[:, page_table], 0, 1)
     vg = jnp.swapaxes(v[:, page_table], 0, 1)
     B, Hkv, mp, ps, Dh = kg.shape
     return kg.reshape(B, Hkv, mp * ps, Dh), vg.reshape(B, Hkv, mp * ps, Dh)
 
 
-def paged_attend_decode(
-    cache: PagedKVCache,
-    q: jax.Array,  # [B, 1, H, Dh]
-    page_table: jax.Array,
-    lengths: jax.Array,  # [B] number of valid tokens (incl. current)
-    layer: jax.Array,
-    scale: Optional[float] = None,
-):
-    """Decode attention over the paged cache (XLA gather fallback)."""
-    from tokenhawk_tpu.ops.attention import attend_cache
-
-    if scale is None:
-        scale = 1.0 / (q.shape[-1] ** 0.5)
-    k, v = gather_kv(cache, page_table, layer)
-    positions = (lengths - 1)[:, None]
-    return attend_cache(q, k, v, positions, scale=scale)
+def paged_attend_decode(cache: PagedKVCache, q, page_table, lengths, layer,
+                        scale: Optional[float] = None):
+    """Decode attention over one layer of the paged cache."""
+    return attend_paged_layer(
+        q, cache.k_pages[layer], cache.v_pages[layer], page_table, lengths,
+        scale=scale,
+    )

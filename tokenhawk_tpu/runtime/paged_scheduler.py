@@ -1,0 +1,306 @@
+"""Continuous batching over a paged KV cache.
+
+Same scheduling discipline as `runtime.scheduler.Scheduler` (slot pool,
+fragment prefill, chunked decode, EOS latching) but KV state lives in a
+shared page pool: memory scales with tokens actually resident instead of
+max_batch * max_seq.  Admission allocates pages for the prompt; each
+decode chunk tops slots up; retirement returns pages to the free list.
+
+Dead/free slots have their table rows pointed at a reserved trash page,
+so their (masked, EOS-latched) decode writes can never corrupt a live
+sequence's pages.
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from collections import deque
+from functools import partial
+from typing import Deque, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenhawk_tpu.config import LlamaConfig, SamplingConfig
+from tokenhawk_tpu.models.llama import (
+    KVCache,
+    LlamaParams,
+    forward_paged_decode,
+    logits_from_hidden,
+)
+from tokenhawk_tpu.runtime.engine import make_prefill_fn, _bucket
+from tokenhawk_tpu.runtime.paged import (
+    PageAllocator,
+    PagedKVCache,
+    paginate_fragment_layer,
+)
+from tokenhawk_tpu.runtime.scheduler import Request
+from tokenhawk_tpu.sampling import sample
+from tokenhawk_tpu.tokenizer import EOS_ID
+
+
+def make_paged_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig,
+                         chunk: int, eos_id: int = EOS_ID):
+    @partial(jax.jit, donate_argnums=(1,))
+    def decode(params, cache, table, last_tok, lengths, last_n, done, key):
+        def step(carry, k):
+            cache, tok, lens, last_n, done = carry
+            h, cache = forward_paged_decode(
+                cfg, params, tok[:, None], cache, table, lens
+            )
+            logits = logits_from_hidden(cfg, params, h[:, 0])
+            nxt = sample(logits, k, sampling, last_n)
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            done = done | (nxt == eos_id)
+            last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
+            return (cache, nxt, lens + 1, last_n, done), nxt
+
+        keys = jax.random.split(key, chunk)
+        (cache, tok, lengths, last_n, done), toks = jax.lax.scan(
+            step, (cache, last_tok, lengths, last_n, done), keys
+        )
+        return cache, toks.T, done
+
+    return decode
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _paginate_fragment(k_pages, v_pages, frag_k, frag_v, table_row):
+    """Scatter a dense prefill fragment [L, 1, Hkv, Tb, Dh] into pages."""
+
+    def body(_, inp):
+        kp, vp, fk, fv = inp
+        kp = paginate_fragment_layer(kp, fk, table_row)
+        vp = paginate_fragment_layer(vp, fv, table_row)
+        return (), (kp, vp)
+
+    _, (k_new, v_new) = jax.lax.scan(
+        body, (), (k_pages, v_pages, frag_k, frag_v)
+    )
+    return k_new, v_new
+
+
+class PagedScheduler:
+    def __init__(
+        self,
+        cfg: LlamaConfig,
+        params: LlamaParams,
+        sampling: SamplingConfig = SamplingConfig(),
+        max_batch: int = 8,
+        max_seq: Optional[int] = None,
+        page_size: int = 128,
+        n_pages: Optional[int] = None,
+        cache_dtype=jnp.bfloat16,
+        decode_chunk: int = 8,
+        eos_id: int = EOS_ID,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.sampling = sampling
+        self.B = max_batch
+        self.S = max_seq or cfg.n_ctx
+        self.ps = page_size
+        self.eos_id = eos_id
+        self.decode_chunk = decode_chunk
+        self.max_pages = -(-self.S // page_size)
+        if n_pages is None:
+            # Default: full occupancy for half the slots + 1 trash page.
+            n_pages = self.B * self.max_pages // 2 + 2
+
+        self.cache = PagedKVCache.create(cfg, n_pages, page_size, cache_dtype)
+        self.cache_dtype = cache_dtype
+        self.alloc = PageAllocator(n_pages)
+        self.trash_page = self.alloc.alloc(1)[0]
+        self.table = np.full((self.B, self.max_pages), self.trash_page, np.int32)
+        self.slot_pages: List[List[int]] = [[] for _ in range(self.B)]
+        self.lengths = np.zeros((self.B,), np.int32)
+
+        self._prefill = make_prefill_fn(cfg)
+        self._decode = make_paged_decode_fn(cfg, sampling, decode_chunk, eos_id)
+
+        n_ring = max(sampling.repeat_last_n, 1)
+        self.n_ring = n_ring
+        self.last_tok = jnp.zeros((self.B,), jnp.int32)
+        self.last_n = jnp.full((self.B, n_ring), -1, jnp.int32)
+        self.done = jnp.ones((self.B,), bool)
+
+        self.slots: List[Optional[Request]] = [None] * self.B
+        self.pending: Deque[Request] = deque()
+        self.finished: List[Request] = []
+        self._ids = itertools.count()
+        self._key = jax.random.PRNGKey(sampling.seed)
+
+        self.buckets = []
+        b = 16
+        while b < self.S:
+            self.buckets.append(b)
+            b *= 2
+        self.buckets.append(self.S)
+
+    # ------------------------------------------------------------------
+
+    def submit(self, req: Request) -> int:
+        req.id = next(self._ids)
+        req.submitted_at = time.perf_counter()
+        if len(req.prompt) >= self.S:
+            req.finish_reason = "error:prompt_too_long"
+            req.done_at = req.submitted_at
+            self.finished.append(req)
+            if req.on_done:
+                req.on_done(req)
+            return req.id
+        self.pending.append(req)
+        return req.id
+
+    @property
+    def n_active(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    @property
+    def has_work(self) -> bool:
+        return self.n_active > 0 or len(self.pending) > 0
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _ensure_pages(self, slot: int, need_tokens: int) -> bool:
+        """Grow slot's page list to cover need_tokens; False if OOM."""
+        need = -(-need_tokens // self.ps)
+        have = len(self.slot_pages[slot])
+        if need > self.max_pages:
+            return False
+        if need > have:
+            try:
+                new = self.alloc.alloc(need - have)
+            except MemoryError:
+                return False
+            for i, p in enumerate(new):
+                self.table[slot, have + i] = p
+            self.slot_pages[slot].extend(new)
+        return True
+
+    def _admit_one(self, slot: int, req: Request) -> bool:
+        cfg = self.cfg
+        prompt = req.prompt
+        Tb = _bucket(len(prompt), self.buckets)
+        if not self._ensure_pages(slot, Tb):
+            return False  # not enough pages right now
+
+        frag = KVCache.create(cfg, 1, Tb, self.cache_dtype)
+        toks = np.zeros((1, Tb), np.int32)
+        toks[0, : len(prompt)] = prompt
+        frag, logits = self._prefill(
+            self.params, frag, jnp.asarray(toks),
+            jnp.asarray([len(prompt)], jnp.int32), jnp.zeros((1,), jnp.int32),
+        )
+        k_new, v_new = _paginate_fragment(
+            self.cache.k_pages, self.cache.v_pages, frag.k, frag.v,
+            jnp.asarray(self.table[slot : slot + 1]),
+        )
+        self.cache = PagedKVCache(k_new, v_new)
+
+        ring = np.full((self.n_ring,), -1, np.int32)
+        m = min(self.n_ring, len(prompt))
+        ring[self.n_ring - m :] = prompt[-m:]
+        first = sample(
+            logits, self._next_key(), self.sampling, jnp.asarray(ring[None, :])
+        )[0]
+        self.last_tok = self.last_tok.at[slot].set(first)
+        self.last_n = self.last_n.at[slot].set(
+            jnp.concatenate([jnp.asarray(ring[1:]), first[None]])
+        )
+        self.done = self.done.at[slot].set(False)
+        self.lengths[slot] = len(prompt)
+        self.slots[slot] = req
+        req.first_token_at = time.perf_counter()
+        self._deliver(slot, int(first))
+        return True
+
+    def _deliver(self, slot: int, tok: int) -> bool:
+        req = self.slots[slot]
+        if req is None:
+            return False
+        if tok == self.eos_id:
+            self._retire(slot, "eos")
+            return False
+        req.output.append(tok)
+        if req.on_token:
+            req.on_token(tok)
+        if len(req.output) >= req.max_new_tokens:
+            self._retire(slot, "length")
+            return False
+        if len(req.prompt) + len(req.output) >= self.S - 1:
+            self._retire(slot, "context_full")
+            return False
+        return True
+
+    def _retire(self, slot: int, reason: str):
+        req = self.slots[slot]
+        req.finish_reason = reason
+        req.done_at = time.perf_counter()
+        self.slots[slot] = None
+        self.done = self.done.at[slot].set(True)
+        self.alloc.free(self.slot_pages[slot])
+        self.slot_pages[slot] = []
+        self.table[slot, :] = self.trash_page
+        self.lengths[slot] = 0
+        self.finished.append(req)
+        if req.on_done:
+            req.on_done(req)
+
+    # ------------------------------------------------------------------
+
+    def step(self):
+        for slot in range(self.B):
+            if self.slots[slot] is None and self.pending:
+                if not self._admit_one(slot, self.pending[0]):
+                    break  # page pool exhausted; decode to free capacity
+                self.pending.popleft()
+        if self.n_active == 0:
+            return
+
+        # Top up pages so every live slot can absorb a full chunk.
+        for slot in range(self.B):
+            if self.slots[slot] is not None:
+                if not self._ensure_pages(
+                    slot, int(self.lengths[slot]) + self.decode_chunk + 1
+                ):
+                    self._retire(slot, "oom_pages")
+
+        if self.n_active == 0:
+            return
+        self.cache, toks, self.done = self._decode(
+            self.params, self.cache, jnp.asarray(self.table),
+            self.last_tok, jnp.asarray(self.lengths), self.last_n,
+            self.done, self._next_key(),
+        )
+        self.last_tok = toks[:, -1]
+        toks_host = np.asarray(toks)
+        # keep last_n in sync on device side: recompute from emitted tokens
+        self.last_n = jnp.concatenate(
+            [self.last_n[:, self.decode_chunk:], toks], axis=1
+        ) if self.n_ring > self.decode_chunk else toks[:, -self.n_ring:]
+        for slot in range(self.B):
+            if self.slots[slot] is None:
+                continue
+            n_emitted = 0
+            for t in toks_host[slot]:
+                n_emitted += 1
+                if not self._deliver(slot, int(t)):
+                    break
+            self.lengths[slot] += n_emitted
+
+    def run(self):
+        while self.has_work:
+            self.step()
+
+    def generate_many(self, prompts, max_new_tokens: int = 256) -> List[Request]:
+        reqs = [Request(prompt=list(p), max_new_tokens=max_new_tokens)
+                for p in prompts]
+        for r in reqs:
+            self.submit(r)
+        self.run()
+        return reqs
