@@ -129,3 +129,25 @@ def test_tp_scheduler_matches(tensors):
     want = [r.output for r in s_ref.generate_many(prompts, max_new_tokens=6)]
     got = [r.output for r in s_tp.generate_many(prompts, max_new_tokens=6)]
     assert got == want
+
+
+def test_tp_gqa_generation_matches():
+    """GQA (Llama-2-70B shape class): q heads share KV heads under TP."""
+    cfg = LlamaConfig.tiny(n_vocab=512, n_embd=256, n_head=8, n_kv_head=2,
+                           n_ctx=64, n_ff=512)
+    tensors = make_ggml_weights(cfg, np.random.default_rng(53))
+    tp = 2  # tp must divide n_kv_head=2
+    mesh = make_mesh(dp=1, tp=tp)
+    params = params_from_ggml(cfg, tensors, dtype=jnp.float32)
+    params_tp = shard_params_tp(
+        cfg, params_from_ggml(cfg, tensors, dtype=jnp.float32,
+                              row_parallel_shards=tp), mesh)
+    tok = byte_fallback_vocab()
+    e_ref = Engine(cfg, params, tokenizer=tok, sampling=GREEDY,
+                   cache_dtype=jnp.float32, decode_chunk=4)
+    e_tp = Engine(cfg, params_tp, tokenizer=tok, sampling=GREEDY,
+                  cache_dtype=jnp.float32, decode_chunk=4,
+                  mesh=mesh, parallel="tp")
+    want = e_ref.generate([1, 11, 22, 33], max_new_tokens=6).tokens
+    got = e_tp.generate([1, 11, 22, 33], max_new_tokens=6).tokens
+    assert got == want

@@ -28,7 +28,6 @@ per-K-tile rows are sliced inside the kernel.  This sidesteps the
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,6 @@ divides along with K).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -148,11 +148,16 @@ class Engine:
             self._prefill = make_tp_prefill_fn(cfg, mesh)
             self._decode = make_tp_decode_fn(cfg, mesh, sampling, decode_chunk,
                                              eos_id)
-            self._decode1 = make_tp_decode_fn(cfg, mesh, sampling, 1, eos_id)
+            self._make_decode1 = lambda: make_tp_decode_fn(
+                cfg, mesh, sampling, 1, eos_id)
         else:
             self._prefill = make_prefill_fn(cfg)
             self._decode = make_decode_fn(cfg, sampling, decode_chunk, eos_id)
-            self._decode1 = make_decode_fn(cfg, sampling, 1, eos_id)
+            self._make_decode1 = lambda: make_decode_fn(cfg, sampling, 1, eos_id)
+        # The 1-step tail decode compiles lazily: it is only needed when a
+        # generation budget isn't a multiple of decode_chunk near the
+        # context edge, and each extra compile is expensive on TPU.
+        self._decode1_cache = None
 
         # Prefill buckets: powers of two up to max_seq (shape-specialized
         # compilations, the XLA analogue of the reference's per-shape WGSL
@@ -268,9 +273,15 @@ class Engine:
         produced = 1
         while produced < budget and not done_host:
             n = min(self.decode_chunk, budget - produced)
-            # Stay within context: each chunk advances offsets by chunk.
-            fn = self._decode if n == self.decode_chunk else self._decode1
-            steps = self.decode_chunk if n == self.decode_chunk else 1
+            # A full chunk may overshoot the requested budget; that is fine
+            # as long as the KV cache has room for the whole chunk.
+            room = self.max_seq - int(np.asarray(offsets)[0])
+            if n == self.decode_chunk or room > self.decode_chunk:
+                fn = self._decode  # full chunk; surplus tokens are discarded
+            else:
+                if self._decode1_cache is None:
+                    self._decode1_cache = self._make_decode1()
+                fn = self._decode1_cache
             cache, toks, offsets, last_n, done = fn(
                 self.params, cache, last_tok, offsets, last_n, done,
                 self._next_key(),

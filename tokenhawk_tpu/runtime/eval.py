@@ -8,8 +8,7 @@ all (correctness was eyeballed; SURVEY.md §4) — this module supplies it.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

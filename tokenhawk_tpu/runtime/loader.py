@@ -9,7 +9,7 @@ device layout (transposed, optionally sharded; see
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

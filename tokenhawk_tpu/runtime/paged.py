@@ -25,7 +25,6 @@ scheduler.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, NamedTuple, Optional
 
 import jax

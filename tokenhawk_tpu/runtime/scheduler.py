@@ -21,7 +21,7 @@ import dataclasses
 import itertools
 import time
 from functools import partial
-from typing import Callable, Deque, Dict, List, Optional, Sequence
+from typing import Callable, Deque, List, Optional, Sequence
 
 from collections import deque
 
