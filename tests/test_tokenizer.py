@@ -77,3 +77,17 @@ def test_leftmost_tie_break():
     tok = Tokenizer(tokens, scores)
     ids = tok.encode("abc", add_bos=False)
     assert [tok.id_to_token[i] for i in ids] == [b"ab", b"c"]
+
+
+def test_decode_byte_fallback_pieces():
+    tok = Tokenizer([b"<unk>", b"<s>", b"</s>", b"<0x0A>", b"<0x41>"],
+                    [0.0] * 5)
+    assert tok.decode_token_bytes(3) == b"\n"
+    assert tok.decode_token_bytes(4) == b"A"
+
+
+def test_decode_sentencepiece_marker():
+    # "▁Hello" (U+2581 prefix) decodes with a leading space.
+    tok = Tokenizer([b"<unk>", b"<s>", b"</s>", "▁Hello".encode("utf-8")],
+                    [0.0] * 4)
+    assert tok.decode_token_bytes(3) == b" Hello"

@@ -45,7 +45,7 @@ BLOCK_KP = int(_os.environ.get("THAWK_QBLOCK_KP", "512"))
 
 
 def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
@@ -68,7 +68,7 @@ def _q4_kernel(
     x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
     *, n_k_tiles,
 ):
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
@@ -129,24 +129,25 @@ def q8_matmul(
     assert K == K2, (x.shape, qs.shape)
     bk = _pick_block(K, block_k, 256)
     bn = _pick_block(N, block_n, 128)
+    bb = _pick_block(B, 128, 8)  # activation-row tile (prefill batches)
     n_k_tiles = K // bk
     sg = bk // GROUP
 
-    grid = (N // bn, n_k_tiles)
+    grid = (B // bb, N // bn, n_k_tiles)
     kernel = functools.partial(_q8_kernel, n_k_tiles=n_k_tiles)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, bk), lambda j, k: (0, k)),
-            pl.BlockSpec((bk, bn), lambda j, k: (k, j)),
-            pl.BlockSpec((sg, bn), lambda j, k: (k, j)),
+            pl.BlockSpec((bb, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
         ],
-        out_specs=pl.BlockSpec((B, bn), lambda j, k: (0, j)),
+        out_specs=pl.BlockSpec((bb, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
-        scratch_shapes=[pltpu.VMEM((B, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * N,
@@ -173,28 +174,29 @@ def q4_matmul(
     assert KP * 2 == K, (x.shape, qs_packed.shape)
     bkp = _pick_block(KP, block_k, 256)
     bn = _pick_block(N, block_n, 128)
+    bb = _pick_block(B, 128, 8)  # activation-row tile (prefill batches)
     n_k_tiles = KP // bkp
     sg = bkp // GROUP
 
-    grid = (N // bn, n_k_tiles)
+    grid = (B // bb, N // bn, n_k_tiles)
     kernel = functools.partial(_q4_kernel, n_k_tiles=n_k_tiles)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             # x low half rows [k*bkp, k*bkp+bkp)
-            pl.BlockSpec((B, bkp), lambda j, k: (0, k)),
+            pl.BlockSpec((bb, bkp), lambda i, j, k: (i, k)),
             # x high half rows [K//2 + k*bkp, ...)
-            pl.BlockSpec((B, bkp), lambda j, k, _n=n_k_tiles: (0, k + _n)),
-            pl.BlockSpec((bkp, bn), lambda j, k: (k, j)),
-            pl.BlockSpec((sg, bn), lambda j, k: (k, j)),
-            pl.BlockSpec((sg, bn), lambda j, k: (k, j)),
+            pl.BlockSpec((bb, bkp), lambda i, j, k, _n=n_k_tiles: (i, k + _n)),
+            pl.BlockSpec((bkp, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
         ],
-        out_specs=pl.BlockSpec((B, bn), lambda j, k: (0, j)),
+        out_specs=pl.BlockSpec((bb, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
-        scratch_shapes=[pltpu.VMEM((B, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * N,

@@ -115,9 +115,20 @@ class Tokenizer:
     # -- decoding --------------------------------------------------------
 
     def decode_token_bytes(self, token_id: int) -> bytes:
-        if 0 <= token_id < len(self.id_to_token):
-            return self.id_to_token[token_id]
-        return b""
+        if not (0 <= token_id < len(self.id_to_token)):
+            return b""
+        piece = self.id_to_token[token_id]
+        # SentencePiece byte-fallback pieces are spelled "<0xHH>" in some
+        # vocab exports; emit the raw byte.
+        if len(piece) == 6 and piece[:3] == b"<0x" and piece[5:] == b">":
+            try:
+                return bytes([int(piece[3:5], 16)])
+            except ValueError:
+                pass
+        # SentencePiece word-boundary marker U+2581 -> space.
+        if b"\xe2\x96\x81" in piece:
+            piece = piece.replace(b"\xe2\x96\x81", b" ")
+        return piece
 
     def decode(self, ids: Sequence[int]) -> str:
         parts = []
