@@ -111,6 +111,8 @@ def main(argv=None) -> int:
                    help="quantization scale dtype (bf16 halves scale traffic)")
     p.add_argument("--no-fuse", action="store_true",
                    help="keep wq/wk/wv and w1/w3 as separate matmuls")
+    p.add_argument("--unroll", action="store_true",
+                   help="unroll layers (per-layer weight buffers, no scan)")
     args = p.parse_args(argv)
 
     import os
@@ -151,12 +153,21 @@ def main(argv=None) -> int:
     params = synth_params(cfg, args.quant, jnp.bfloat16, scale_dtype)
     if not args.no_fuse:
         params = fuse_params(params)
+    if args.unroll:
+        from tokenhawk_tpu.models.llama import unstack_params
+
+        params = unstack_params(params)
     params = jax.block_until_ready(params)
     print(f"synth {args.model} {args.quant} params ready in "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     B = args.batch
-    cache = KVCache.create(cfg, B, args.ctx, jnp.bfloat16)
+    if args.unroll:
+        from tokenhawk_tpu.models.llama import make_unrolled_cache
+
+        cache = make_unrolled_cache(cfg, B, args.ctx, jnp.bfloat16)
+    else:
+        cache = KVCache.create(cfg, B, args.ctx, jnp.bfloat16)
     prefill = make_prefill_fn(cfg)
     decode = make_decode_fn(cfg, SamplingConfig(temperature=0.0), args.chunk)
 

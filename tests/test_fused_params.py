@@ -48,3 +48,30 @@ def test_fused_quant_matches(kind):
         assert fused.layers.wqkv.qs.shape == (CFG.n_layer, D // 2, 3 * D)
         assert fused.layers.w13.qs.shape == (CFG.n_layer, D // 2, 2 * F)
     assert _gen(CFG, fused) == _gen(CFG, params)
+
+
+def test_unrolled_matches_stacked():
+    from tokenhawk_tpu.models.llama import unstack_params
+
+    tensors = make_ggml_weights(CFG, np.random.default_rng(43))
+    params = params_from_ggml(CFG, tensors, dtype=jnp.float32)
+    unrolled = unstack_params(fuse_params(
+        params_from_ggml(CFG, tensors, dtype=jnp.float32)))
+    assert isinstance(unrolled.layers, tuple)
+    assert _gen(CFG, unrolled) == _gen(CFG, params)
+
+
+def test_unrolled_quant_matches():
+    from tokenhawk_tpu.ggml.format import GGMLType
+    from tokenhawk_tpu.models.llama import unstack_params
+
+    tensors = make_ggml_weights(CFG, np.random.default_rng(44))
+    qt = {
+        k: (quantize(v, GGMLType.Q4_0)
+            if v.ndim == 2 and "norm" not in k and k != "tok_embeddings.weight"
+            else v)
+        for k, v in tensors.items()
+    }
+    params = params_from_ggml(CFG, qt, dtype=jnp.float32)
+    unrolled = unstack_params(params_from_ggml(CFG, qt, dtype=jnp.float32))
+    assert _gen(CFG, unrolled) == _gen(CFG, params)

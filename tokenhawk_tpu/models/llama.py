@@ -129,13 +129,26 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, kc, vc, cos, sin, offse
     return x, kc, vc
 
 
+def make_unrolled_cache(
+    cfg: LlamaConfig, batch: int, max_seq: Optional[int] = None,
+    dtype=jnp.bfloat16,
+) -> Tuple:
+    """Per-layer cache tuple for unrolled-layer params (see unstack_params)."""
+    S = max_seq or cfg.n_ctx
+    shape = (batch, cfg.n_kv_head, S, cfg.head_dim)
+    return tuple(
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(cfg.n_layer)
+    )
+
+
 def forward(
     cfg: LlamaConfig,
     params: LlamaParams,
     tokens: jax.Array,  # [B, T] int32
-    cache: KVCache,
+    cache,  # KVCache (stacked layers) or tuple of (k_l, v_l) (unrolled)
     offsets: jax.Array,  # [B] int32: cache write offset per sequence
-) -> Tuple[jax.Array, KVCache]:
+):
     """Run a token block through all layers.
 
     Returns hidden states [B, T, D] (pre final norm) and the updated cache.
@@ -143,11 +156,26 @@ def forward(
     "single vs batch pipeline" split of the reference
     (/root/reference/th-llama.hpp:118-122) disappears — XLA specializes on
     the traced shapes.
+
+    Two layer-iteration modes:
+      - stacked [L, ...] weights + lax.scan: small compiled program;
+      - unrolled tuple-of-layers weights + python loop: each kernel reads
+        its weight array in place (no per-layer dynamic-slice buffers),
+        which matters when weights dominate HBM traffic.
     """
     B, T = tokens.shape
     x = params.tok_embd[tokens].astype(params.tok_embd.dtype)
     positions = offsets[:, None] + jnp.arange(T, dtype=offsets.dtype)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    if isinstance(params.layers, tuple):  # unrolled
+        new_cache = []
+        for lp, (kc, vc) in zip(params.layers, cache):
+            x, kc, vc = _layer_forward(
+                cfg, x, lp, kc, vc, cos, sin, offsets, positions
+            )
+            new_cache.append((kc, vc))
+        return x, tuple(new_cache)
 
     def body(x, layer_inputs):
         lp, kc, vc = layer_inputs
@@ -156,6 +184,38 @@ def forward(
 
     x, (k_new, v_new) = jax.lax.scan(body, x, (params.layers, cache.k, cache.v))
     return x, KVCache(k_new, v_new)
+
+
+def unstack_params(params: LlamaParams) -> LlamaParams:
+    """Stacked [L, ...] layer weights -> tuple of per-layer LayerParams.
+
+    Kernels then consume each layer's weights directly from their own
+    HBM buffers instead of per-iteration dynamic slices of a stacked
+    array."""
+    if isinstance(params.layers, tuple):
+        return params
+
+    def slice_leaf(leaf, l):
+        if leaf is None:
+            return None
+        if isinstance(leaf, QWeight):
+            return QWeight(
+                qs=leaf.qs[l], scales=leaf.scales[l],
+                mins=None if leaf.mins is None else leaf.mins[l],
+                scales_hi=None if leaf.scales_hi is None else leaf.scales_hi[l],
+                kind=leaf.kind, group=leaf.group,
+            )
+        return leaf[l]
+
+    L = params.layers.attn_norm.shape[0]
+    layers = tuple(
+        LayerParams(**{
+            f.name: slice_leaf(getattr(params.layers, f.name), l)
+            for f in dataclasses.fields(LayerParams)
+        })
+        for l in range(L)
+    )
+    return dataclasses.replace(params, layers=layers)
 
 
 def forward_paged_decode(

@@ -173,7 +173,14 @@ class Engine:
 
     # -- low-level API ---------------------------------------------------
 
-    def new_cache(self, batch: Optional[int] = None) -> KVCache:
+    def new_cache(self, batch: Optional[int] = None):
+        if isinstance(self.params.layers, tuple):  # unrolled-layer params
+            from tokenhawk_tpu.models.llama import make_unrolled_cache
+
+            return make_unrolled_cache(
+                self.cfg, batch or self.batch_size, self.max_seq,
+                self.cache_dtype,
+            )
         cache = KVCache.create(
             self.cfg, batch or self.batch_size, self.max_seq, self.cache_dtype
         )
