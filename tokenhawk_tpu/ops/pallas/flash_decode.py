@@ -3,7 +3,9 @@
 One query token per sequence attends to its `length` cached KV slots.
 Online-softmax over KV tiles so the [S] score row is never materialized
 in HBM; the q heads sharing one KV head (GQA group, `rep`) are batched
-into the same MXU matmul (sum-commute trick).
+into the same MXU matmul (sum-commute trick), and `head_block` KV heads
+are processed per grid cell so small-per-head decode work amortizes the
+kernel-invocation overhead (matters at larger batch).
 
 Replaces the reference's decode-attention pipeline — materialized
 Q·K^T scores + `row_softmax` + probs·V (/root/reference/th-llama.cpp:
@@ -33,16 +35,17 @@ _MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _kernel(
     lengths_ref,  # SMEM [B]
-    q_ref,  # [1, 1, rep, Dh]
-    k_ref,  # [1, 1, BS, Dh]
-    v_ref,  # [1, 1, BS, Dh]
-    o_ref,  # [1, 1, rep, Dh]
-    m_ref,  # VMEM [rep, 128] f32
-    l_ref,  # VMEM [rep, 128] f32
-    acc_ref,  # VMEM [rep, Dh] f32
+    q_ref,  # [1, HB, rep, Dh]
+    k_ref,  # [1, HB, BS, Dh]
+    v_ref,  # [1, HB, BS, Dh]
+    o_ref,  # [1, HB, rep, Dh]
+    m_ref,  # VMEM [HB, rep, 128] f32
+    l_ref,  # VMEM [HB, rep, 128] f32
+    acc_ref,  # VMEM [HB, rep, Dh] f32
     *,
     block_s: int,
     n_s_tiles: int,
+    head_block: int,
 ):
     b = pl.program_id(0)
     i = pl.program_id(2)
@@ -56,38 +59,41 @@ def _kernel(
 
     @pl.when(i * block_s < length)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)  # [rep, Dh]
-        k = k_ref[0, 0].astype(jnp.float32)  # [BS, Dh]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [rep, BS]
+        kpos_row = i * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (q_ref.shape[2], block_s), 1
+        )
+        for h in range(head_block):  # static unroll over the head block
+            q = q_ref[0, h].astype(jnp.float32)  # [rep, Dh]
+            k = k_ref[0, h].astype(jnp.float32)  # [BS, Dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [rep, BS]
+            s = jnp.where(kpos_row < length, s, _MASK)
 
-        kpos = i * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(kpos < length, s, _MASK)
+            m_prev = m_ref[h, :, 0:1]  # [rep, 1]
+            l_prev = l_ref[h, :, 0:1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[h] = jnp.broadcast_to(m_next, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(l_next, l_ref.shape[1:])
 
-        m_prev = m_ref[:, 0:1]  # [rep, 1]
-        l_prev = l_ref[:, 0:1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)  # [rep, 1]
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)  # correction for old stats
-        p = jnp.exp(s - m_next)  # [rep, BS]
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-
-        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
-
-        v = v_ref[0, 0].astype(jnp.float32)  # [BS, Dh]
-        pv = jnp.dot(p, v, preferred_element_type=jnp.float32)  # [rep, Dh]
-        acc_ref[...] = acc_ref[...] * alpha + pv
+            v = v_ref[0, h].astype(jnp.float32)  # [BS, Dh]
+            pv = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            acc_ref[h] = acc_ref[h] * alpha + pv
 
     @pl.when(i == n_s_tiles - 1)
     def _():
-        l = l_ref[:, 0:1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        for h in range(head_block):
+            l = l_ref[h, :, 0:1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, h] = (acc_ref[h] * l_inv).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_s", "head_block", "interpret"))
 def flash_decode(
     q: jax.Array,  # [B, Hkv, rep, Dh]
     k_cache: jax.Array,  # [B, Hkv, S, Dh]
@@ -95,6 +101,7 @@ def flash_decode(
     lengths: jax.Array,  # [B] int32
     *,
     block_s: int = 256,
+    head_block: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
     B, Hkv, rep, Dh = q.shape
@@ -103,9 +110,14 @@ def flash_decode(
     while S % bs:
         bs //= 2
     n_s_tiles = S // bs
+    hb = min(head_block, Hkv)
+    while Hkv % hb:
+        hb -= 1
 
-    grid = (B, Hkv, n_s_tiles)
-    kernel = functools.partial(_kernel, block_s=bs, n_s_tiles=n_s_tiles)
+    grid = (B, Hkv // hb, n_s_tiles)
+    kernel = functools.partial(
+        _kernel, block_s=bs, n_s_tiles=n_s_tiles, head_block=hb
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -113,15 +125,17 @@ def flash_decode(
             grid=grid,
             in_specs=[
                 # index maps receive the scalar-prefetch refs as trailing args
-                pl.BlockSpec((1, 1, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, bs, Dh), lambda b, h, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, bs, Dh), lambda b, h, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, hb, bs, Dh), lambda b, h, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, hb, bs, Dh), lambda b, h, i, *_: (b, h, i, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
+            out_specs=pl.BlockSpec(
+                (1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)
+            ),
             scratch_shapes=[
-                pltpu.VMEM((rep, 128), jnp.float32),
-                pltpu.VMEM((rep, 128), jnp.float32),
-                pltpu.VMEM((rep, Dh), jnp.float32),
+                pltpu.VMEM((hb, rep, 128), jnp.float32),
+                pltpu.VMEM((hb, rep, 128), jnp.float32),
+                pltpu.VMEM((hb, rep, Dh), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -129,7 +143,7 @@ def flash_decode(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, q, k_cache, v_cache)
+    )(lengths.astype(jnp.int32), q, k_cache, v_cache)
 
 
 def attend_decode(
