@@ -278,28 +278,31 @@ class Engine:
 
         budget = min(max_new_tokens, self.max_seq - len(prompt_ids) - 1)
         produced = 1
+        position = len(prompt_ids)  # host mirror of offsets[0]
         while produced < budget and not done_host:
             n = min(self.decode_chunk, budget - produced)
             # A full chunk may overshoot the requested budget; that is fine
             # as long as the KV cache has room for the whole chunk.
-            room = self.max_seq - int(np.asarray(offsets)[0])
-            if n == self.decode_chunk or room > self.decode_chunk:
+            if n == self.decode_chunk or self.max_seq - position > self.decode_chunk:
                 fn = self._decode  # full chunk; surplus tokens are discarded
+                steps = self.decode_chunk
             else:
                 if self._decode1_cache is None:
                     self._decode1_cache = self._make_decode1()
                 fn = self._decode1_cache
+                steps = 1
             cache, toks, offsets, last_n, done = fn(
                 self.params, cache, last_tok, offsets, last_n, done,
                 self._next_key(),
             )
+            position += steps
             toks_host = np.asarray(toks)[0]
             last_tok = toks[:, -1]
             for t in toks_host[:n]:
                 produced += 1
                 if not emit(int(t)):
                     break
-            if bool(np.asarray(done)[0]):
+            if done_host or bool(toks_host[-1] == self.eos_id):
                 done_host = True
         t2 = time.perf_counter()
 
