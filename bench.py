@@ -215,20 +215,24 @@ def main(argv=None) -> int:
     n2 = max(4, args.tokens // args.chunk)
     n1 = max(1, n2 // 4)
     state = (cache, toks, offsets, last_n, done)
-    per_chunk = float("inf")
+    diffs = []
     dt = 0.0
     for trial in range(3):
         t_small, state = run_chunks(n1, *state)
         t_large, state = run_chunks(n2, *state)
-        per_chunk = min(per_chunk, max((t_large - t_small) / (n2 - n1), 1e-9))
+        d = (t_large - t_small) / (n2 - n1)
+        if d > 1e-6:  # negative/zero diffs are timing artifacts; discard
+            diffs.append(d)
         print(f"trial {trial}: T({n1})={t_small:.3f}s T({n2})={t_large:.3f}s",
               file=sys.stderr)
         dt = t_large
         # Recycle the context: reset offsets so repeated trials don't
         # run past the cache (greedy decode; correctness not at stake).
         cache2, toks2, offsets2, last_n2, done2 = state
-        state = (cache2, toks2, jnp.minimum(offsets2, args.prompt_tokens + 8),
-                 last_n2, jnp.zeros_like(done2))
+        new_off = (jnp.minimum(offsets2, args.prompt_tokens + 8)
+                   if not args.unroll else offsets2 * 0 + args.prompt_tokens)
+        state = (cache2, toks2, new_off, last_n2, jnp.zeros_like(done2))
+    per_chunk = min(diffs) if diffs else dt / n2
     n_tok = n2 * args.chunk
     tps = args.chunk * B / per_chunk
     per_tok_ms = per_chunk / args.chunk * 1e3
