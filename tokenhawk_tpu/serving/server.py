@@ -77,11 +77,20 @@ class ServingLoop:
                     break
                 self.scheduler.submit(req)
                 drained = True
-            if self.scheduler.has_work:
-                self.scheduler.step()
-            elif not drained:
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
+            try:
+                if self.scheduler.has_work:
+                    self.scheduler.step()
+                elif not drained:
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
+            except Exception as e:  # keep serving; fail active requests
+                import sys
+                import traceback
+
+                traceback.print_exc(file=sys.stderr)
+                for slot, req in enumerate(self.scheduler.slots):
+                    if req is not None:
+                        self.scheduler._retire(slot, f"error:{type(e).__name__}")
 
 
 def _make_handler(loop: ServingLoop, model_info: dict):
