@@ -209,30 +209,28 @@ def main(argv=None) -> int:
         np.asarray(toks)
         return time.perf_counter() - t0, (cache, toks, offsets, last_n, done)
 
-    # Overhead-cancelling timing: per-chunk = (T(n2) - T(n1)) / (n2 - n1).
-    # n2 must be large enough that device compute dominates the host
-    # dispatch pipeline (calls overlap with device work through the relay).
+    # Steady-state timing. The first post-compile call pays one-off costs
+    # (donation rebinding, relay warm-up) that corrupt difference-based
+    # estimates, so: one throwaway pass, then time n2 chunks directly —
+    # in steady state the per-call overhead is negligible (verified:
+    # T(1) == T(4)/4 to within a few percent).
     n2 = max(4, args.tokens // args.chunk)
-    n1 = max(1, n2 // 4)
     state = (cache, toks, offsets, last_n, done)
-    diffs = []
-    dt = 0.0
-    for trial in range(3):
-        t_small, state = run_chunks(n1, *state)
-        t_large, state = run_chunks(n2, *state)
-        d = (t_large - t_small) / (n2 - n1)
-        if d > 1e-6:  # negative/zero diffs are timing artifacts; discard
-            diffs.append(d)
-        print(f"trial {trial}: T({n1})={t_small:.3f}s T({n2})={t_large:.3f}s",
-              file=sys.stderr)
-        dt = t_large
-        # Recycle the context: reset offsets so repeated trials don't
-        # run past the cache (greedy decode; correctness not at stake).
+
+    def recycle(state):
         cache2, toks2, offsets2, last_n2, done2 = state
-        new_off = (jnp.minimum(offsets2, args.prompt_tokens + 8)
-                   if not args.unroll else offsets2 * 0 + args.prompt_tokens)
-        state = (cache2, toks2, new_off, last_n2, jnp.zeros_like(done2))
-    per_chunk = min(diffs) if diffs else dt / n2
+        new_off = jnp.minimum(offsets2, args.prompt_tokens + 8)
+        return (cache2, toks2, new_off, last_n2, jnp.zeros_like(done2))
+
+    _, state = run_chunks(1, *state)  # throwaway (post-compile one-offs)
+    times = []
+    for trial in range(3):
+        t, state = run_chunks(n2, *state)
+        times.append(t)
+        print(f"trial {trial}: T({n2} chunks)={t:.3f}s", file=sys.stderr)
+        state = recycle(state)
+    dt = sorted(times)[len(times) // 2]  # median
+    per_chunk = dt / n2
     n_tok = n2 * args.chunk
     tps = args.chunk * B / per_chunk
     per_tok_ms = per_chunk / args.chunk * 1e3

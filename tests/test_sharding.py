@@ -97,3 +97,13 @@ def test_tp_must_divide_kv_heads(setup):
     mesh = make_mesh(dp=1, tp=8)  # tiny config has 4 heads
     with pytest.raises(ValueError):
         shard_params(CFG, params, mesh)
+
+
+def test_multihost_global_mesh_single_process():
+    from tokenhawk_tpu.parallel.multihost import global_mesh, initialize_distributed
+
+    initialize_distributed()  # no-op in single process
+    mesh = global_mesh(dp=2, tp=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    with pytest.raises(ValueError):
+        global_mesh(dp=3, tp=3)
