@@ -70,10 +70,12 @@ for variant in ["int32", "u8int8", "biasdot"]:
         @jax.jit
         def loop(x, qs_l, s_l):
             y = x
-            for rep in range(3):
+            def body(y, _):
+                out = y
                 for qs, s in zip(qs_l, s_l):
-                    y = (f(y[:, :K].astype(jnp.bfloat16), qs, s)[:, :K]
-                         * 1e-3).astype(jnp.bfloat16)
+                    out = (f(out[:, :K].astype(jnp.bfloat16), qs, s)[:, :K] * 1e-3)
+                return out.astype(jnp.bfloat16), ()
+            y, _ = jax.lax.scan(body, y, None, length=3)
             return y
         r = loop(x, packed, scales); np.asarray(jnp.sum(r.astype(jnp.float32)))  # compile+throwaway
         times = []

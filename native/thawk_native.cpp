@@ -159,10 +159,8 @@ void thawk_q4_decode_transpose_pack(const uint8_t* raw, uint8_t* qs_out,
           // ggjt v1 adjacent-pair packing: byte i = col 2i | col 2i+1 << 4
           int64_t c0 = b * kQK + 2 * i;
           int64_t c1 = c0 + 1;
-          // file nibbles are offset-binary (q+8); device layout wants the
-          // two's-complement int4 bits of q, i.e. nibble ^ 8
-          uint8_t v0 = (nib[i] & 0x0F) ^ 0x08;
-          uint8_t v1 = (nib[i] >> 4) ^ 0x08;
+          uint8_t v0 = nib[i] & 0x0F;        // already offset-binary (+8)
+          uint8_t v1 = nib[i] >> 4;
           // device packing: byte row j pairs logical rows j and j+half
           uint8_t* p0 = &qs_out[(c0 % half) * rows + r];
           uint8_t* p1 = &qs_out[(c1 % half) * rows + r];

@@ -41,7 +41,7 @@ def test_q4_decode_transpose_pack_matches_numpy(rng):
     raw = to_blocks(quantize_q4_0(x))
     packed, scales = native.q4_decode_transpose_pack(raw, rows, cols)
     qt = from_blocks(GGMLType.Q4_0, raw, (rows, cols))
-    qs_t = qt.qs.T.astype(np.uint8) & 0x0F  # two's-complement int4 bits
+    qs_t = qt.qs.T.astype(np.int16) + 8
     want = (qs_t[: cols // 2] | (qs_t[cols // 2 :] << 4)).astype(np.uint8)
     np.testing.assert_array_equal(packed, want)
     np.testing.assert_allclose(scales, qt.scales.T)

@@ -98,7 +98,7 @@ def q4_decode_transpose_pack(raw: bytes | memoryview, rows: int, cols: int):
 
         qt = from_blocks(GGMLType.Q4_0, bytes(raw), (rows, cols))
         qs_t = np.ascontiguousarray(qt.qs.T)  # [cols, rows] int8 in [-8,7]
-        u = qs_t.astype(np.uint8) & 0x0F  # two's-complement int4 bits
+        u = (qs_t.astype(np.int16) + 8).astype(np.uint8)
         packed = u[: cols // 2] | (u[cols // 2 :] << 4)
         return packed, np.ascontiguousarray(qt.scales.T.astype(np.float32))
     buf = np.frombuffer(raw, np.uint8)

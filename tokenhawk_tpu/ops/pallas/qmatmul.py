@@ -74,30 +74,17 @@ def _q4_kernel(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Nibbles are two's-complement int4 bits (pack_q4_rows):
-    #   low : ((bits ^ 8) - 8)              — pure 8-bit ops + one bf16 sub
-    #   high: int8 bitcast of (byte & 0xF0) sign-extends to 16*q; the /16
-    #         folds into the (tiny) scale tile before its sublane-repeat.
-    # This keeps all per-element work at 8/16-bit width; Mosaic has no
-    # u8 shift, no int8 subtract, and no uint8->bf16 cast, which rules
-    # out both the offset-binary layout and int32 widening at speed.
+    # Mosaic supports neither int8 vector subtraction nor uint8->bf16
+    # casts; widen to int32 for the unpack arithmetic, then convert.
+    p32 = qs_ref[...].astype(jnp.int32)  # [bkp, bn]
+    lo = ((p32 & 0x0F) - 8).astype(jnp.float32)
+    hi = ((p32 >> 4) - 8).astype(jnp.float32)
+
+    lo = lo * jnp.repeat(s_lo_ref[...].astype(jnp.float32), GROUP, axis=0)
+    hi = hi * jnp.repeat(s_hi_ref[...].astype(jnp.float32), GROUP, axis=0)
+
     x_lo = x_lo_ref[...]
     x_hi = x_hi_ref[...]
-    cdt = x_lo.dtype
-    p = qs_ref[...]  # uint8 [bkp, bn]
-
-    lo8 = pltpu.bitcast((p & jnp.uint8(0x0F)) ^ jnp.uint8(0x08), jnp.int8)
-    lo = lo8.astype(cdt) - jnp.asarray(8, cdt)
-    hi16 = pltpu.bitcast(p & jnp.uint8(0xF0), jnp.int8)  # = 16 * q_hi
-    hi = hi16.astype(cdt)
-
-    s_lo = jnp.repeat(s_lo_ref[...].astype(cdt), GROUP, axis=0)
-    s_hi = jnp.repeat(
-        (s_hi_ref[...].astype(jnp.float32) * (1.0 / 16.0)).astype(cdt),
-        GROUP, axis=0,
-    )
-    lo = lo * s_lo
-    hi = hi * s_hi
     acc_ref[...] += jnp.dot(
         x_lo, lo.astype(x_lo.dtype), preferred_element_type=jnp.float32
     )

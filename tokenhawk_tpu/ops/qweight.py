@@ -80,15 +80,12 @@ class QWeight:
         return jnp.concatenate([self.scales, self.scales_hi], axis=-2)
 
     def unpacked_qs(self) -> jax.Array:
-        """Integer codes at logical shape [..., K, N] (sign already applied).
-
-        q4_0 nibbles are two's-complement int4 bits (see pack_q4_rows):
-        value = ((bits ^ 8) - 8)."""
+        """Integer codes at logical shape [..., K, N] (sign already applied)."""
         if self.kind != "q4_0":
             return self.qs
-        lo = ((self.qs & 0x0F) ^ 0x08).astype(jnp.int32) - 8
-        hi = (((self.qs >> 4) & 0x0F) ^ 0x08).astype(jnp.int32) - 8
-        return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
+        lo = (self.qs & 0x0F).astype(jnp.int8) - 8
+        hi = (self.qs >> 4).astype(jnp.int8) - 8
+        return jnp.concatenate([lo, hi], axis=-2)
 
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
         """Materialize the dense [K, N] matrix (tests / XLA fallback)."""
@@ -109,24 +106,16 @@ ArrayOrQ = Union[jax.Array, QWeight]
 def pack_q4_rows(qs_t: np.ndarray, k_shards: int = 1) -> np.ndarray:
     """int8 [K, N] in [-8,7] -> packed uint8 [K//2, N].
 
-    Nibbles hold the value's TWO'S-COMPLEMENT int4 bits (q & 0xF), so the
-    TPU kernel dequantizes without any shifts or integer widening:
-    the high nibble sign-extends for free under an int8 bitcast of
-    (byte & 0xF0) — giving 16*q — and the low nibble needs only
-    (bits ^ 8) - 8.  Mosaic supports none of u8 shift / int8 subtract /
-    uint8->bf16, which rules the offset-binary layout out of a cheap
-    in-kernel decode.
-
     Packing is per K-shard: within each of `k_shards` contiguous row
-    blocks, row j pairs with row j + block//2.  With k_shards == tp,
-    slicing the packed array into tp row chunks yields exactly the pack
-    of each shard's local rows — required when the contraction dim is
-    sharded (row-parallel wo/w2 under shard_map TP).
+    blocks, row j pairs with row j + block//2 (offset-binary +8).  With
+    k_shards == tp, slicing the packed array into tp row chunks yields
+    exactly the pack of each shard's local rows — required when the
+    contraction dim is sharded (row-parallel wo/w2 under shard_map TP).
     """
     K = qs_t.shape[0]
     if K % (64 * k_shards):
         raise ValueError(f"q4_0 input dim {K} must be a multiple of {64 * k_shards}")
-    u = qs_t.astype(np.uint8) & 0x0F  # two's-complement int4 bits
+    u = (qs_t.astype(np.int16) + 8).astype(np.uint8)
     blk = K // k_shards
     parts = []
     for s in range(k_shards):
