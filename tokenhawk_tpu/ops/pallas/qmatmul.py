@@ -42,6 +42,9 @@ import os as _os
 BLOCK_N = int(_os.environ.get("THAWK_QBLOCK_N", "256"))
 BLOCK_K = int(_os.environ.get("THAWK_QBLOCK_K", "1024"))
 BLOCK_KP = int(_os.environ.get("THAWK_QBLOCK_KP", "512"))
+# q4 bias-dot: skip the per-element -8 and correct with two tiny MXU dots
+# (y -= 8 * group_sums(x) @ scales). Saves one wide VPU op per element.
+Q4_BIASDOT = _os.environ.get("THAWK_Q4_BIASDOT", "1") == "1"
 
 
 def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
@@ -66,7 +69,7 @@ def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
 
 def _q4_kernel(
     x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
-    *, n_k_tiles,
+    *, n_k_tiles, biasdot,
 ):
     k = pl.program_id(2)
 
@@ -77,14 +80,35 @@ def _q4_kernel(
     # Mosaic supports neither int8 vector subtraction nor uint8->bf16
     # casts; widen to int32 for the unpack arithmetic, then convert.
     p32 = qs_ref[...].astype(jnp.int32)  # [bkp, bn]
-    lo = ((p32 & 0x0F) - 8).astype(jnp.float32)
-    hi = ((p32 >> 4) - 8).astype(jnp.float32)
-
-    lo = lo * jnp.repeat(s_lo_ref[...].astype(jnp.float32), GROUP, axis=0)
-    hi = hi * jnp.repeat(s_hi_ref[...].astype(jnp.float32), GROUP, axis=0)
-
     x_lo = x_lo_ref[...]
     x_hi = x_hi_ref[...]
+    s_lo = s_lo_ref[...].astype(jnp.float32)  # [sg, bn]
+    s_hi = s_hi_ref[...].astype(jnp.float32)
+
+    if biasdot:
+        # Offset-binary nibbles used directly (value+8 in [0,15]); the
+        # +8 bias contributes 8 * sum_g(sum_{k in g} x_k) * s_g[n],
+        # removed with two [bb, sg] x [sg, bn] dots.  Group sums of x
+        # come from an MXU dot with a block-diagonal ones matrix (cheap
+        # compile-time pattern), avoiding lane-dim reshapes.
+        lo = (p32 & 0x0F).astype(jnp.float32)
+        hi = (p32 >> 4).astype(jnp.float32)
+        bkp, sg = lo.shape[0], s_lo.shape[0]
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (bkp, sg), 0) // GROUP
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (bkp, sg), 1)
+        ones_bd = (g_ids == c_ids).astype(x_lo.dtype)  # [bkp, sg]
+        xsum_lo = jnp.dot(x_lo, ones_bd, preferred_element_type=jnp.float32)
+        xsum_hi = jnp.dot(x_hi, ones_bd, preferred_element_type=jnp.float32)
+        corr = jnp.dot(xsum_lo, s_lo, preferred_element_type=jnp.float32)
+        corr += jnp.dot(xsum_hi, s_hi, preferred_element_type=jnp.float32)
+        acc_ref[...] -= 8.0 * corr
+    else:
+        lo = ((p32 & 0x0F) - 8).astype(jnp.float32)
+        hi = ((p32 >> 4) - 8).astype(jnp.float32)
+
+    lo = lo * jnp.repeat(s_lo, GROUP, axis=0)
+    hi = hi * jnp.repeat(s_hi, GROUP, axis=0)
+
     acc_ref[...] += jnp.dot(
         x_lo, lo.astype(x_lo.dtype), preferred_element_type=jnp.float32
     )
@@ -179,7 +203,8 @@ def q4_matmul(
     sg = bkp // GROUP
 
     grid = (B // bb, N // bn, n_k_tiles)
-    kernel = functools.partial(_q4_kernel, n_k_tiles=n_k_tiles)
+    kernel = functools.partial(_q4_kernel, n_k_tiles=n_k_tiles,
+                               biasdot=Q4_BIASDOT)
     return pl.pallas_call(
         kernel,
         grid=grid,
