@@ -44,7 +44,7 @@ BLOCK_K = int(_os.environ.get("THAWK_QBLOCK_K", "1024"))
 BLOCK_KP = int(_os.environ.get("THAWK_QBLOCK_KP", "512"))
 # q4 bias-dot: skip the per-element -8 and correct with two tiny MXU dots
 # (y -= 8 * group_sums(x) @ scales). Saves one wide VPU op per element.
-Q4_BIASDOT = _os.environ.get("THAWK_Q4_BIASDOT", "1") == "1"
+Q4_BIASDOT = _os.environ.get("THAWK_Q4_BIASDOT", "0") == "1"
 
 
 def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
