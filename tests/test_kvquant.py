@@ -1,0 +1,78 @@
+"""Int8 KV-cache codec + attention vs the bf16 reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tokenhawk_tpu.ops.attention import attend_cache, update_kv_cache
+from tokenhawk_tpu.ops.kvquant import (
+    SCALE_LANES,
+    attend_cache_int8,
+    dequantize_kv,
+    quantize_kv_block,
+    update_kv_cache_int8,
+)
+from tokenhawk_tpu.ops.pallas.flash_decode_int8 import flash_decode_int8
+
+
+def test_quantize_roundtrip_error(rng):
+    x = rng.standard_normal((2, 3, 4, 64)).astype(np.float32)
+    q, s = quantize_kv_block(jnp.asarray(x))
+    assert q.dtype == jnp.int8 and s.shape == (2, 3, 4, SCALE_LANES)
+    y = np.asarray(dequantize_kv(q, s))
+    amax = np.abs(x).max(-1, keepdims=True)
+    # half a quantization step + bf16 rounding of the scale (~0.4% of value)
+    assert np.abs(y - x).max() <= (amax / 254 + amax * 0.005 + 1e-6).max()
+
+
+def test_update_and_attend_matches_bf16_path(rng):
+    B, T, S, Hkv, Dh = 2, 1, 64, 2, 64
+    H = 4
+    k_new = rng.standard_normal((B, T, Hkv, Dh)).astype(np.float32)
+    v_new = rng.standard_normal((B, T, Hkv, Dh)).astype(np.float32)
+    offsets = jnp.asarray([3, 10], jnp.int32)
+
+    kq = jnp.zeros((B, Hkv, S, Dh), jnp.int8)
+    ks = jnp.zeros((B, Hkv, S, SCALE_LANES), jnp.bfloat16)
+    vq = jnp.zeros_like(kq)
+    vs = jnp.zeros_like(ks)
+    kq, ks, vq, vs = update_kv_cache_int8(
+        kq, ks, vq, vs, jnp.asarray(k_new), jnp.asarray(v_new), offsets
+    )
+    # stored vectors dequantize close to the originals
+    got = np.asarray(dequantize_kv(kq, ks))[1, :, 10, :]
+    np.testing.assert_allclose(got, k_new[1, 0], atol=2e-2, rtol=2e-2)
+
+    # attention over a fuller quantized cache tracks the f32 reference
+    k_all = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
+    v_all = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
+    kq2, ks2 = quantize_kv_block(jnp.asarray(k_all))
+    vq2, vs2 = quantize_kv_block(jnp.asarray(v_all))
+    q = rng.standard_normal((B, 1, H, Dh)).astype(np.float32)
+    positions = jnp.asarray([[40], [55]], jnp.int32)
+    want = np.asarray(attend_cache(
+        jnp.asarray(q), jnp.asarray(k_all), jnp.asarray(v_all), positions))
+    got = np.asarray(attend_cache_int8(
+        jnp.asarray(q), kq2, ks2, vq2, vs2, positions))
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("Hkv,rep", [(2, 2), (1, 4)])
+def test_flash_decode_int8_matches_reference(rng, Hkv, rep):
+    B, S, Dh = 2, 128, 64
+    H = Hkv * rep
+    k_all = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
+    v_all = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
+    kq, ks = quantize_kv_block(jnp.asarray(k_all))
+    vq, vs = quantize_kv_block(jnp.asarray(v_all))
+    q = rng.standard_normal((B, 1, H, Dh)).astype(np.float32)
+    positions = jnp.asarray([[100], [37]], jnp.int32)
+
+    want = np.asarray(attend_cache_int8(
+        jnp.asarray(q), kq, ks, vq, vs, positions))
+
+    qg = (q[:, 0] / np.sqrt(Dh)).reshape(B, Hkv, rep, Dh)
+    got = np.asarray(flash_decode_int8(
+        jnp.asarray(qg), kq, ks, vq, vs, positions[:, 0] + 1, interpret=True
+    )).reshape(B, 1, H, Dh)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
