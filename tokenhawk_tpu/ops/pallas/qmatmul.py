@@ -55,12 +55,12 @@ def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
-    dt = x.dtype  # dequant intermediates in the activation dtype: bf16 on
-    # TPU halves the VPU/VMEM width of the dominant per-element work
-    w = qs_ref[...].astype(dt)  # [bk, bn]
-    s = s_ref[...].astype(dt)  # [bk//GROUP, bn] (tiled by BlockSpec)
+    w = qs_ref[...].astype(jnp.float32)  # [bk, bn]
+    s = s_ref[...].astype(jnp.float32)  # [bk//GROUP, bn] (tiled by BlockSpec)
     w = w * jnp.repeat(s, GROUP, axis=0)
-    acc_ref[...] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+    acc_ref[...] += jnp.dot(
+        x, w.astype(x.dtype), preferred_element_type=jnp.float32
+    )
 
     @pl.when(k == n_k_tiles - 1)
     def _():
@@ -103,14 +103,18 @@ def _q4_kernel(
         corr += jnp.dot(xsum_hi, s_hi, preferred_element_type=jnp.float32)
         acc_ref[...] -= 8.0 * corr
     else:
-        lo = ((p32 & 0x0F) - 8).astype(x_lo.dtype)
-        hi = ((p32 >> 4) - 8).astype(x_lo.dtype)
+        lo = ((p32 & 0x0F) - 8).astype(jnp.float32)
+        hi = ((p32 >> 4) - 8).astype(jnp.float32)
 
-    lo = lo * jnp.repeat(s_lo.astype(x_lo.dtype), GROUP, axis=0)
-    hi = hi * jnp.repeat(s_hi.astype(x_lo.dtype), GROUP, axis=0)
+    lo = lo * jnp.repeat(s_lo, GROUP, axis=0)
+    hi = hi * jnp.repeat(s_hi, GROUP, axis=0)
 
-    acc_ref[...] += jnp.dot(x_lo, lo, preferred_element_type=jnp.float32)
-    acc_ref[...] += jnp.dot(x_hi, hi, preferred_element_type=jnp.float32)
+    acc_ref[...] += jnp.dot(
+        x_lo, lo.astype(x_lo.dtype), preferred_element_type=jnp.float32
+    )
+    acc_ref[...] += jnp.dot(
+        x_hi, hi.astype(x_hi.dtype), preferred_element_type=jnp.float32
+    )
 
     @pl.when(k == n_k_tiles - 1)
     def _():
