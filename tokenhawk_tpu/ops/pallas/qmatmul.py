@@ -41,7 +41,7 @@ import os as _os
 
 BLOCK_N = int(_os.environ.get("THAWK_QBLOCK_N", "256"))
 BLOCK_K = int(_os.environ.get("THAWK_QBLOCK_K", "1024"))
-BLOCK_KP = int(_os.environ.get("THAWK_QBLOCK_KP", "512"))
+BLOCK_KP = int(_os.environ.get("THAWK_QBLOCK_KP", "2048"))
 # q4 bias-dot: skip the per-element -8 and correct with two tiny MXU dots
 # (y -= 8 * group_sums(x) @ scales). Saves one wide VPU op per element.
 Q4_BIASDOT = _os.environ.get("THAWK_Q4_BIASDOT", "0") == "1"
