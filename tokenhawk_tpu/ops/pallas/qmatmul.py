@@ -40,7 +40,7 @@ GROUP = 32  # quantization block length (ggml QK)
 import os as _os
 
 BLOCK_N = int(_os.environ.get("THAWK_QBLOCK_N", "256"))
-BLOCK_K = int(_os.environ.get("THAWK_QBLOCK_K", "1024"))
+BLOCK_K = int(_os.environ.get("THAWK_QBLOCK_K", "4096"))
 BLOCK_KP = int(_os.environ.get("THAWK_QBLOCK_KP", "2048"))
 # q4 bias-dot: skip the per-element -8 and correct with two tiny MXU dots
 # (y -= 8 * group_sums(x) @ scales). Saves one wide VPU op per element.
