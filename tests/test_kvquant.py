@@ -76,3 +76,30 @@ def test_flash_decode_int8_matches_reference(rng, Hkv, rep):
         jnp.asarray(qg), kq, ks, vq, vs, positions[:, 0] + 1, interpret=True
     )).reshape(B, 1, H, Dh)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_engine_int8_kv_cache_generates(rng):
+    """End-to-end generation with cache_dtype='int8' (opt-in path)."""
+    import jax
+    from tokenhawk_tpu.config import LlamaConfig, SamplingConfig
+    from tokenhawk_tpu.models.llama import params_from_ggml
+    from tokenhawk_tpu.runtime.engine import Engine
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers import make_ggml_weights
+
+    cfg = LlamaConfig.tiny(n_vocab=512, n_ctx=64)
+    tensors = make_ggml_weights(cfg, np.random.default_rng(71))
+    params = params_from_ggml(cfg, tensors, dtype=jnp.float32)
+    greedy = SamplingConfig(temperature=0.0)
+
+    e_ref = Engine(cfg, params, sampling=greedy, cache_dtype=jnp.float32,
+                   decode_chunk=4)
+    e_q = Engine(cfg, params, sampling=greedy, cache_dtype="int8",
+                 decode_chunk=4)
+    want = e_ref.generate([1, 9, 42, 7], max_new_tokens=8).tokens
+    got = e_q.generate([1, 9, 42, 7], max_new_tokens=8).tokens
+    # int8 KV perturbs logits slightly; require a matching prefix at least.
+    assert len(got) > 0
+    n_match = sum(a == b for a, b in zip(got, want))
+    assert n_match >= min(len(got), len(want)) // 2, (got, want)

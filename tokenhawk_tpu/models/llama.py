@@ -93,7 +93,44 @@ class KVCache(NamedTuple):
         return self.k.shape[3]
 
 
-def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, kc, vc, cos, sin, offsets, positions):
+def _attend_and_update(cfg, q, k, v, lcache, offsets, positions):
+    """Write (k, v) into this layer's cache and attend.
+
+    lcache is (k_cache, v_cache) for a bf16/f32 cache or
+    (k, k_scales, v, v_scales) for an int8-quantized cache
+    (ops/kvquant.py)."""
+    if len(lcache) == 2:
+        kc, vc = update_kv_cache(lcache[0], lcache[1], k, v, offsets)
+        return attend_cache(q, kc, vc, positions), (kc, vc)
+
+    from tokenhawk_tpu.ops.dispatch import pallas_mode
+    from tokenhawk_tpu.ops.kvquant import (
+        attend_cache_int8,
+        update_kv_cache_int8,
+    )
+
+    kc, ksc, vc, vsc = update_kv_cache_int8(*lcache, k, v, offsets)
+    Dh = q.shape[-1]
+    S = kc.shape[2]
+    mode = pallas_mode()
+    if mode is not None and q.shape[1] == 1 and Dh % 128 == 0 and S % 128 == 0:
+        from tokenhawk_tpu.ops.pallas.flash_decode_int8 import flash_decode_int8
+
+        B, T, H, _ = q.shape
+        Hkv = kc.shape[1]
+        rep = H // Hkv
+        qg = (q[:, 0] * (1.0 / Dh**0.5)).reshape(B, Hkv, rep, Dh)
+        out = flash_decode_int8(
+            qg, kc, ksc, vc, vsc, positions[:, 0] + 1,
+            interpret=(mode == "interpret"),
+        )
+        ctx = out.reshape(B, 1, H, Dh).astype(q.dtype)
+    else:
+        ctx = attend_cache_int8(q, kc, ksc, vc, vsc, positions)
+    return ctx, (kc, ksc, vc, vsc)
+
+
+def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, lcache, cos, sin, offsets, positions):
     B, T, D = x.shape
     H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
 
@@ -111,8 +148,7 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, kc, vc, cos, sin, offse
     q = apply_rope(q, cos, sin, cfg.rope_style)
     k = apply_rope(k, cos, sin, cfg.rope_style)
 
-    kc, vc = update_kv_cache(kc, vc, k, v, offsets)
-    ctx = attend_cache(q, kc, vc, positions)
+    ctx, lcache = _attend_and_update(cfg, q, k, v, lcache, offsets, positions)
     x = x + matmul(ctx.reshape(B, T, D), lp.wo)
 
     h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)
@@ -126,7 +162,32 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, kc, vc, cos, sin, offse
         u = matmul(h2, lp.w3)
     gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
     x = x + matmul(gate * u, lp.w2)
-    return x, kc, vc
+    return x, lcache
+
+
+class QuantKVCache(NamedTuple):
+    """Int8 KV cache (see ops/kvquant.py): [L, B, Hkv, S, *] arrays."""
+
+    k: jax.Array  # int8 [L, B, Hkv, S, Dh]
+    ks: jax.Array  # bf16 [L, B, Hkv, S, SCALE_LANES]
+    v: jax.Array
+    vs: jax.Array
+
+    @staticmethod
+    def create(cfg: LlamaConfig, batch: int, max_seq: Optional[int] = None) -> "QuantKVCache":
+        from tokenhawk_tpu.ops.kvquant import SCALE_LANES
+
+        S = max_seq or cfg.n_ctx
+        shape = (cfg.n_layer, batch, cfg.n_kv_head, S, cfg.head_dim)
+        sshape = (cfg.n_layer, batch, cfg.n_kv_head, S, SCALE_LANES)
+        return QuantKVCache(
+            jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.bfloat16),
+            jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.bfloat16),
+        )
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[3]
 
 
 def make_unrolled_cache(
@@ -170,20 +231,27 @@ def forward(
 
     if isinstance(params.layers, tuple):  # unrolled
         new_cache = []
-        for lp, (kc, vc) in zip(params.layers, cache):
-            x, kc, vc = _layer_forward(
-                cfg, x, lp, kc, vc, cos, sin, offsets, positions
+        for lp, lcache in zip(params.layers, cache):
+            x, lcache = _layer_forward(
+                cfg, x, lp, lcache, cos, sin, offsets, positions
             )
-            new_cache.append((kc, vc))
+            new_cache.append(lcache)
         return x, tuple(new_cache)
 
-    def body(x, layer_inputs):
-        lp, kc, vc = layer_inputs
-        x, kc, vc = _layer_forward(cfg, x, lp, kc, vc, cos, sin, offsets, positions)
-        return x, (kc, vc)
+    if isinstance(cache, QuantKVCache):
+        xs = (params.layers, (cache.k, cache.ks, cache.v, cache.vs))
+    else:
+        xs = (params.layers, (cache.k, cache.v))
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (params.layers, cache.k, cache.v))
-    return x, KVCache(k_new, v_new)
+    def body(x, layer_inputs):
+        lp, lcache = layer_inputs
+        x, lcache = _layer_forward(cfg, x, lp, lcache, cos, sin, offsets, positions)
+        return x, lcache
+
+    x, new = jax.lax.scan(body, x, xs)
+    if isinstance(cache, QuantKVCache):
+        return x, QuantKVCache(*new)
+    return x, KVCache(*new)
 
 
 def unstack_params(params: LlamaParams) -> LlamaParams:

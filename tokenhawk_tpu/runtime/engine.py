@@ -174,6 +174,12 @@ class Engine:
     # -- low-level API ---------------------------------------------------
 
     def new_cache(self, batch: Optional[int] = None):
+        if self.cache_dtype == "int8":  # quantized KV (ops/kvquant.py)
+            from tokenhawk_tpu.models.llama import QuantKVCache
+
+            return QuantKVCache.create(
+                self.cfg, batch or self.batch_size, self.max_seq
+            )
         if isinstance(self.params.layers, tuple):  # unrolled-layer params
             from tokenhawk_tpu.models.llama import make_unrolled_cache
 
