@@ -115,6 +115,8 @@ def main(argv=None) -> int:
                    help="unroll layers (per-layer weight buffers, no scan)")
     p.add_argument("--mode", choices=["decode", "ttft"], default="decode",
                    help="ttft: time prefill + first token instead of decode")
+    p.add_argument("--kv", choices=["bf16", "int8"], default="bf16",
+                   help="KV cache dtype (int8 halves KV traffic at long ctx)")
     args = p.parse_args(argv)
 
     import os
@@ -164,7 +166,11 @@ def main(argv=None) -> int:
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     B = args.batch
-    if args.unroll:
+    if args.kv == "int8":
+        from tokenhawk_tpu.models.llama import QuantKVCache
+
+        cache = QuantKVCache.create(cfg, B, args.ctx)
+    elif args.unroll:
         from tokenhawk_tpu.models.llama import make_unrolled_cache
 
         cache = make_unrolled_cache(cfg, B, args.ctx, jnp.bfloat16)
@@ -282,7 +288,8 @@ def main(argv=None) -> int:
     )
 
     print(json.dumps({
-        "metric": f"llama7b_{args.quant}_decode_tokens_per_sec",
+        "metric": f"llama7b_{args.quant}_decode_tokens_per_sec"
+                  + ("_kvint8" if args.kv == "int8" else ""),
         "value": round(tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps / 37.0, 3),
