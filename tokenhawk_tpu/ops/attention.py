@@ -44,6 +44,24 @@ def attend_cache(
     mode = pallas_mode()
     if mode is not None and Dh % 128 == 0 and S % 128 == 0:
         if T == 1:
+            import os
+
+            if os.environ.get("THAWK_DECODE_KERNEL", "dma") == "dma":
+                # Length-aware manual-DMA kernel: fetches only live KV
+                # blocks (the BlockSpec pipeline reads the whole S dim).
+                from tokenhawk_tpu.ops.pallas.flash_decode_dma import (
+                    flash_decode_dma,
+                )
+
+                B = q.shape[0]
+                qg = (q[:, 0] * scale).reshape(B, Hkv, rep, Dh)
+                lengths = (q_positions[:, 0] + 1).astype(jnp.int32)
+                out = flash_decode_dma(
+                    qg, k_cache, v_cache, lengths,
+                    interpret=(mode == "interpret"),
+                )
+                return out.reshape(B, 1, H, Dh).astype(q.dtype)
+
             from tokenhawk_tpu.ops.pallas.flash_decode import attend_decode
 
             return attend_decode(

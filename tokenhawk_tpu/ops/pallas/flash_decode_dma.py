@@ -1,0 +1,180 @@
+"""Length-aware flash-decode: manual DMA fetches only live KV blocks.
+
+The BlockSpec-pipelined flash_decode.py prefetches every S-tile of the
+cache each step — predication skips the compute but not the DMA, so at
+2048-ctx the dead tail of the cache costs ~30% of decode time (see
+BENCH_NOTES.md).  This variant adapts the paged-attention DMA structure
+(ops/pallas/paged_decode.py) to the dense cache: the cache is viewed as
+[B, Hkv, n_blocks, ps, Dh] and each (batch, head-group) cell walks only
+ceil(length/ps) blocks, double-buffering HBM->VMEM copies of a
+[head_block, ps, Dh] slab per step.
+
+Shapes:
+  q        [B, Hkv, rep, Dh]   (pre-scaled by 1/sqrt(Dh))
+  k_cache  [B, Hkv, S, Dh]     (head-major dense cache)
+  v_cache  [B, Hkv, S, Dh]
+  lengths  [B] int32
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _kernel(
+    lengths_ref,  # SMEM [B]
+    q_ref,  # VMEM [1, HB, rep, Dh]
+    k_hbm,  # ANY [B, Hkv, n_blocks, ps, Dh]
+    v_hbm,
+    o_ref,  # VMEM [1, HB, rep, Dh]
+    m_ref,  # VMEM [HB, rep, 128] f32
+    l_ref,
+    acc_ref,  # VMEM [HB, rep, Dh] f32
+    k_buf,  # VMEM [2, HB, ps, Dh]
+    v_buf,
+    k_sem,  # DMA sems (2,)
+    v_sem,
+    *,
+    block_s: int,
+    head_block: int,
+):
+    b = pl.program_id(0)
+    hg = pl.program_id(1)
+    i = pl.program_id(2)
+    h0 = hg * head_block
+    length = lengths_ref[b]
+    n_blocks = pl.cdiv(length, block_s)
+
+    def copies(blk, slot):
+        k = pltpu.make_async_copy(
+            k_hbm.at[b, pl.ds(h0, head_block), blk], k_buf.at[slot],
+            k_sem.at[slot],
+        )
+        v = pltpu.make_async_copy(
+            v_hbm.at[b, pl.ds(h0, head_block), blk], v_buf.at[slot],
+            v_sem.at[slot],
+        )
+        return k, v
+
+    @pl.when(i < n_blocks)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            ck, cv = copies(0, 0)
+            ck.start()
+            cv.start()
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            nk, nv = copies(i + 1, (i + 1) % 2)
+            nk.start()
+            nv.start()
+
+        slot = i % 2
+        ck, cv = copies(i, slot)
+        ck.wait()
+
+        kpos_row = i * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (q_ref.shape[2], block_s), 1
+        )
+        for h in range(head_block):
+            q = q_ref[0, h].astype(jnp.float32)  # [rep, Dh]
+            k = k_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = jnp.where(kpos_row < length, s, _MASK)
+
+            m_prev = m_ref[h, :, 0:1]
+            l_prev = l_ref[h, :, 0:1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[h] = jnp.broadcast_to(m_next, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(l_next, l_ref.shape[1:])
+
+            @pl.when(h == 0)
+            def _():
+                cv.wait()
+
+            v = v_buf[slot, h].astype(jnp.float32)
+            pv = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            acc_ref[h] = acc_ref[h] * alpha + pv
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        for h in range(head_block):
+            l = l_ref[h, :, 0:1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, h] = (acc_ref[h] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "head_block", "interpret"))
+def flash_decode_dma(
+    q: jax.Array,  # [B, Hkv, rep, Dh]
+    k_cache: jax.Array,  # [B, Hkv, S, Dh]
+    v_cache: jax.Array,
+    lengths: jax.Array,  # [B] int32
+    *,
+    block_s: int = 256,
+    head_block: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    B, Hkv, rep, Dh = q.shape
+    S = k_cache.shape[2]
+    bs = min(block_s, S)
+    while S % bs:
+        bs //= 2
+    n_blocks = S // bs
+    hb = min(head_block, Hkv)
+    while Hkv % hb:
+        hb -= 1
+
+    kv_view = (B, Hkv, n_blocks, bs, Dh)
+    grid = (B, Hkv // hb, n_blocks)
+    kernel = functools.partial(_kernel, block_s=bs, head_block=hb)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((hb, rep, 128), jnp.float32),
+                pltpu.VMEM((hb, rep, 128), jnp.float32),
+                pltpu.VMEM((hb, rep, Dh), jnp.float32),
+                pltpu.VMEM((2, hb, bs, Dh), k_cache.dtype),
+                pltpu.VMEM((2, hb, bs, Dh), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        lengths.astype(jnp.int32), q,
+        k_cache.reshape(kv_view), v_cache.reshape(kv_view),
+    )
