@@ -62,16 +62,19 @@ def test_native_fast_path_matches_generic(tmp_path, kind):
                                      n_vocab=CFG.n_vocab)
     params_ref = params_from_ggml(cfg, tensors, dtype=jnp.float32)
 
-    # load_model fuses: compare wqkv against the concat of the reference.
-    want_qkv = np.concatenate(
-        [np.asarray(params_ref.layers.wq.qs),
-         np.asarray(params_ref.layers.wk.qs),
-         np.asarray(params_ref.layers.wv.qs)], axis=-1)
-    np.testing.assert_array_equal(np.asarray(params_fast.layers.wqkv.qs), want_qkv)
-    np.testing.assert_allclose(
-        np.asarray(params_fast.layers.w2.scales),
-        np.asarray(params_ref.layers.w2.scales), rtol=1e-6,
-    )
+    # load_model fuses + unrolls: compare each layer's wqkv against the
+    # concat of the reference, and w2 scales per layer.
+    assert isinstance(params_fast.layers, tuple)
+    for l, lp in enumerate(params_fast.layers):
+        want_qkv = np.concatenate(
+            [np.asarray(params_ref.layers.wq.qs[l]),
+             np.asarray(params_ref.layers.wk.qs[l]),
+             np.asarray(params_ref.layers.wv.qs[l])], axis=-1)
+        np.testing.assert_array_equal(np.asarray(lp.wqkv.qs), want_qkv)
+        np.testing.assert_allclose(
+            np.asarray(lp.w2.scales),
+            np.asarray(params_ref.layers.w2.scales[l]), rtol=1e-6,
+        )
     np.testing.assert_array_equal(
         np.asarray(params_fast.output.qs), np.asarray(params_ref.output.qs)
     )

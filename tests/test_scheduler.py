@@ -88,3 +88,19 @@ def test_prompt_too_long_rejected(params):
     sched.submit(req)
     assert req.finish_reason == "error:prompt_too_long"
     assert not sched.has_work
+
+
+def test_unrolled_scheduler_matches(params):
+    """Scheduler with unrolled-layer params == stacked scheduler."""
+    from tokenhawk_tpu.models.llama import fuse_params, unstack_params
+
+    prompts = [[1, 5, 9], [1, 30, 60, 90]]
+    want = [r.output for r in make_sched(params).generate_many(prompts, 6)]
+
+    rng = np.random.default_rng(7)
+    unrolled = unstack_params(fuse_params(
+        params_from_ggml(CFG, make_ggml_weights(CFG, rng), dtype=jnp.float32)))
+    s = Scheduler(CFG, unrolled, sampling=GREEDY, max_batch=4,
+                  cache_dtype=jnp.float32, decode_chunk=4)
+    got = [r.output for r in s.generate_many(prompts, 6)]
+    assert got == want

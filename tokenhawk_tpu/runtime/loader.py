@@ -107,9 +107,12 @@ def load_model(
     params = params_from_ggml(cfg, tensors, dtype=dtype, row_parallel_shards=tp,
                               scale_dtype=scale_dtype)
     if mesh is None:
-        from tokenhawk_tpu.models.llama import fuse_params
+        from tokenhawk_tpu.models.llama import fuse_params, unstack_params
 
-        params = fuse_params(params)
+        # Single chip: fused wqkv/w13 + unrolled per-layer buffers (no
+        # scan -> the KV cache isn't rewritten as scan ys every step;
+        # +17% decode at 2048 ctx, see BENCH_NOTES.md).
+        params = unstack_params(fuse_params(params))
     if mesh is not None:
         if parallel == "tp":
             from tokenhawk_tpu.parallel.tp import shard_params_tp

@@ -59,10 +59,23 @@ class Request:
 
 @partial(jax.jit, donate_argnums=(0, 1))
 def _insert_fragment(big: jax.Array, frag: jax.Array, slot) -> jax.Array:
-    """frag [L, 1, Tb, H, Dh] -> big [L, B, S, H, Dh] at (slot, seq 0)."""
+    """frag [L, 1, Hkv, Tb, Dh] -> big [L, B, Hkv, S, Dh] at (slot, seq 0)."""
     return jax.lax.dynamic_update_slice(
         big, frag.astype(big.dtype), (0, slot, 0, 0, 0)
     )
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _insert_fragment_unrolled(big, frag, slot):
+    """Unrolled caches: per-layer tuples of ([B,Hkv,S,Dh], ...) pairs."""
+    out = []
+    for big_l, frag_l in zip(big, frag):
+        new_l = tuple(
+            jax.lax.dynamic_update_slice(b, f.astype(b.dtype), (slot, 0, 0, 0))
+            for b, f in zip(big_l, frag_l)
+        )
+        out.append(new_l)
+    return tuple(out)
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
@@ -115,11 +128,17 @@ class Scheduler:
             self._prefill = make_prefill_fn(cfg)
             self._decode = make_decode_fn(cfg, sampling, decode_chunk, eos_id)
 
-        cache = KVCache.create(cfg, self.B, self.S, cache_dtype)
-        if mesh is not None:
-            from tokenhawk_tpu.parallel import shard_kv_cache
+        self._unrolled = isinstance(params.layers, tuple)
+        if self._unrolled:
+            from tokenhawk_tpu.models.llama import make_unrolled_cache
 
-            cache = shard_kv_cache(cache, mesh)
+            cache = make_unrolled_cache(cfg, self.B, self.S, cache_dtype)
+        else:
+            cache = KVCache.create(cfg, self.B, self.S, cache_dtype)
+            if mesh is not None:
+                from tokenhawk_tpu.parallel import shard_kv_cache
+
+                cache = shard_kv_cache(cache, mesh)
         self.cache = cache
         self.cache_dtype = cache_dtype
 
@@ -179,7 +198,12 @@ class Scheduler:
         Tb = _bucket(len(prompt), self.buckets)
 
         # Prefill into a fragment cache, then scatter into the slot stripe.
-        frag = KVCache.create(cfg, 1, Tb, self.cache_dtype)
+        if self._unrolled:
+            from tokenhawk_tpu.models.llama import make_unrolled_cache
+
+            frag = make_unrolled_cache(cfg, 1, Tb, self.cache_dtype)
+        else:
+            frag = KVCache.create(cfg, 1, Tb, self.cache_dtype)
         toks = np.zeros((1, Tb), np.int32)
         toks[0, : len(prompt)] = prompt
         frag, logits = self._prefill(
@@ -187,9 +211,12 @@ class Scheduler:
             jnp.asarray(toks), jnp.asarray([len(prompt)], jnp.int32),
             jnp.zeros((1,), jnp.int32),
         )
-        k_big = _insert_fragment(self.cache.k, frag.k, slot)
-        v_big = _insert_fragment(self.cache.v, frag.v, slot)
-        self.cache = KVCache(k_big, v_big)
+        if self._unrolled:
+            self.cache = _insert_fragment_unrolled(self.cache, frag, slot)
+        else:
+            k_big = _insert_fragment(self.cache.k, frag.k, slot)
+            v_big = _insert_fragment(self.cache.v, frag.v, slot)
+            self.cache = KVCache(k_big, v_big)
 
         ring = np.full((self.n_ring,), -1, np.int32)
         m = min(self.n_ring, len(prompt))
