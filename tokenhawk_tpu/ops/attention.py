@@ -99,13 +99,25 @@ def update_kv_cache(
     v_new: jax.Array,
     offsets: jax.Array,  # [B] write offsets
 ):
-    """Write a new block into each sequence's cache at its offset."""
+    """Write a new block into each sequence's cache at its offset.
+
+    Uses a fori_loop of scalar-start dynamic_update_slices rather than
+    vmap (which lowers to scatter): a chain of dus on a donated buffer
+    aliases in place, keeping the per-step cache write O(T) instead of a
+    whole-cache rewrite.
+    """
     k_new = jnp.swapaxes(k_new.astype(k_cache.dtype), 1, 2)  # [B, Hkv, T, Dh]
     v_new = jnp.swapaxes(v_new.astype(v_cache.dtype), 1, 2)
+    B = k_cache.shape[0]
 
-    def upd(cache, new, off):
-        return jax.lax.dynamic_update_slice(cache, new, (0, off, 0))
+    def body(b, caches):
+        kc, vc = caches
+        kc = jax.lax.dynamic_update_slice(
+            kc, k_new[b][None], (b, 0, offsets[b], 0)
+        )
+        vc = jax.lax.dynamic_update_slice(
+            vc, v_new[b][None], (b, 0, offsets[b], 0)
+        )
+        return kc, vc
 
-    k_cache = jax.vmap(upd)(k_cache, k_new, offsets)
-    v_cache = jax.vmap(upd)(v_cache, v_new, offsets)
-    return k_cache, v_cache
+    return jax.lax.fori_loop(0, B, body, (k_cache, v_cache))
