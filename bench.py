@@ -111,8 +111,10 @@ def main(argv=None) -> int:
                    help="quantization scale dtype (bf16 halves scale traffic)")
     p.add_argument("--no-fuse", action="store_true",
                    help="keep wq/wk/wv and w1/w3 as separate matmuls")
-    p.add_argument("--unroll", action="store_true",
-                   help="unroll layers (per-layer weight buffers, no scan)")
+    p.add_argument("--unroll", dest="unroll", action="store_true", default=True,
+                   help="unroll layers (per-layer weight buffers; default)")
+    p.add_argument("--no-unroll", dest="unroll", action="store_false",
+                   help="stacked weights + lax.scan over layers")
     p.add_argument("--mode", choices=["decode", "ttft"], default="decode",
                    help="ttft: time prefill + first token instead of decode")
     p.add_argument("--kv", choices=["bf16", "int8"], default="bf16",
