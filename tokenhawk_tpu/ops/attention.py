@@ -101,23 +101,36 @@ def update_kv_cache(
 ):
     """Write a new block into each sequence's cache at its offset.
 
-    Uses a fori_loop of scalar-start dynamic_update_slices rather than
-    vmap (which lowers to scatter): a chain of dus on a donated buffer
-    aliases in place, keeping the per-step cache write O(T) instead of a
-    whole-cache rewrite.
+    For decode (T == 1) this is a fori_loop of scalar-start
+    dynamic_update_slices rather than vmap (which lowers to scatter): a
+    chain of dus on a donated buffer aliases in place, keeping the
+    per-step cache write O(1) instead of a whole-cache rewrite — the
+    single change that makes decode context-independent (BENCH_NOTES).
+    Prefill blocks (T > 1) keep the vmap/scatter form: the write is
+    amortized over T tokens, and the fori+dus pattern at prefill shapes
+    trips an XLA copy-insertion RET_CHECK (b/large-block while fusion).
     """
     k_new = jnp.swapaxes(k_new.astype(k_cache.dtype), 1, 2)  # [B, Hkv, T, Dh]
     v_new = jnp.swapaxes(v_new.astype(v_cache.dtype), 1, 2)
     B = k_cache.shape[0]
+    T = k_new.shape[2]
 
-    def body(b, caches):
-        kc, vc = caches
-        kc = jax.lax.dynamic_update_slice(
-            kc, k_new[b][None], (b, 0, offsets[b], 0)
-        )
-        vc = jax.lax.dynamic_update_slice(
-            vc, v_new[b][None], (b, 0, offsets[b], 0)
-        )
-        return kc, vc
+    if T == 1:
+        def body(b, caches):
+            kc, vc = caches
+            kc = jax.lax.dynamic_update_slice(
+                kc, k_new[b][None], (b, 0, offsets[b], 0)
+            )
+            vc = jax.lax.dynamic_update_slice(
+                vc, v_new[b][None], (b, 0, offsets[b], 0)
+            )
+            return kc, vc
 
-    return jax.lax.fori_loop(0, B, body, (k_cache, v_cache))
+        return jax.lax.fori_loop(0, B, body, (k_cache, v_cache))
+
+    def upd(cache, new, off):
+        return jax.lax.dynamic_update_slice(cache, new, (0, off, 0))
+
+    k_cache = jax.vmap(upd)(k_cache, k_new, offsets)
+    v_cache = jax.vmap(upd)(v_cache, v_new, offsets)
+    return k_cache, v_cache
