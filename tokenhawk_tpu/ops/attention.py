@@ -116,17 +116,18 @@ def update_kv_cache(
     T = k_new.shape[2]
 
     if T == 1:
-        def body(b, caches):
-            kc, vc = caches
+        # Static unroll over B (a fori_loop/while here trips an XLA
+        # copy-insertion RET_CHECK at B > 1); a plain chain of dus ops
+        # aliases in place on the donated cache.
+        kc, vc = k_cache, v_cache
+        for b in range(B):
             kc = jax.lax.dynamic_update_slice(
                 kc, k_new[b][None], (b, 0, offsets[b], 0)
             )
             vc = jax.lax.dynamic_update_slice(
                 vc, v_new[b][None], (b, 0, offsets[b], 0)
             )
-            return kc, vc
-
-        return jax.lax.fori_loop(0, B, body, (k_cache, v_cache))
+        return kc, vc
 
     def upd(cache, new, off):
         return jax.lax.dynamic_update_slice(cache, new, (0, off, 0))
