@@ -121,6 +121,15 @@ def main(argv=None) -> int:
                    help="KV cache dtype (int8 halves KV traffic at long ctx)")
     args = p.parse_args(argv)
 
+    # Each timing trial decodes up to (tokens//chunk + 1) chunks past the
+    # prompt (+8 slack from recycling); never run past the cache.
+    budget = args.ctx - args.prompt_tokens - 16
+    max_chunks = max(2, budget // args.chunk - 1)
+    if args.tokens // args.chunk > max_chunks:
+        args.tokens = max_chunks * args.chunk
+        print(f"note: clamped --tokens to {args.tokens} to fit ctx",
+              file=sys.stderr)
+
     import os
 
     os.makedirs("/root/.cache/jax_comp", exist_ok=True)
@@ -251,7 +260,7 @@ def main(argv=None) -> int:
     # estimates, so: one throwaway pass, then time n2 chunks directly —
     # in steady state the per-call overhead is negligible (verified:
     # T(1) == T(4)/4 to within a few percent).
-    n2 = max(4, args.tokens // args.chunk)
+    n2 = max(2, args.tokens // args.chunk)
     state = (cache, toks, offsets, last_n, done)
 
     def recycle(state):
