@@ -28,6 +28,9 @@ def synth_qweight(key, K, N, kind, scale_dtype):
 
     from tokenhawk_tpu.ops.qweight import QWeight
 
+    if kind == "f16":  # dense bf16 (BASELINE config 1: LLaMA-7B f16)
+        return jnp.full((K, N), 0.01, jnp.bfloat16)
+
     def scales(rows):
         return jnp.full((rows, N), 0.01, scale_dtype)
 
@@ -71,6 +74,9 @@ def synth_params(cfg, kind, dtype, scale_dtype):
         def bcast(x):
             return None if x is None else jnp.broadcast_to(x[None], (L, *x.shape))
 
+        if kind == "f16":
+            return bcast(w)
+
         return QWeight(
             qs=bcast(w.qs), scales=bcast(w.scales), mins=None,
             scales_hi=bcast(w.scales_hi), kind=kind,
@@ -100,7 +106,8 @@ def synth_params(cfg, kind, dtype, scale_dtype):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--quant", choices=["q8_0", "q4_0"], default="q4_0")
+    p.add_argument("--quant", choices=["f16", "q8_0", "q4_0"], default="q4_0",
+                   help="f16 = dense bf16 weights (BASELINE config 1)")
     p.add_argument("--ctx", type=int, default=512)
     p.add_argument("--prompt-tokens", type=int, default=64)
     p.add_argument("--tokens", type=int, default=256, help="decode tokens to time")
@@ -177,16 +184,19 @@ def main(argv=None) -> int:
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     B = args.batch
-    if args.kv == "int8":
-        from tokenhawk_tpu.models.llama import QuantKVCache
 
-        cache = QuantKVCache.create(cfg, B, args.ctx)
-    elif args.unroll:
-        from tokenhawk_tpu.models.llama import make_unrolled_cache
+    def new_cache():
+        if args.kv == "int8":
+            from tokenhawk_tpu.models.llama import QuantKVCache
 
-        cache = make_unrolled_cache(cfg, B, args.ctx, jnp.bfloat16)
-    else:
-        cache = KVCache.create(cfg, B, args.ctx, jnp.bfloat16)
+            return QuantKVCache.create(cfg, B, args.ctx)
+        if args.unroll:
+            from tokenhawk_tpu.models.llama import make_unrolled_cache
+
+            return make_unrolled_cache(cfg, B, args.ctx, jnp.bfloat16)
+        return KVCache.create(cfg, B, args.ctx, jnp.bfloat16)
+
+    cache = new_cache()
     prefill = make_prefill_fn(cfg)
     decode = make_decode_fn(cfg, SamplingConfig(temperature=0.0), args.chunk)
 
@@ -207,12 +217,7 @@ def main(argv=None) -> int:
         # TTFT = prefill + first-token logits, steady state (cache hot).
         samples = []
         for trial in range(7):
-            if args.unroll:
-                from tokenhawk_tpu.models.llama import make_unrolled_cache
-
-                c2 = make_unrolled_cache(cfg, B, args.ctx, jnp.bfloat16)
-            else:
-                c2 = KVCache.create(cfg, B, args.ctx, jnp.bfloat16)
+            c2 = new_cache()  # same kv-mode cache as the timed prefill
             t0 = time.perf_counter()
             c2, lg = prefill(params, c2, prompt, lengths, offsets0)
             first = jnp.argmax(lg, -1).astype(jnp.int32)
@@ -223,7 +228,8 @@ def main(argv=None) -> int:
         print(f"TTFT samples (ms): {[f'{s*1e3:.1f}' for s in samples]}",
               file=sys.stderr)
         print(json.dumps({
-            "metric": f"llama7b_{args.quant}_ttft_p50_ms_prompt{args.prompt_tokens}",
+            "metric": f"llama7b_{args.quant}_ttft_p50_ms_prompt{args.prompt_tokens}"
+                      + ("_kvint8" if args.kv == "int8" else ""),
             "value": round(p50, 1),
             "unit": "ms",
             "vs_baseline": 0.0,  # the reference published no TTFT numbers

@@ -12,6 +12,7 @@
 //
 // C ABI only; bound via ctypes (no pybind11 in the image).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <functional>
@@ -196,7 +197,9 @@ void thawk_q8_encode(const float* x, uint8_t* out, int64_t rows, int64_t cols) {
         int8_t* q = (int8_t*)(blk + 4);
         for (int i = 0; i < kQK; ++i) {
           float v = xb[i] * inv;
-          int qi = (int)(v + (v >= 0 ? 0.5f : -0.5f));
+          // round-half-even to match the numpy (np.round) fallback —
+          // the same tensor must quantize identically either way.
+          int qi = (int)std::nearbyintf(v);
           if (qi > 127) qi = 127;
           if (qi < -127) qi = -127;
           q[i] = (int8_t)qi;
@@ -229,8 +232,8 @@ void thawk_q4_encode(const float* x, uint8_t* out, int64_t rows, int64_t cols) {
         uint8_t* q = blk + 4;
         for (int i = 0; i < kQK / 2; ++i) {
           float v0 = xb[2 * i] * inv, v1 = xb[2 * i + 1] * inv;
-          int q0 = (int)(v0 + (v0 >= 0 ? 0.5f : -0.5f));
-          int q1 = (int)(v1 + (v1 >= 0 ? 0.5f : -0.5f));
+          int q0 = (int)std::nearbyintf(v0);  // round-half-even (see q8)
+          int q1 = (int)std::nearbyintf(v1);
           if (q0 > 7) q0 = 7;
           if (q0 < -8) q0 = -8;
           if (q1 > 7) q1 = 7;

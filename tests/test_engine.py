@@ -84,3 +84,52 @@ def test_stochastic_sampling_runs():
     )
     res = eng.generate([1, 5, 7], max_new_tokens=10)
     assert all(0 <= t < CFG.n_vocab for t in res.tokens)
+
+
+def test_done_slots_do_not_advance_offsets(engine):
+    """A done/idle slot must freeze its offset: in long-lived serving an
+    unbounded offset walks past the cache end (OOB DMA risk in the
+    length-aware decode kernel)."""
+    from tokenhawk_tpu.runtime.engine import make_decode_fn
+
+    cfg, params = engine.cfg, engine.params
+    B, chunk = 2, 4
+    cache = KVCache.create(cfg, B, engine.max_seq, jnp.float32)
+    decode = make_decode_fn(cfg, GREEDY, chunk)
+    offsets = jnp.asarray([5, 7], jnp.int32)
+    done = jnp.asarray([False, True])
+    last_n = jnp.full((B, 4), -1, jnp.int32)
+    last = jnp.asarray([3, 3], jnp.int32)
+    cache, toks, offsets, last_n, done = decode(
+        params, cache, last, offsets, last_n, done, jax.random.PRNGKey(0)
+    )
+    offs = np.asarray(offsets)
+    assert offs[1] == 7  # frozen
+    # slot 0 advances (unless it hit EOS mid-chunk, in which case less)
+    assert 5 < offs[0] <= 5 + chunk
+
+
+def test_decode_near_cache_edge_clamps(engine):
+    """Decoding with offsets at/over the cache edge must not fault: the
+    attention length is clamped to the cache capacity."""
+    from tokenhawk_tpu.runtime.engine import make_decode_fn
+
+    cfg, params = engine.cfg, engine.params
+    S = engine.max_seq
+    cache = KVCache.create(cfg, 1, S, jnp.float32)
+    decode = make_decode_fn(cfg, GREEDY, 4)
+    offsets = jnp.asarray([S - 1], jnp.int32)
+    done = jnp.asarray([False])
+    last_n = jnp.full((1, 4), -1, jnp.int32)
+    cache, toks, offsets, last_n, done = decode(
+        params, cache, jnp.asarray([3], jnp.int32), offsets, last_n, done,
+        jax.random.PRNGKey(0),
+    )
+    assert np.asarray(toks).shape == (1, 4)  # no crash; output well-formed
+
+
+def test_engine_prompt_uses_dummy_prefix(engine):
+    """String prompts get the SentencePiece dummy prefix (leading space),
+    matching the reference (/root/reference/th-llama.cpp:122)."""
+    ids = engine.tokenizer.encode_prompt("Hi", add_bos=True)
+    assert ids == engine.tokenizer.encode(" Hi", add_bos=True)

@@ -47,25 +47,40 @@ def test_q4_decode_transpose_pack_matches_numpy(rng):
     np.testing.assert_allclose(scales, qt.scales.T)
 
 
-def test_q8_encode_roundtrip(rng):
+def test_q8_encode_matches_numpy_exactly(rng):
+    # Both paths round half-even, so the SAME tensor must produce the
+    # SAME codes whether or not the .so loads (reproducible model files).
     x = rng.standard_normal((8, 64)).astype(np.float32)
     raw = native.q8_encode(x)
     want = to_blocks(quantize_q8_0(x))
     qt_a = from_blocks(GGMLType.Q8_0, raw, x.shape)
     qt_b = from_blocks(GGMLType.Q8_0, want, x.shape)
     np.testing.assert_allclose(qt_a.scales, qt_b.scales, rtol=1e-6)
-    # rounding of exact .5 can differ by 1 code between C and numpy
-    assert np.abs(qt_a.qs.astype(int) - qt_b.qs.astype(int)).max() <= 1
+    np.testing.assert_array_equal(qt_a.qs, qt_b.qs)
 
 
-def test_q4_encode_roundtrip(rng):
+def test_q8_encode_half_even_ties(rng):
+    # Values engineered to land exactly on .5 quantization boundaries:
+    # absmax 127 -> d = 1.0 -> v = x exactly; 2.5 rounds to 2, 3.5 to 4.
+    x = np.zeros((1, 32), np.float32)
+    x[0, 0] = 127.0
+    x[0, 1:9] = [0.5, 1.5, 2.5, 3.5, -0.5, -1.5, -2.5, -3.5]
+    raw = native.q8_encode(x)
+    want = to_blocks(quantize_q8_0(x))
+    qt_a = from_blocks(GGMLType.Q8_0, raw, x.shape)
+    qt_b = from_blocks(GGMLType.Q8_0, want, x.shape)
+    np.testing.assert_array_equal(qt_a.qs, qt_b.qs)
+    np.testing.assert_array_equal(qt_a.qs[0, 1:9], [0, 2, 2, 4, 0, -2, -2, -4])
+
+
+def test_q4_encode_matches_numpy_exactly(rng):
     x = rng.standard_normal((8, 64)).astype(np.float32)
     raw = native.q4_encode(x)
     want = to_blocks(quantize_q4_0(x))
     qt_a = from_blocks(GGMLType.Q4_0, raw, x.shape)
     qt_b = from_blocks(GGMLType.Q4_0, want, x.shape)
     np.testing.assert_allclose(qt_a.scales, qt_b.scales, rtol=1e-6)
-    assert np.abs(qt_a.qs.astype(int) - qt_b.qs.astype(int)).max() <= 1
+    np.testing.assert_array_equal(qt_a.qs, qt_b.qs)
 
 
 def test_f16_to_bf16_transpose(rng):

@@ -18,10 +18,37 @@ import numpy as np
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _SEARCH = [
-    Path(__file__).resolve().parents[2] / "native" / "libthawk_native.so",
+    _NATIVE_DIR / "libthawk_native.so",
     Path(os.environ.get("THAWK_NATIVE_LIB", "")),
 ]
+
+
+def _build_from_source() -> None:
+    """Build the .so from thawk_native.cpp if missing or stale.
+
+    The binary is not checked into version control (unreviewable,
+    platform-specific); it is compiled on first use and the numpy
+    fallback covers any build failure.  Set THAWK_NO_NATIVE_BUILD=1 to
+    skip."""
+    if os.environ.get("THAWK_NO_NATIVE_BUILD"):
+        return
+    src = _NATIVE_DIR / "thawk_native.cpp"
+    so = _NATIVE_DIR / "libthawk_native.so"
+    if not src.is_file():
+        return
+    if so.is_file() and so.stat().st_mtime >= src.stat().st_mtime:
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True, capture_output=True, timeout=120,
+        )
+    except (OSError, subprocess.SubprocessError):
+        pass
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -29,6 +56,7 @@ def _load() -> Optional[ctypes.CDLL]:
     if _TRIED:
         return _LIB
     _TRIED = True
+    _build_from_source()
     for p in _SEARCH:
         if p and p.is_file():
             try:

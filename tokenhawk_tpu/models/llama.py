@@ -121,7 +121,7 @@ def _attend_and_update(cfg, q, k, v, lcache, offsets, positions):
         rep = H // Hkv
         qg = (q[:, 0] * (1.0 / Dh**0.5)).reshape(B, Hkv, rep, Dh)
         out = flash_decode_int8(
-            qg, kc, ksc, vc, vsc, positions[:, 0] + 1,
+            qg, kc, ksc, vc, vsc, jnp.minimum(positions[:, 0] + 1, S),
             interpret=(mode == "interpret"),
         )
         ctx = out.reshape(B, 1, H, Dh).astype(q.dtype)

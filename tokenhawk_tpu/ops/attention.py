@@ -55,7 +55,9 @@ def attend_cache(
 
                 B = q.shape[0]
                 qg = (q[:, 0] * scale).reshape(B, Hkv, rep, Dh)
-                lengths = (q_positions[:, 0] + 1).astype(jnp.int32)
+                # Clamp: a slot may advance a few steps past the cache end
+                # within one decode chunk before the host retires it.
+                lengths = jnp.minimum(q_positions[:, 0] + 1, S).astype(jnp.int32)
                 out = flash_decode_dma(
                     qg, k_cache, v_cache, lengths,
                     interpret=(mode == "interpret"),

@@ -103,7 +103,7 @@ def _kernel(
 @functools.partial(jax.jit, static_argnames=("block_t", "block_s", "interpret"))
 def flash_attention(
     q: jax.Array,  # [B, Hkv, rep, T, Dh]
-    k_cache: jax.Array,  # [B, S, Hkv, Dh]
+    k_cache: jax.Array,  # [B, Hkv, S, Dh] (head-major)
     v_cache: jax.Array,
     offsets: jax.Array,  # [B] int32
     *,

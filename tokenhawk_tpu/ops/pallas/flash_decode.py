@@ -160,7 +160,10 @@ def attend_decode(
     Hkv = k_cache.shape[1]  # cache is head-major [B, Hkv, S, Dh]
     rep = H // Hkv
     qg = (q[:, 0] * scale).reshape(B, Hkv, rep, Dh)
-    lengths = q_positions[:, 0] + 1  # attend to positions <= q_pos
+    # attend to positions <= q_pos; clamp to cache capacity so a stale
+    # over-advanced slot cannot un-mask the whole cache (length > S makes
+    # every kpos pass the `kpos < length` test).
+    lengths = jnp.minimum(q_positions[:, 0] + 1, k_cache.shape[2])
     out = flash_decode(qg, k_cache, v_cache, lengths.astype(jnp.int32),
                        interpret=interpret)
     return out.reshape(B, 1, H, Dh).astype(q.dtype)

@@ -49,7 +49,9 @@ def _kernel(
     hg = pl.program_id(1)
     i = pl.program_id(2)
     h0 = hg * head_block
-    length = lengths_ref[b]
+    # Clamp to the cache capacity: an over-long length would otherwise
+    # prefetch past the [B, Hkv, n_blocks, ps, Dh] view (OOB async copy).
+    length = jnp.minimum(lengths_ref[b], pl.num_programs(2) * block_s)
     n_blocks = pl.cdiv(length, block_s)
 
     def copies(blk, slot):

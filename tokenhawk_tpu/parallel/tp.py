@@ -215,9 +215,11 @@ def make_tp_decode_fn(cfg: LlamaConfig, mesh: Mesh, sampling: SamplingConfig,
             logits = _logits_tp(cfg, params, h[:, 0])
             nxt = sample(logits, k, sampling, last_n)
             nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            # Freeze offsets for done/idle slots (see engine.make_decode_fn).
+            off = off + jnp.where(done, 0, 1)
             done = done | (nxt == eos_id)
             last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
-            return (k_cache, v_cache, nxt, off + 1, last_n, done), nxt
+            return (k_cache, v_cache, nxt, off, last_n, done), nxt
 
         keys = jax.random.split(key, chunk)
         (k_cache, v_cache, tok, offsets, last_n, done), toks = jax.lax.scan(

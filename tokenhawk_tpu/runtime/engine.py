@@ -93,9 +93,14 @@ def make_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig, chunk: int,
             logits = logits_from_hidden(cfg, params, h[:, 0])
             nxt = sample(logits, k, sampling, last_n)
             nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            # Done/idle slots must not advance: in long-lived serving an
+            # unbounded offset walks past the cache end (OOB DMA in the
+            # length-aware decode kernel, stale-cache unmasking in the
+            # pipelined one).
+            off = off + jnp.where(done, 0, 1)
             done = done | (nxt == eos_id)
             last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
-            return (cache, nxt, off + 1, last_n, done), nxt
+            return (cache, nxt, off, last_n, done), nxt
 
         keys = jax.random.split(key, chunk)
         (cache, tok, offsets, last_n, done), toks = jax.lax.scan(
@@ -234,7 +239,7 @@ class Engine:
         if isinstance(prompt, str):
             if self.tokenizer is None:
                 raise ValueError("string prompt requires a tokenizer")
-            prompt_ids = self.tokenizer.encode(prompt, add_bos=True)
+            prompt_ids = self.tokenizer.encode_prompt(prompt, add_bos=True)
         else:
             prompt_ids = list(prompt)
         if not prompt_ids:

@@ -53,9 +53,12 @@ def make_paged_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig,
             logits = logits_from_hidden(cfg, params, h[:, 0])
             nxt = sample(logits, k, sampling, last_n)
             nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            # Freeze lengths for done/idle slots (see engine.make_decode_fn):
+            # an unbounded length walks the page walk past the slot's pages.
+            lens = lens + jnp.where(done, 0, 1)
             done = done | (nxt == eos_id)
             last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
-            return (cache, nxt, lens + 1, last_n, done), nxt
+            return (cache, nxt, lens, last_n, done), nxt
 
         keys = jax.random.split(key, chunk)
         (cache, tok, lengths, last_n, done), toks = jax.lax.scan(

@@ -53,7 +53,7 @@ class ServingLoop:
     def submit_text(self, prompt: str, max_tokens: int = 256) -> "queue.Queue":
         """Returns a queue yielding decoded-token strings, then _SENTINEL."""
         out: "queue.Queue" = queue.Queue()
-        ids = self.tokenizer.encode(prompt, add_bos=True)
+        ids = self.tokenizer.encode_prompt(prompt, add_bos=True)
 
         def on_token(tid: int):
             out.put(self.tokenizer.decode_token_bytes(tid).decode("utf-8", "replace"))

@@ -112,6 +112,16 @@ class Tokenizer:
             i = nxt[i]
         return out
 
+    def encode_prompt(self, text: str, add_bos: bool = True) -> List[int]:
+        """Encode a user prompt with the SentencePiece dummy prefix.
+
+        The reference inserts a leading space before tokenizing
+        (/root/reference/th-llama.cpp:122) so the first word of the
+        prompt gets its word-initial (U+2581) piece instead of falling
+        to character/byte pieces.
+        """
+        return self.encode(" " + text, add_bos=add_bos)
+
     # -- decoding --------------------------------------------------------
 
     def decode_token_bytes(self, token_id: int) -> bytes:
