@@ -1,0 +1,129 @@
+"""Quant-matmul kernel microbenchmark: achieved HBM GB/s per variant.
+
+Times ONLY the fused dequant-matmul kernels over >128 MB of distinct
+weights (so XLA cannot cache re-reads in VMEM), at decode shapes
+(B=8 activation rows).  Usage:
+
+    python experiments/qkernel_bench.py --kind q8_0
+    python experiments/qkernel_bench.py --kind q4_0 --block-n 512
+
+Protocol per BENCH_NOTES: host readback + in-graph iteration-count
+differencing (block_until_ready acks early through the relay).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--kind", choices=["q8_0", "q4_0", "f16"], default="q8_0")
+    p.add_argument("--pairs", type=int, default=4, help="w1/w2-like weight pairs")
+    p.add_argument("--rows", type=int, default=8, help="activation rows (decode=8)")
+    p.add_argument("--k", type=int, default=4096)
+    p.add_argument("--n", type=int, default=11008)
+    p.add_argument("--block-n", type=int, default=0, help="0 = kernel default")
+    p.add_argument("--block-k", type=int, default=0)
+    p.add_argument("--variant", default="default",
+                   help="kernel variant tag (see ops/pallas/qmatmul*.py)")
+    args = p.parse_args()
+
+    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from tokenhawk_tpu.ops.pallas import qmatmul as qm
+    from tokenhawk_tpu.utils.benchlib import measure_iter_seconds
+
+    K, N, R = args.k, args.n, args.rows
+    bn = args.block_n or None
+    bk = args.block_k or None
+
+    # Distinct weight pairs: [K, N] then [N, K] so activations chain.
+    pairs = []
+    bytes_per_pass = 0
+    for i in range(args.pairs):
+        if args.kind == "q8_0":
+            qs1 = jnp.tile((jnp.arange(256, dtype=jnp.int32) - 128 + i).astype(jnp.int8),
+                           K * N // 256).reshape(K, N)
+            s1 = jnp.full((K // 32, N), 0.01, jnp.bfloat16)
+            qs2 = jnp.tile((jnp.arange(256, dtype=jnp.int32) - 100 + i).astype(jnp.int8),
+                           K * N // 256).reshape(N, K)
+            s2 = jnp.full((N // 32, K), 0.01, jnp.bfloat16)
+            pairs.append((("q8", qs1, s1, None), ("q8", qs2, s2, None)))
+            bytes_per_pass += qs1.nbytes + s1.nbytes + qs2.nbytes + s2.nbytes
+        elif args.kind == "q4_0":
+            qs1 = jnp.tile((jnp.arange(256, dtype=jnp.int32) + i).astype(jnp.uint8),
+                           (K // 2) * N // 256).reshape(K // 2, N)
+            s1 = jnp.full((K // 64, N), 0.01, jnp.bfloat16)
+            qs2 = jnp.tile((jnp.arange(256, dtype=jnp.int32) + 7 * i).astype(jnp.uint8),
+                           (N // 2) * K // 256).reshape(N // 2, K)
+            s2 = jnp.full((N // 64, K), 0.01, jnp.bfloat16)
+            pairs.append((("q4", qs1, s1, s1), ("q4", qs2, s2, s2)))
+            bytes_per_pass += qs1.nbytes + 2 * s1.nbytes + qs2.nbytes + 2 * s2.nbytes
+        else:  # f16 dense bf16 (XLA matmul)
+            w1 = jnp.full((K, N), 0.01, jnp.bfloat16) + i * 1e-4
+            w2 = jnp.full((N, K), 0.01, jnp.bfloat16) + i * 1e-4
+            pairs.append((("f16", w1, None, None), ("f16", w2, None, None)))
+            bytes_per_pass += w1.nbytes + w2.nbytes
+    pairs = jax.block_until_ready(pairs)
+    print(f"weights: {bytes_per_pass / 1e6:.0f} MB per pass", file=sys.stderr)
+
+    kw = {}
+    if bn:
+        kw["block_n"] = bn
+    if bk:
+        kw["block_k"] = bk
+
+    kind = {"q8_0": "q8", "q4_0": "q4", "f16": "f16"}[args.kind]
+
+    def apply(x, w):
+        a, b, c = w
+        if kind == "q8":
+            return qm.q8_matmul(x, a, b, **kw)
+        if kind == "q4":
+            return qm.q4_matmul(x, a, b, c, **kw)
+        return jnp.dot(x, a, preferred_element_type=jnp.float32).astype(x.dtype)
+
+    # Weight arrays must be jit ARGUMENTS: closed-over they bake into the
+    # HLO as constants and blow the remote-compile body limit (HTTP 413).
+    wargs = [((wa[1], wa[2], wa[3]), (wb[1], wb[2], wb[3])) for wa, wb in pairs]
+
+    def make_fn(n):
+        @jax.jit
+        def run(x, wargs):
+            def body(x, _):
+                for wa, wb in wargs:
+                    y = apply(x, wa)
+                    x = apply(y * 1e-3, wb) * 1e-3
+                return x, ()
+
+            x, _ = jax.lax.scan(body, x, None, length=n)
+            return x
+
+        return run
+
+    x0 = jnp.full((R, K), 0.5, jnp.bfloat16)
+    t0 = time.perf_counter()
+    per_iter = measure_iter_seconds(make_fn, (x0, wargs), n_small=4, n_large=16)
+    gbps = bytes_per_pass / per_iter / 1e9
+    print(f"compile+measure {time.perf_counter() - t0:.0f}s", file=sys.stderr)
+    print(f"{args.kind} variant={args.variant} blocks(n={bn},k={bk}) rows={R}: "
+          f"{per_iter * 1e3:.3f} ms/pass -> {gbps:.0f} GB/s "
+          f"({gbps / 819 * 100:.0f}% of v5e HBM)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

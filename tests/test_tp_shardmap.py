@@ -151,3 +151,76 @@ def test_tp_gqa_generation_matches():
     want = e_ref.generate([1, 11, 22, 33], max_new_tokens=6).tokens
     got = e_tp.generate([1, 11, 22, 33], max_new_tokens=6).tokens
     assert got == want
+
+
+def _unrolled_tp_params(cfg, tensors, tp, mesh):
+    from tokenhawk_tpu.models.llama import unstack_params
+    from tokenhawk_tpu.parallel.tp import fuse_params_tp
+
+    p = params_from_ggml(cfg, tensors, dtype=jnp.float32,
+                         row_parallel_shards=tp)
+    return shard_params_tp(cfg, unstack_params(fuse_params_tp(cfg, p, tp)),
+                           mesh)
+
+
+def test_tp_unrolled_fused_generation_matches(tensors):
+    """Decode-fast TP form (interleaved fused wqkv/w13 + unrolled layers +
+    in-place KV updates) produces the same tokens as the reference."""
+    tp = 4
+    mesh = make_mesh(dp=1, tp=tp)
+    params = params_from_ggml(CFG, tensors, dtype=jnp.float32)
+    params_tp = _unrolled_tp_params(CFG, tensors, tp, mesh)
+    tok = byte_fallback_vocab()
+    e_ref = Engine(CFG, params, tokenizer=tok, sampling=GREEDY,
+                   cache_dtype=jnp.float32, decode_chunk=4)
+    e_tp = Engine(CFG, params_tp, tokenizer=tok, sampling=GREEDY,
+                  cache_dtype=jnp.float32, decode_chunk=4,
+                  mesh=mesh, parallel="tp")
+    want = e_ref.generate([1, 9, 17, 33], max_new_tokens=8).tokens
+    got = e_tp.generate([1, 9, 17, 33], max_new_tokens=8).tokens
+    assert got == want
+
+
+@pytest.mark.parametrize("kind", [GGMLType.Q8_0, GGMLType.Q4_0])
+def test_tp_unrolled_fused_quantized_matches(tensors, kind):
+    tp = 4
+    mesh = make_mesh(dp=1, tp=tp)
+    qt = _quant(tensors, kind)
+    params = params_from_ggml(CFG, qt, dtype=jnp.float32)
+    params_tp = _unrolled_tp_params(CFG, qt, tp, mesh)
+    tok = byte_fallback_vocab()
+    e_ref = Engine(CFG, params, tokenizer=tok, sampling=GREEDY,
+                   cache_dtype=jnp.float32, decode_chunk=4)
+    e_tp = Engine(CFG, params_tp, tokenizer=tok, sampling=GREEDY,
+                  cache_dtype=jnp.float32, decode_chunk=4,
+                  mesh=mesh, parallel="tp")
+    want = e_ref.generate([1, 5, 25], max_new_tokens=6).tokens
+    got = e_tp.generate([1, 5, 25], max_new_tokens=6).tokens
+    assert got == want
+
+
+def test_tp_unrolled_decode_updates_cache_in_place(tensors):
+    """The unrolled TP decode step must not reallocate/rewrite the cache
+    per step (the scan-ys bug fixed on single chip, BENCH_NOTES.md).
+    Criterion: compiled temp allocation is far below the cache footprint
+    (measured: ~4 KB unrolled vs ~1.8x the whole local cache for the
+    stacked-scan form, whose scan-ys rewrite allocates a fresh cache)."""
+    from tokenhawk_tpu.models.llama import make_unrolled_cache
+    from tokenhawk_tpu.parallel.tp import make_tp_decode_fn, shard_cache_tp
+
+    tp, dp = 4, 2
+    mesh = make_mesh(dp=dp, tp=tp)
+    params_tp = _unrolled_tp_params(CFG, tensors, tp, mesh)
+    B, S = 2, 256
+    cache = shard_cache_tp(make_unrolled_cache(CFG, B, S, jnp.float32), mesh)
+    decode = make_tp_decode_fn(CFG, mesh, GREEDY, 2, params=params_tp)
+    args = (params_tp, cache, jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32), jnp.full((B, 4), -1, jnp.int32),
+            jnp.zeros((B,), bool), jax.random.PRNGKey(0))
+    compiled = decode.lower(*args).compile()
+    temp = compiled.memory_analysis().temp_size_in_bytes
+    layer_cache_bytes = 2 * (B // dp) * (CFG.n_kv_head // tp) * S * CFG.head_dim * 4
+    assert temp < layer_cache_bytes, (
+        f"decode temps {temp} B suggest a cache rewrite "
+        f"(one layer's local cache = {layer_cache_bytes} B)"
+    )

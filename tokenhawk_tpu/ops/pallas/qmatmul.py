@@ -45,6 +45,36 @@ BLOCK_KP = int(_os.environ.get("THAWK_QBLOCK_KP", "2048"))
 # q4 bias-dot: skip the per-element -8 and correct with two tiny MXU dots
 # (y -= 8 * group_sums(x) @ scales). Saves one wide VPU op per element.
 Q4_BIASDOT = _os.environ.get("THAWK_Q4_BIASDOT", "0") == "1"
+# Scale application: "reshape" views the [bk, bn] tile as [sg, GROUP, bn]
+# and broadcast-multiplies s[:, None, :] (sublane broadcast, no data
+# movement); "repeat" materializes repeat(s, GROUP) (full relayout).
+SCALE_MODE = _os.environ.get("THAWK_SCALE_MODE", "reshape")
+# Feed the MXU f32 instead of casting the dequantized tile to bf16:
+# saves one wide VPU convert per element; f32 MXU rate only matters at
+# prefill row counts.
+DOT_F32 = _os.environ.get("THAWK_DOT_F32", "0") == "1"
+
+
+def _apply_scales(w, s, group=GROUP):
+    """w [bk, bn] * s [bk//group, bn] broadcast over each group."""
+    if SCALE_MODE == "repeat":
+        return w * jnp.repeat(s, group, axis=0)
+    bk, bn = w.shape
+    sg = bk // group
+    return (w.reshape(sg, group, bn) * s[:, None, :]).reshape(bk, bn)
+
+
+def _qdot(x, w, acc_ref):
+    """acc += x @ w with the dequantized tile in f32 or bf16."""
+    if DOT_F32:
+        acc_ref[...] += jax.lax.dot_general(
+            x.astype(jnp.float32), w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc_ref[...] += jnp.dot(
+            x, w.astype(x.dtype), preferred_element_type=jnp.float32
+        )
 
 
 def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
@@ -57,10 +87,8 @@ def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
     x = x_ref[...]
     w = qs_ref[...].astype(jnp.float32)  # [bk, bn]
     s = s_ref[...].astype(jnp.float32)  # [bk//GROUP, bn] (tiled by BlockSpec)
-    w = w * jnp.repeat(s, GROUP, axis=0)
-    acc_ref[...] += jnp.dot(
-        x, w.astype(x.dtype), preferred_element_type=jnp.float32
-    )
+    w = _apply_scales(w, s)
+    _qdot(x, w, acc_ref)
 
     @pl.when(k == n_k_tiles - 1)
     def _():
@@ -106,15 +134,11 @@ def _q4_kernel(
         lo = ((p32 & 0x0F) - 8).astype(jnp.float32)
         hi = ((p32 >> 4) - 8).astype(jnp.float32)
 
-    lo = lo * jnp.repeat(s_lo, GROUP, axis=0)
-    hi = hi * jnp.repeat(s_hi, GROUP, axis=0)
+    lo = _apply_scales(lo, s_lo)
+    hi = _apply_scales(hi, s_hi)
 
-    acc_ref[...] += jnp.dot(
-        x_lo, lo.astype(x_lo.dtype), preferred_element_type=jnp.float32
-    )
-    acc_ref[...] += jnp.dot(
-        x_hi, hi.astype(x_hi.dtype), preferred_element_type=jnp.float32
-    )
+    _qdot(x_lo, lo, acc_ref)
+    _qdot(x_hi, hi, acc_ref)
 
     @pl.when(k == n_k_tiles - 1)
     def _():

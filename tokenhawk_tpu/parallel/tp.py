@@ -22,6 +22,7 @@ per shard).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Tuple
 
@@ -62,20 +63,39 @@ except ImportError:  # pragma: no cover
 # ---------------------------------------------------------------------------
 
 
-def layer_specs_tp() -> LayerParams:
-    col = P(None, None, MODEL_AXIS)  # [L, K, N/tp]
-    row = P(None, MODEL_AXIS, None)  # [L, K/tp, N]
-    vec = P(None, None)
+def layer_specs_tp(lp: LayerParams = None, stacked: bool = True) -> LayerParams:
+    pre = (None,) if stacked else ()
+    col = P(*pre, None, MODEL_AXIS)  # [(L,) K, N/tp]
+    row = P(*pre, MODEL_AXIS, None)  # [(L,) K/tp, N]
+    vec = P(*pre, None)
+
+    def opt(w, spec):
+        return None if (lp is not None and w is None) else spec
+
+    if lp is None:
+        lp = LayerParams(wq=1, wk=1, wv=1, wo=1, w1=1, w2=1, w3=1,
+                         attn_norm=1, ffn_norm=1)
     return LayerParams(
-        wq=col, wk=col, wv=col, wo=row, w1=col, w2=row, w3=col,
+        wq=opt(lp.wq, col), wk=opt(lp.wk, col), wv=opt(lp.wv, col),
+        wo=row, w1=opt(lp.w1, col), w2=row, w3=opt(lp.w3, col),
         attn_norm=vec, ffn_norm=vec,
+        wqkv=opt(lp.wqkv, col) if lp.wqkv is not None else None,
+        w13=opt(lp.w13, col) if lp.w13 is not None else None,
     )
 
 
-def param_specs_tp() -> LlamaParams:
+def param_specs_tp(params: LlamaParams = None) -> LlamaParams:
+    """Partition specs matching `params`' structure (stacked or unrolled,
+    fused or unfused).  With no argument: stacked unfused (legacy)."""
+    if params is not None and isinstance(params.layers, tuple):
+        layers = tuple(layer_specs_tp(lp, stacked=False)
+                       for lp in params.layers)
+    else:
+        layers = layer_specs_tp(None if params is None else params.layers,
+                                stacked=True)
     return LlamaParams(
         tok_embd=P(MODEL_AXIS, None),  # vocab-parallel rows
-        layers=layer_specs_tp(),
+        layers=layers,
         norm=P(None),
         output=P(None, MODEL_AXIS),  # vocab-column-parallel
     )
@@ -84,6 +104,30 @@ def param_specs_tp() -> LlamaParams:
 def kv_cache_spec_tp() -> P:
     # [L, B, Hkv, S, Dh]
     return P(None, DATA_AXIS, MODEL_AXIS, None, None)
+
+
+def layer_cache_spec_tp() -> P:
+    # unrolled per-layer cache [B, Hkv, S, Dh]
+    return P(DATA_AXIS, MODEL_AXIS, None, None)
+
+
+def cache_specs_tp(cache):
+    """Spec pytree matching a KVCache (stacked) or tuple-of-layers cache."""
+    if isinstance(cache, KVCache):
+        return KVCache(kv_cache_spec_tp(), kv_cache_spec_tp())
+    lay = layer_cache_spec_tp()
+    return tuple((lay, lay) for _ in cache)
+
+
+def shard_cache_tp(cache, mesh: Mesh):
+    """Place a KV cache in the TP layout (heads sharded over `model`)."""
+    if isinstance(cache, KVCache):
+        sh = NamedSharding(mesh, kv_cache_spec_tp())
+        return KVCache(jax.device_put(cache.k, sh), jax.device_put(cache.v, sh))
+    sh = NamedSharding(mesh, layer_cache_spec_tp())
+    return tuple(
+        tuple(jax.device_put(a, sh) for a in layer) for layer in cache
+    )
 
 
 def validate_tp(cfg: LlamaConfig, tp: int):
@@ -116,33 +160,66 @@ def _layer_forward_tp(cfg: LlamaConfig, tp: int, x, lp: LayerParams, kc, vc,
     Hl = cfg.n_head // tp  # local q heads
     Hkvl = cfg.n_kv_head // tp
     Dh = cfg.head_dim
+    Dql, Dkvl = Hl * Dh, Hkvl * Dh
 
     h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
-    q = matmul(h, lp.wq).reshape(B, T, Hl, Dh)
-    k = matmul(h, lp.wk).reshape(B, T, Hkvl, Dh)
-    v = matmul(h, lp.wv).reshape(B, T, Hkvl, Dh)
+    if lp.wqkv is not None:
+        # Fused projection: the shard was interleaved as [wq_s|wk_s|wv_s]
+        # (fuse_params_tp), so the local split uses local widths.
+        qkv = matmul(h, lp.wqkv)  # [B, T, (Dq + 2 Dkv) / tp]
+        q = qkv[..., :Dql].reshape(B, T, Hl, Dh)
+        k = qkv[..., Dql : Dql + Dkvl].reshape(B, T, Hkvl, Dh)
+        v = qkv[..., Dql + Dkvl :].reshape(B, T, Hkvl, Dh)
+    else:
+        q = matmul(h, lp.wq).reshape(B, T, Hl, Dh)
+        k = matmul(h, lp.wk).reshape(B, T, Hkvl, Dh)
+        v = matmul(h, lp.wv).reshape(B, T, Hkvl, Dh)
     q = apply_rope(q, cos, sin, cfg.rope_style)
     k = apply_rope(k, cos, sin, cfg.rope_style)
 
     kc, vc = update_kv_cache(kc, vc, k, v, offsets)
     ctx = attend_cache(q, kc, vc, positions)  # local heads only
-    attn = matmul(ctx.reshape(B, T, Hl * Dh), lp.wo)  # row-parallel partial
+    attn = matmul(ctx.reshape(B, T, Dql), lp.wo)  # row-parallel partial
     x = x + jax.lax.psum(attn, MODEL_AXIS)
 
     h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)
-    gate = jax.nn.silu(matmul(h2, lp.w1).astype(jnp.float32)).astype(x.dtype)
-    ffn = matmul(gate * matmul(h2, lp.w3), lp.w2)  # row-parallel partial
+    if lp.w13 is not None:
+        Fl = cfg.n_ff // tp
+        gate_up = matmul(h2, lp.w13)  # [B, T, 2F/tp] as [w1_s|w3_s]
+        g, u = gate_up[..., :Fl], gate_up[..., Fl:]
+    else:
+        g, u = matmul(h2, lp.w1), matmul(h2, lp.w3)
+    gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+    ffn = matmul(gate * u, lp.w2)  # row-parallel partial
     x = x + jax.lax.psum(ffn, MODEL_AXIS)
     return x, kc, vc
 
 
-def _forward_tp(cfg: LlamaConfig, tp: int, params: LlamaParams, tokens, k_cache,
-                v_cache, offsets):
+def _forward_tp(cfg: LlamaConfig, tp: int, params: LlamaParams, tokens, cache,
+                offsets):
+    """cache: KVCache (stacked layers, lax.scan) or tuple of per-layer
+    (k, v) pairs (unrolled python loop).
+
+    Unrolled is the decode-fast form: the stacked scan returns the cache
+    as scan ys, which reallocates and rewrites the WHOLE cache every
+    step (the context-dependent-cost bug fixed on single chip,
+    BENCH_NOTES.md); the unrolled loop's dynamic_update_slice chains
+    alias in place on the donated per-layer buffers.
+    """
     x = _embed_vocab_parallel(params.tok_embd, tokens, tp)
     x = x.astype(params.tok_embd.dtype)
     T = tokens.shape[1]
     positions = offsets[:, None] + jnp.arange(T, dtype=offsets.dtype)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    if isinstance(params.layers, tuple):  # unrolled
+        new_cache = []
+        for lp, (kc, vc) in zip(params.layers, cache):
+            x, kc, vc = _layer_forward_tp(
+                cfg, tp, x, lp, kc, vc, cos, sin, offsets, positions
+            )
+            new_cache.append((kc, vc))
+        return x, tuple(new_cache)
 
     def body(x, layer_inputs):
         lp, kc, vc = layer_inputs
@@ -151,8 +228,8 @@ def _forward_tp(cfg: LlamaConfig, tp: int, params: LlamaParams, tokens, k_cache,
         )
         return x, (kc, vc)
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (params.layers, k_cache, v_cache))
-    return x, k_new, v_new
+    x, (k_new, v_new) = jax.lax.scan(body, x, (params.layers, cache.k, cache.v))
+    return x, KVCache(k_new, v_new)
 
 
 def _logits_tp(cfg, params, hidden):
@@ -168,50 +245,53 @@ def _logits_tp(cfg, params, hidden):
 # ---------------------------------------------------------------------------
 
 
-def make_tp_prefill_fn(cfg: LlamaConfig, mesh: Mesh):
+def make_tp_prefill_fn(cfg: LlamaConfig, mesh: Mesh,
+                       params: LlamaParams = None):
+    """`params` (structure only) selects stacked vs unrolled and
+    fused vs unfused specs; None = legacy stacked unfused."""
     tp = mesh.shape[MODEL_AXIS]
     validate_tp(cfg, tp)
-    pspecs = param_specs_tp()
-    cspec = kv_cache_spec_tp()
+    pspecs = param_specs_tp(params)
+    unrolled = params is not None and isinstance(params.layers, tuple)
+    cspecs = (cache_specs_tp(tuple(range(cfg.n_layer))) if unrolled
+              else KVCache(kv_cache_spec_tp(), kv_cache_spec_tp()))
     bspec = P(DATA_AXIS)
 
-    def local_fn(params, k_cache, v_cache, tokens, lengths, offsets):
-        h, k_new, v_new = _forward_tp(cfg, tp, params, tokens, k_cache,
-                                      v_cache, offsets)
+    def local_fn(params, cache, tokens, lengths, offsets):
+        h, cache = _forward_tp(cfg, tp, params, tokens, cache, offsets)
         idx = jnp.clip(lengths - 1, 0, tokens.shape[1] - 1)
         h_last = jnp.take_along_axis(h, idx[:, None, None], axis=1)[:, 0]
         logits = _logits_tp(cfg, params, h_last)
-        return k_new, v_new, logits
+        return cache, logits
 
     mapped = shard_map(
         local_fn, mesh,
-        in_specs=(pspecs, cspec, cspec, P(DATA_AXIS, None), bspec, bspec),
-        out_specs=(cspec, cspec, P(DATA_AXIS, None)),
+        in_specs=(pspecs, cspecs, P(DATA_AXIS, None), bspec, bspec),
+        out_specs=(cspecs, P(DATA_AXIS, None)),
     )
 
     @partial(jax.jit, donate_argnums=(1,))
-    def prefill(params, cache: KVCache, tokens, lengths, offsets):
-        k_new, v_new, logits = mapped(params, cache.k, cache.v, tokens,
-                                      lengths, offsets)
-        return KVCache(k_new, v_new), logits
+    def prefill(params, cache, tokens, lengths, offsets):
+        return mapped(params, cache, tokens, lengths, offsets)
 
     return prefill
 
 
 def make_tp_decode_fn(cfg: LlamaConfig, mesh: Mesh, sampling: SamplingConfig,
-                      chunk: int, eos_id: int = 2):
+                      chunk: int, eos_id: int = 2,
+                      params: LlamaParams = None):
     tp = mesh.shape[MODEL_AXIS]
     validate_tp(cfg, tp)
-    pspecs = param_specs_tp()
-    cspec = kv_cache_spec_tp()
+    pspecs = param_specs_tp(params)
+    unrolled = params is not None and isinstance(params.layers, tuple)
+    cspecs = (cache_specs_tp(tuple(range(cfg.n_layer))) if unrolled
+              else KVCache(kv_cache_spec_tp(), kv_cache_spec_tp()))
     bspec = P(DATA_AXIS)
 
-    def local_fn(params, k_cache, v_cache, last_tok, offsets, last_n, done, key):
+    def local_fn(params, cache, last_tok, offsets, last_n, done, key):
         def step(carry, k):
-            k_cache, v_cache, tok, off, last_n, done = carry
-            h, k_cache, v_cache = _forward_tp(
-                cfg, tp, params, tok[:, None], k_cache, v_cache, off
-            )
+            cache, tok, off, last_n, done = carry
+            h, cache = _forward_tp(cfg, tp, params, tok[:, None], cache, off)
             logits = _logits_tp(cfg, params, h[:, 0])
             nxt = sample(logits, k, sampling, last_n)
             nxt = jnp.where(done, jnp.int32(eos_id), nxt)
@@ -219,35 +299,81 @@ def make_tp_decode_fn(cfg: LlamaConfig, mesh: Mesh, sampling: SamplingConfig,
             off = off + jnp.where(done, 0, 1)
             done = done | (nxt == eos_id)
             last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
-            return (k_cache, v_cache, nxt, off, last_n, done), nxt
+            return (cache, nxt, off, last_n, done), nxt
 
         keys = jax.random.split(key, chunk)
-        (k_cache, v_cache, tok, offsets, last_n, done), toks = jax.lax.scan(
-            step, (k_cache, v_cache, last_tok, offsets, last_n, done), keys
+        (cache, tok, offsets, last_n, done), toks = jax.lax.scan(
+            step, (cache, last_tok, offsets, last_n, done), keys
         )
-        return k_cache, v_cache, toks.T, offsets, last_n, done
+        return cache, toks.T, offsets, last_n, done
 
     mapped = shard_map(
         local_fn, mesh,
-        in_specs=(pspecs, cspec, cspec, bspec, bspec, P(DATA_AXIS, None),
+        in_specs=(pspecs, cspecs, bspec, bspec, P(DATA_AXIS, None),
                   bspec, P()),
-        out_specs=(cspec, cspec, P(DATA_AXIS, None), bspec,
+        out_specs=(cspecs, P(DATA_AXIS, None), bspec,
                    P(DATA_AXIS, None), bspec),
     )
 
     @partial(jax.jit, donate_argnums=(1,))
-    def decode(params, cache: KVCache, last_tok, offsets, last_n, done, key):
-        k_new, v_new, toks, offsets, last_n, done = mapped(
-            params, cache.k, cache.v, last_tok, offsets, last_n, done, key
-        )
-        return KVCache(k_new, v_new), toks, offsets, last_n, done
+    def decode(params, cache, last_tok, offsets, last_n, done, key):
+        return mapped(params, cache, last_tok, offsets, last_n, done, key)
 
     return decode
 
 
 # ---------------------------------------------------------------------------
-# Parameter placement
+# Parameter placement / fusion
 # ---------------------------------------------------------------------------
+
+
+def _slice_cols(w, lo: int, hi: int):
+    if isinstance(w, QWeight):
+        def f(a):
+            return None if a is None else a[..., lo:hi]
+
+        return QWeight(qs=f(w.qs), scales=f(w.scales), mins=f(w.mins),
+                       scales_hi=f(w.scales_hi), kind=w.kind, group=w.group)
+    return w[..., lo:hi]
+
+
+def _concat_cols(ws):
+    if isinstance(ws[0], QWeight):
+        from tokenhawk_tpu.ops.qweight import concat_qweights
+
+        return concat_qweights(ws)
+    return jnp.concatenate(ws, axis=-1)
+
+
+def fuse_params_tp(cfg: LlamaConfig, params: LlamaParams, tp: int) -> LlamaParams:
+    """Fuse wq|wk|wv -> wqkv and w1|w3 -> w13 with per-shard interleaving.
+
+    Plain concatenation + output-dim sharding would put the wq/wk
+    boundary inside a shard; instead shard s of the fused matrix is
+    [wq_s | wk_s | wv_s], so each TP rank slices its local q/k/v at the
+    LOCAL widths (see _layer_forward_tp).  Column slicing is always
+    group-quantization-safe (groups run down K).
+    """
+    if isinstance(params.layers, tuple):
+        raise ValueError("fuse before unstacking (stacked [L,...] layers)")
+    validate_tp(cfg, tp)
+
+    def interleave(ws):
+        widths = [w.shape[-1] for w in ws]
+        parts = []
+        for s in range(tp):
+            for w, n in zip(ws, widths):
+                parts.append(_slice_cols(w, s * n // tp, (s + 1) * n // tp))
+        return _concat_cols(parts)
+
+    lp = params.layers
+    layers = dataclasses.replace(
+        lp,
+        wqkv=interleave([lp.wq, lp.wk, lp.wv]),
+        w13=interleave([lp.w1, lp.w3]),
+        wq=None, wk=None, wv=None, w1=None, w3=None,
+    )
+    return dataclasses.replace(params, layers=layers)
 
 
 def shard_params_tp(cfg: LlamaConfig, params: LlamaParams, mesh: Mesh) -> LlamaParams:
@@ -259,7 +385,7 @@ def shard_params_tp(cfg: LlamaConfig, params: LlamaParams, mesh: Mesh) -> LlamaP
     """
     tp = mesh.shape[MODEL_AXIS]
     validate_tp(cfg, tp)
-    specs = param_specs_tp()
+    specs = param_specs_tp(params)
 
     def place(leaf, spec):
         sh = NamedSharding(mesh, spec)

@@ -150,11 +150,11 @@ class Engine:
                 make_tp_prefill_fn,
             )
 
-            self._prefill = make_tp_prefill_fn(cfg, mesh)
+            self._prefill = make_tp_prefill_fn(cfg, mesh, params)
             self._decode = make_tp_decode_fn(cfg, mesh, sampling, decode_chunk,
-                                             eos_id)
+                                             eos_id, params)
             self._make_decode1 = lambda: make_tp_decode_fn(
-                cfg, mesh, sampling, 1, eos_id)
+                cfg, mesh, sampling, 1, eos_id, params)
         else:
             self._prefill = make_prefill_fn(cfg)
             self._decode = make_decode_fn(cfg, sampling, decode_chunk, eos_id)
@@ -188,10 +188,15 @@ class Engine:
         if isinstance(self.params.layers, tuple):  # unrolled-layer params
             from tokenhawk_tpu.models.llama import make_unrolled_cache
 
-            return make_unrolled_cache(
+            cache = make_unrolled_cache(
                 self.cfg, batch or self.batch_size, self.max_seq,
                 self.cache_dtype,
             )
+            if self.mesh is not None and self.parallel == "tp":
+                from tokenhawk_tpu.parallel.tp import shard_cache_tp
+
+                cache = shard_cache_tp(cache, self.mesh)
+            return cache
         cache = KVCache.create(
             self.cfg, batch or self.batch_size, self.max_seq, self.cache_dtype
         )

@@ -115,8 +115,17 @@ def load_model(
         params = unstack_params(fuse_params(params))
     if mesh is not None:
         if parallel == "tp":
-            from tokenhawk_tpu.parallel.tp import shard_params_tp
+            from tokenhawk_tpu.models.llama import unstack_params
+            from tokenhawk_tpu.parallel.tp import (
+                fuse_params_tp,
+                shard_params_tp,
+            )
 
+            # Same decode-fast form as single chip: interleaved per-shard
+            # fusion + unrolled layers (in-place KV updates, no scan-ys
+            # whole-cache rewrite).
+            params = fuse_params_tp(cfg, params, tp)
+            params = unstack_params(params)
             params = shard_params_tp(cfg, params, mesh)
         else:
             from tokenhawk_tpu.parallel import shard_params

@@ -121,9 +121,9 @@ class Scheduler:
                 make_tp_prefill_fn,
             )
 
-            self._prefill = make_tp_prefill_fn(cfg, mesh)
+            self._prefill = make_tp_prefill_fn(cfg, mesh, params)
             self._decode = make_tp_decode_fn(cfg, mesh, sampling, decode_chunk,
-                                             eos_id)
+                                             eos_id, params)
         else:
             self._prefill = make_prefill_fn(cfg)
             self._decode = make_decode_fn(cfg, sampling, decode_chunk, eos_id)
@@ -133,6 +133,10 @@ class Scheduler:
             from tokenhawk_tpu.models.llama import make_unrolled_cache
 
             cache = make_unrolled_cache(cfg, self.B, self.S, cache_dtype)
+            if mesh is not None and parallel == "tp":
+                from tokenhawk_tpu.parallel.tp import shard_cache_tp
+
+                cache = shard_cache_tp(cache, mesh)
         else:
             cache = KVCache.create(cfg, self.B, self.S, cache_dtype)
             if mesh is not None:
