@@ -116,6 +116,14 @@ def main() -> int:
 
     x0 = jnp.full((R, K), 0.5, jnp.bfloat16)
     t0 = time.perf_counter()
+    from tokenhawk_tpu.utils.benchlib import _time_call
+
+    f4, f16_ = make_fn(4), make_fn(16)
+    _time_call(f4, (x0, wargs)); _time_call(f16_, (x0, wargs))  # compile+warm
+    for trial in range(3):
+        ts, tl = _time_call(f4, (x0, wargs)), _time_call(f16_, (x0, wargs))
+        print(f"  T(4)={ts*1e3:.2f}ms T(16)={tl*1e3:.2f}ms "
+              f"-> {(tl-ts)/12*1e3:.3f} ms/pass", file=sys.stderr)
     per_iter = measure_iter_seconds(make_fn, (x0, wargs), n_small=4, n_large=16)
     gbps = bytes_per_pass / per_iter / 1e9
     print(f"compile+measure {time.perf_counter() - t0:.0f}s", file=sys.stderr)

@@ -104,3 +104,40 @@ def test_unrolled_scheduler_matches(params):
                   cache_dtype=jnp.float32, decode_chunk=4)
     got = [r.output for r in s.generate_many(prompts, 6)]
     assert got == want
+
+
+def test_per_request_sampling_parameters(params):
+    """Two concurrent requests with different sampling settings: the
+    greedy one must match a solo greedy run; the stochastic one must be
+    reproducible from its own seed regardless of batch neighbours."""
+    cfg = CFG
+
+    greedy_cfg = SamplingConfig(temperature=0.0)
+    stoch_cfg = SamplingConfig(temperature=1.0, top_k=0, top_p=1.0,
+                               repeat_penalty=1.0, seed=1234)
+
+    # Solo greedy run for the expected output.
+    solo = Scheduler(cfg, params, sampling=greedy_cfg, max_batch=2,
+                     cache_dtype=jnp.float32, decode_chunk=4)
+    want_greedy = solo.generate_many([[1, 5, 9]], max_new_tokens=6)[0].output
+
+    def run_pair(order):
+        s = Scheduler(cfg, params, sampling=greedy_cfg, max_batch=2,
+                      cache_dtype=jnp.float32, decode_chunk=4)
+        reqs = [Request(prompt=[1, 5, 9], max_new_tokens=6,
+                        sampling=greedy_cfg),
+                Request(prompt=[1, 7, 2, 9], max_new_tokens=6,
+                        sampling=stoch_cfg)]
+        for r in (reqs if order else reqs[::-1]):
+            s.submit(r)
+        s.run()
+        return reqs
+
+    a = run_pair(True)
+    b = run_pair(False)
+    assert a[0].output == want_greedy  # greedy unaffected by neighbour
+    assert b[0].output == want_greedy
+    # stochastic request reproducible from its seed, independent of the
+    # slot it landed in
+    assert a[1].output == b[1].output
+    assert all(0 <= t < cfg.n_vocab for t in a[1].output)

@@ -111,6 +111,41 @@ def make_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig, chunk: int,
     return decode
 
 
+def make_decode_fn_dynamic(cfg: LlamaConfig, chunk: int, eos_id: int = EOS_ID):
+    """Decode chunk with PER-SLOT sampling parameters (device arrays).
+
+    (params, cache, last_tok [B], offsets [B], last_n [B,N], done [B],
+     sp: SamplingParams, counters [B])
+      -> (cache, tokens [B,chunk], offsets, last_n, done, counters)
+
+    Each slot has its own (seed, counter) RNG stream, so a request's
+    output is reproducible regardless of its batch neighbours.
+    """
+    from tokenhawk_tpu.sampling import sample_dynamic
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def decode(params, cache, last_tok, offsets, last_n, done, sp, counters):
+        def step(carry, _):
+            cache, tok, off, last_n, done, counters = carry
+            h, cache = forward(cfg, params, tok[:, None], cache, off)
+            logits = logits_from_hidden(cfg, params, h[:, 0])
+            nxt = sample_dynamic(logits, sp, counters, last_n)
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            off = off + jnp.where(done, 0, 1)
+            counters = counters + 1
+            done = done | (nxt == eos_id)
+            last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
+            return (cache, nxt, off, last_n, done, counters), nxt
+
+        (cache, tok, offsets, last_n, done, counters), toks = jax.lax.scan(
+            step, (cache, last_tok, offsets, last_n, done, counters),
+            None, length=chunk,
+        )
+        return cache, toks.T, offsets, last_n, done, counters
+
+    return decode
+
+
 class Engine:
     """Single-model inference engine (synchronous API).
 

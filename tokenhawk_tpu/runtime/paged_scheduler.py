@@ -69,6 +69,38 @@ def make_paged_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig,
     return decode
 
 
+def make_paged_decode_fn_dynamic(cfg: LlamaConfig, chunk: int,
+                                 eos_id: int = EOS_ID):
+    """Paged decode with per-slot traced sampling parameters (see
+    engine.make_decode_fn_dynamic)."""
+    from tokenhawk_tpu.sampling import sample_dynamic
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def decode(params, cache, table, last_tok, lengths, last_n, done, sp,
+               counters):
+        def step(carry, _):
+            cache, tok, lens, last_n, done, counters = carry
+            h, cache = forward_paged_decode(
+                cfg, params, tok[:, None], cache, table, lens
+            )
+            logits = logits_from_hidden(cfg, params, h[:, 0])
+            nxt = sample_dynamic(logits, sp, counters, last_n)
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            lens = lens + jnp.where(done, 0, 1)
+            counters = counters + 1
+            done = done | (nxt == eos_id)
+            last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
+            return (cache, nxt, lens, last_n, done, counters), nxt
+
+        (cache, tok, lengths, last_n, done, counters), toks = jax.lax.scan(
+            step, (cache, last_tok, lengths, last_n, done, counters),
+            None, length=chunk,
+        )
+        return cache, toks.T, done, counters
+
+    return decode
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def _paginate_fragment(k_pages, v_pages, frag_k, frag_v, table_row):
     """Scatter a dense prefill fragment [L, 1, Hkv, Tb, Dh] into pages."""
@@ -121,13 +153,17 @@ class PagedScheduler:
         self.lengths = np.zeros((self.B,), np.int32)
 
         self._prefill = make_prefill_fn(cfg)
-        self._decode = make_paged_decode_fn(cfg, sampling, decode_chunk, eos_id)
+        self._decode = make_paged_decode_fn_dynamic(cfg, decode_chunk, eos_id)
 
         n_ring = max(sampling.repeat_last_n, 1)
         self.n_ring = n_ring
         self.last_tok = jnp.zeros((self.B,), jnp.int32)
         self.last_n = jnp.full((self.B, n_ring), -1, jnp.int32)
         self.done = jnp.ones((self.B,), bool)
+        from tokenhawk_tpu.sampling import SamplingParams
+
+        self.sp = SamplingParams.broadcast(sampling, self.B)
+        self.counters = jnp.zeros((self.B,), jnp.int32)
 
         self.slots: List[Optional[Request]] = [None] * self.B
         self.pending: Deque[Request] = deque()
@@ -208,9 +244,15 @@ class PagedScheduler:
         ring = np.full((self.n_ring,), -1, np.int32)
         m = min(self.n_ring, len(prompt))
         ring[self.n_ring - m :] = prompt[-m:]
-        first = sample(
-            logits, self._next_key(), self.sampling, jnp.asarray(ring[None, :])
+        from tokenhawk_tpu.sampling import SamplingParams, sample_dynamic
+
+        scfg = req.sampling or self.sampling
+        self.sp = self.sp.set_slot(slot, SamplingParams.slot_values(scfg))
+        first = sample_dynamic(
+            logits, SamplingParams.broadcast(scfg, 1),
+            jnp.zeros((1,), jnp.int32), jnp.asarray(ring[None, :]),
         )[0]
+        self.counters = self.counters.at[slot].set(1)
         self.last_tok = self.last_tok.at[slot].set(first)
         self.last_n = self.last_n.at[slot].set(
             jnp.concatenate([jnp.asarray(ring[1:]), first[None]])
@@ -275,10 +317,10 @@ class PagedScheduler:
 
         if self.n_active == 0:
             return
-        self.cache, toks, self.done = self._decode(
+        self.cache, toks, self.done, self.counters = self._decode(
             self.params, self.cache, jnp.asarray(self.table),
             self.last_tok, jnp.asarray(self.lengths), self.last_n,
-            self.done, self._next_key(),
+            self.done, self.sp, self.counters,
         )
         self.last_tok = toks[:, -1]
         toks_host = np.asarray(toks)

@@ -40,6 +40,11 @@ from tokenhawk_tpu.tokenizer import EOS_ID
 class Request:
     prompt: List[int]
     max_new_tokens: int = 256
+    # Per-request sampling parameters; None = the scheduler's default.
+    # Applied via traced per-slot device arrays (sampling.SamplingParams),
+    # so concurrent requests with different settings share one compiled
+    # decode step.
+    sampling: Optional[SamplingConfig] = None
     on_token: Optional[Callable[[int], None]] = None
     on_done: Optional[Callable[["Request"], None]] = None
     # filled by the scheduler:
@@ -121,12 +126,18 @@ class Scheduler:
                 make_tp_prefill_fn,
             )
 
+            # TP decode bakes the scheduler-default sampling config (the
+            # per-request path is single-host; see ROADMAP).
+            self._dynamic = False
             self._prefill = make_tp_prefill_fn(cfg, mesh, params)
             self._decode = make_tp_decode_fn(cfg, mesh, sampling, decode_chunk,
                                              eos_id, params)
         else:
+            from tokenhawk_tpu.runtime.engine import make_decode_fn_dynamic
+
+            self._dynamic = True
             self._prefill = make_prefill_fn(cfg)
-            self._decode = make_decode_fn(cfg, sampling, decode_chunk, eos_id)
+            self._decode = make_decode_fn_dynamic(cfg, decode_chunk, eos_id)
 
         self._unrolled = isinstance(params.layers, tuple)
         if self._unrolled:
@@ -152,6 +163,10 @@ class Scheduler:
         self.offsets = jnp.zeros((self.B,), jnp.int32)
         self.last_n = jnp.full((self.B, n_ring), -1, jnp.int32)
         self.done = jnp.ones((self.B,), bool)
+        from tokenhawk_tpu.sampling import SamplingParams
+
+        self.sp = SamplingParams.broadcast(sampling, self.B)
+        self.counters = jnp.zeros((self.B,), jnp.int32)
 
         self.slots: List[Optional[Request]] = [None] * self.B
         self.pending: Deque[Request] = deque()
@@ -225,9 +240,21 @@ class Scheduler:
         ring = np.full((self.n_ring,), -1, np.int32)
         m = min(self.n_ring, len(prompt))
         ring[self.n_ring - m :] = prompt[-m:]
-        first = sample(
-            logits, self._next_key(), self.sampling, jnp.asarray(ring[None, :])
-        )[0]
+        if self._dynamic:
+            from tokenhawk_tpu.sampling import SamplingParams, sample_dynamic
+
+            scfg = req.sampling or self.sampling
+            self.sp = self.sp.set_slot(slot, SamplingParams.slot_values(scfg))
+            first = sample_dynamic(
+                logits, SamplingParams.broadcast(scfg, 1),
+                jnp.zeros((1,), jnp.int32), jnp.asarray(ring[None, :]),
+            )[0]
+            self.counters = self.counters.at[slot].set(1)
+        else:
+            first = sample(
+                logits, self._next_key(), self.sampling,
+                jnp.asarray(ring[None, :]),
+            )[0]
 
         self.last_tok, self.offsets, self.last_n, self.done = _admit_state(
             self.last_tok, self.offsets, self.last_n, self.done,
@@ -277,10 +304,17 @@ class Scheduler:
         if self.n_active == 0:
             return
 
-        self.cache, toks, self.offsets, self.last_n, self.done = self._decode(
-            self.params, self.cache, self.last_tok, self.offsets,
-            self.last_n, self.done, self._next_key(),
-        )
+        if self._dynamic:
+            (self.cache, toks, self.offsets, self.last_n, self.done,
+             self.counters) = self._decode(
+                self.params, self.cache, self.last_tok, self.offsets,
+                self.last_n, self.done, self.sp, self.counters,
+            )
+        else:
+            self.cache, toks, self.offsets, self.last_n, self.done = self._decode(
+                self.params, self.cache, self.last_tok, self.offsets,
+                self.last_n, self.done, self._next_key(),
+            )
         self.last_tok = toks[:, -1]
         toks_host = np.asarray(toks)
         for slot in range(self.B):

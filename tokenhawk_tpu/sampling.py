@@ -90,3 +90,111 @@ def sample(
 
 def greedy(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Per-request (traced) sampling — continuous batching serves concurrent
+# requests with DIFFERENT sampling settings through one jitted decode
+# step, so the parameters must be device arrays, not compile-time
+# constants.  (The reference hardcodes one setting at its call sites,
+# /root/reference/th-llama.cpp:719-722.)
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SamplingParams:
+    """Per-slot sampling parameters as [B] device arrays.
+
+    temperature <= 0 means greedy; top_k <= 0 disables top-k; top_p >= 1
+    disables nucleus filtering; repeat_penalty == 1 disables the CTRL
+    penalty.  `seed` drives a per-slot counter-based RNG so each request
+    is reproducible independently of its batch neighbours.
+    """
+
+    temperature: jax.Array  # [B] f32
+    top_k: jax.Array  # [B] i32
+    top_p: jax.Array  # [B] f32
+    repeat_penalty: jax.Array  # [B] f32
+    seed: jax.Array  # [B] i32
+
+    @staticmethod
+    def broadcast(cfg: SamplingConfig, batch: int) -> "SamplingParams":
+        t = 0.0 if cfg.greedy else cfg.temperature
+        return SamplingParams(
+            temperature=jnp.full((batch,), t, jnp.float32),
+            top_k=jnp.full((batch,), cfg.top_k, jnp.int32),
+            top_p=jnp.full((batch,), cfg.top_p, jnp.float32),
+            repeat_penalty=jnp.full((batch,), cfg.repeat_penalty, jnp.float32),
+            seed=jnp.full((batch,), cfg.seed, jnp.int32),
+        )
+
+    @staticmethod
+    def slot_values(cfg: SamplingConfig):
+        """Host-side scalar tuple for one slot (see Scheduler._admit_one)."""
+        t = 0.0 if cfg.greedy else cfg.temperature
+        return (t, cfg.top_k, cfg.top_p, cfg.repeat_penalty, cfg.seed)
+
+    def set_slot(self, slot, values) -> "SamplingParams":
+        t, k, p, r, s = values
+        return SamplingParams(
+            temperature=self.temperature.at[slot].set(t),
+            top_k=self.top_k.at[slot].set(k),
+            top_p=self.top_p.at[slot].set(p),
+            repeat_penalty=self.repeat_penalty.at[slot].set(r),
+            seed=self.seed.at[slot].set(s),
+        )
+
+
+def _per_slot_categorical(z, seeds, counters):
+    """Sample each row with its own (seed, counter) stream."""
+
+    def one(zi, s, c):
+        k = jax.random.fold_in(jax.random.PRNGKey(s), c)
+        return jax.random.categorical(k, zi)
+
+    return jax.vmap(one)(z, seeds, counters).astype(jnp.int32)
+
+
+def sample_dynamic(
+    logits: jax.Array,  # [B, V]
+    sp: SamplingParams,
+    counters: jax.Array,  # [B] i32 per-slot step counters
+    last_tokens: Optional[jax.Array] = None,  # [B, N]
+) -> jax.Array:
+    """Per-slot traced sampling: [B, V] -> [B] int32.
+
+    One sort serves both the traced top-k (rank mask) and top-p
+    (cumulative-mass mask); slots with temperature <= 0 take the argmax.
+    """
+    logits = logits.astype(jnp.float32)
+    B, V = logits.shape
+
+    # Greedy slots take the raw argmax: the reference short-circuits
+    # BEFORE the repeat penalty (/root/reference/th-llama.cpp:826-838).
+    greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if last_tokens is not None:
+        valid = last_tokens >= 0
+        idx = jnp.where(valid, last_tokens, 0)
+        seen = jnp.zeros((B, V), dtype=bool)
+        seen = seen.at[jnp.arange(B)[:, None], idx].max(valid)
+        pen = sp.repeat_penalty[:, None]
+        penalized = jnp.where(logits < 0, logits * pen, logits / pen)
+        logits = jnp.where(seen, penalized, logits)
+
+    z = logits / jnp.maximum(sp.temperature, 1e-6)[:, None]
+    sorted_z = jnp.sort(z, axis=-1)[:, ::-1]
+    rank = jnp.arange(V)[None, :]
+    k = jnp.where(sp.top_k <= 0, V, sp.top_k)[:, None]
+    z_k = jnp.where(rank < k, sorted_z, _NEG_INF)
+    probs = jax.nn.softmax(z_k, axis=-1)
+    cum_excl = jnp.cumsum(probs, axis=-1) - probs
+    kept = (rank < k) & (cum_excl < sp.top_p[:, None])
+    thresh = jnp.min(jnp.where(kept, sorted_z, jnp.inf), axis=-1, keepdims=True)
+    z = jnp.where(z < thresh, _NEG_INF, z)
+
+    sampled = _per_slot_categorical(z, sp.seed, counters)
+    return jnp.where(sp.temperature <= 0.0, greedy_ids, sampled)

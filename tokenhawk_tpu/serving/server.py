@@ -50,8 +50,14 @@ class ServingLoop:
         self._wake.set()
         self._thread.join(timeout=10)
 
-    def submit_text(self, prompt: str, max_tokens: int = 256) -> "queue.Queue":
-        """Returns a queue yielding decoded-token strings, then _SENTINEL."""
+    def submit_text(self, prompt: str, max_tokens: int = 256,
+                    sampling=None) -> "queue.Queue":
+        """Returns a queue yielding decoded-token strings, then _SENTINEL.
+
+        `sampling`: optional per-request SamplingConfig (temperature /
+        top_k / top_p / repeat_penalty / seed) applied to this request
+        only — the scheduler runs it alongside neighbours with different
+        settings in the same decode step."""
         out: "queue.Queue" = queue.Queue()
         ids = self.tokenizer.encode_prompt(prompt, add_bos=True)
 
@@ -62,7 +68,7 @@ class ServingLoop:
             out.put(_SENTINEL)
 
         req = Request(prompt=ids, max_new_tokens=max_tokens,
-                      on_token=on_token, on_done=on_done)
+                      sampling=sampling, on_token=on_token, on_done=on_done)
         self._inbox.put(req)
         self._wake.set()
         return out
@@ -127,11 +133,27 @@ def _make_handler(loop: ServingLoop, model_info: dict):
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 prompt = payload["prompt"]
                 max_tokens = int(payload.get("max_tokens", 256))
-            except (KeyError, ValueError, json.JSONDecodeError):
+                sampling = None
+                keys = ("temperature", "top_k", "top_p", "repeat_penalty",
+                        "seed")
+                if any(k in payload for k in keys):
+                    from tokenhawk_tpu.config import SamplingConfig
+
+                    d = SamplingConfig()
+                    sampling = SamplingConfig(
+                        temperature=float(payload.get("temperature",
+                                                      d.temperature)),
+                        top_k=int(payload.get("top_k", d.top_k)),
+                        top_p=float(payload.get("top_p", d.top_p)),
+                        repeat_penalty=float(payload.get("repeat_penalty",
+                                                         d.repeat_penalty)),
+                        seed=int(payload.get("seed", d.seed)),
+                    )
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError):
                 self._send(400, b'{"error":"bad request"}', "application/json")
                 return
 
-            out = loop.submit_text(prompt, max_tokens)
+            out = loop.submit_text(prompt, max_tokens, sampling=sampling)
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
