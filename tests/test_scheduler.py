@@ -141,3 +141,101 @@ def test_per_request_sampling_parameters(params):
     # slot it landed in
     assert a[1].output == b[1].output
     assert all(0 <= t < cfg.n_vocab for t in a[1].output)
+
+
+# ---------------------------------------------------------------------------
+# Multi-turn sessions (reference parity: n_past carried across messages,
+# /root/reference/web/main.cpp:160-179; [cmd] reset; context-full error)
+# ---------------------------------------------------------------------------
+
+
+def test_session_multi_turn_matches_concatenated(params):
+    """Turn 2 of a session must produce exactly what a fresh run over the
+    full token history (msg1 + reply1 + msg2) produces — the retained KV
+    prefix IS that history."""
+    sched = make_sched(params)
+    msg1 = [1, 5, 9, 13]
+    r1 = Request(prompt=msg1, max_new_tokens=5, session="s1")
+    sched.submit(r1)
+    sched.run()
+    assert r1.output
+
+    msg2 = [7, 21, 3]
+    r2 = Request(prompt=msg2, max_new_tokens=5, session="s1")
+    sched.submit(r2)
+    sched.run()
+
+    hist = msg1 + r1.output + msg2
+    fresh = make_sched(params).generate_many([hist], max_new_tokens=5)[0].output
+    assert r2.output == fresh
+
+
+def test_session_second_turn_prefills_only_new_tokens(params):
+    """Prefix-cache evidence: the continuation prefill covers a bucket
+    sized for the NEW message, not the whole conversation."""
+    sched = make_sched(params)
+    long_msg = list(range(1, 30))  # buckets to 32
+    r1 = Request(prompt=long_msg, max_new_tokens=4, session="s1")
+    sched.submit(r1)
+    sched.run()
+
+    seen = []
+    orig = sched._prefill
+
+    def spy(params_, cache, toks, lens, offs):
+        seen.append((toks.shape[1], int(offs[0])))
+        return orig(params_, cache, toks, lens, offs)
+
+    sched._prefill = spy
+    r2 = Request(prompt=[2, 4], max_new_tokens=4, session="s1")
+    sched.submit(r2)
+    sched.run()
+    assert len(seen) == 1
+    tb, off = seen[0]
+    assert tb == 16  # smallest bucket >= 2, NOT bucket(len(history))
+    assert off == len(long_msg) + len(r1.output)  # continues at n_past
+
+
+def test_session_reset_clears_context(params):
+    sched = make_sched(params)
+    r1 = Request(prompt=[1, 5, 9], max_new_tokens=4, session="s1")
+    sched.submit(r1)
+    sched.run()
+    assert "s1" in sched.sessions
+    assert sched.reset_session("s1")
+    assert "s1" not in sched.sessions
+    # Same id now starts fresh: output equals a sessionless run.
+    r2 = Request(prompt=[1, 5, 9], max_new_tokens=4, session="s1")
+    sched.submit(r2)
+    sched.run()
+    assert r2.output == r1.output
+    assert r2.n_past0 == 0
+
+
+def test_session_context_full_error(params):
+    sched = make_sched(params)
+    S = sched.S
+    r1 = Request(prompt=list(range(1, S - 10)), max_new_tokens=4, session="s1")
+    sched.submit(r1)
+    sched.run()
+    # The next message cannot fit behind the resident context.
+    r2 = Request(prompt=list(range(1, 12)), max_new_tokens=4, session="s1")
+    sched.submit(r2)
+    sched.run()
+    assert r2.finish_reason == "error:context_full"
+    assert r2.output == []
+
+
+def test_session_lru_eviction(params):
+    sched = make_sched(params, max_batch=2)
+    for sid in ("a", "b"):
+        sched.submit(Request(prompt=[1, 3], max_new_tokens=3, session=sid))
+        sched.run()
+    assert set(sched.sessions) == {"a", "b"}
+    # Touch "a" so "b" is LRU, then force one eviction with a fresh request.
+    sched.submit(Request(prompt=[1, 9], max_new_tokens=3, session="a"))
+    sched.run()
+    sched.submit(Request(prompt=[1, 4], max_new_tokens=3))
+    sched.run()
+    assert "a" in sched.sessions  # recently used survives
+    assert "b" not in sched.sessions  # LRU evicted to make room

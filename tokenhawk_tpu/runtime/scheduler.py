@@ -45,6 +45,12 @@ class Request:
     # so concurrent requests with different settings share one compiled
     # decode step.
     sampling: Optional[SamplingConfig] = None
+    # Multi-turn conversation id: successive requests with the same
+    # session continue the same KV state (the reference chat carries
+    # n_past across messages, /root/reference/web/main.cpp:160-179).
+    # The session's slot stays pinned between requests, so the next
+    # message prefills ONLY its new tokens (prefix cache by retention).
+    session: Optional[str] = None
     on_token: Optional[Callable[[int], None]] = None
     on_done: Optional[Callable[["Request"], None]] = None
     # filled by the scheduler:
@@ -54,12 +60,27 @@ class Request:
     first_token_at: Optional[float] = None
     done_at: Optional[float] = None
     finish_reason: str = ""
+    n_past0: int = 0  # KV tokens already resident when this request started
 
     @property
     def ttft_seconds(self) -> Optional[float]:
         if self.first_token_at is None:
             return None
         return self.first_token_at - self.submitted_at
+
+
+@dataclasses.dataclass
+class Session:
+    id: str
+    slot: int
+    n_past: int  # conversation length (prompt + replies), in tokens
+    tail: List[int]  # recent conversation tokens (repeat-penalty ring)
+    # History tokens sampled but never written to the KV cache (a token's
+    # KV is written when it is USED AS INPUT; the last reply token has no
+    # next step if the decode chunk ended at its sampling).  They replay
+    # at the start of the next continuation prefill.
+    pending: List[int] = dataclasses.field(default_factory=list)
+    last_used: float = 0.0
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
@@ -81,6 +102,20 @@ def _insert_fragment_unrolled(big, frag, slot):
         )
         out.append(new_l)
     return tuple(out)
+
+
+@jax.jit
+def _extract_stripe(big: jax.Array, slot) -> jax.Array:
+    """big [L, B, Hkv, S, Dh] -> slot stripe [L, 1, Hkv, S, Dh]."""
+    return jax.lax.dynamic_slice_in_dim(big, slot, 1, axis=1)
+
+
+@jax.jit
+def _extract_stripe_unrolled(big, slot):
+    return tuple(
+        tuple(jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0) for a in layer)
+        for layer in big
+    )
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
@@ -174,6 +209,12 @@ class Scheduler:
         self._ids = itertools.count()
         self._key = jax.random.PRNGKey(sampling.seed)
 
+        # Multi-turn sessions: sid -> Session; pinned maps an IDLE slot
+        # to the session whose KV it retains between requests.  Pinned
+        # slots are evicted LRU when fresh admissions need capacity.
+        self.sessions: dict = {}
+        self.pinned: dict = {}
+
         # Prefill buckets (powers of two).
         self.buckets = []
         b = 16
@@ -184,18 +225,38 @@ class Scheduler:
 
     # ------------------------------------------------------------------
 
+    def _fail(self, req: Request, reason: str) -> int:
+        req.finish_reason = reason
+        req.done_at = time.perf_counter()
+        self.finished.append(req)
+        if req.on_done:
+            req.on_done(req)
+        return req.id
+
     def submit(self, req: Request) -> int:
         req.id = next(self._ids)
         req.submitted_at = time.perf_counter()
         if len(req.prompt) >= self.S:
-            req.finish_reason = "error:prompt_too_long"
-            req.done_at = req.submitted_at
-            self.finished.append(req)
-            if req.on_done:
-                req.on_done(req)
-            return req.id
+            return self._fail(req, "error:prompt_too_long")
+        sess = self.sessions.get(req.session) if req.session else None
+        if sess is not None:
+            # Context-full up front, like the reference's onError path
+            # (/root/reference/th-llama.cpp:111-119): the padded new
+            # message must fit behind the session's resident tokens.
+            pad = -(-len(req.prompt) // 8) * 8
+            if sess.n_past + pad >= self.S:
+                return self._fail(req, "error:context_full")
         self.pending.append(req)
         return req.id
+
+    def reset_session(self, sid: str) -> bool:
+        """Forget a session's KV state (`[cmd] reset` parity,
+        /root/reference/web/main.cpp:164-170).  Safe while idle."""
+        sess = self.sessions.pop(sid, None)
+        if sess is None:
+            return False
+        self.pinned.pop(sess.slot, None)
+        return True
 
     @property
     def n_active(self) -> int:
@@ -237,9 +298,55 @@ class Scheduler:
             v_big = _insert_fragment(self.cache.v, frag.v, slot)
             self.cache = KVCache(k_big, v_big)
 
+        self._finish_admit(slot, req, logits, base=0, tail=[])
+
+    def _continue_one(self, slot: int, req: Request, sess) -> bool:
+        """Continue a session: prefill ONLY the new tokens (plus any
+        pending unwritten reply tail) into the pinned slot's stripe at
+        its write frontier.  The retained KV is the prefix cache — the
+        conversation so far is never recomputed."""
+        combined = list(sess.pending) + list(req.prompt)
+        base_w = sess.n_past - len(sess.pending)  # write frontier
+        Tb = None
+        for b in self.buckets:
+            if b >= len(combined) and base_w + b <= self.S:
+                Tb = b
+                break
+        if Tb is None:
+            Tb = -(-len(combined) // 8) * 8  # tight pad near the context edge
+        if base_w + Tb > self.S:
+            self._fail(req, "error:context_full")
+            return False
+
+        if self._unrolled:
+            stripe = _extract_stripe_unrolled(self.cache, slot)
+        else:
+            stripe = KVCache(_extract_stripe(self.cache.k, slot),
+                             _extract_stripe(self.cache.v, slot))
+        toks = np.zeros((1, Tb), np.int32)
+        toks[0, : len(combined)] = combined
+        stripe, logits = self._prefill(
+            self.params, stripe,
+            jnp.asarray(toks), jnp.asarray([len(combined)], jnp.int32),
+            jnp.asarray([base_w], jnp.int32),
+        )
+        if self._unrolled:
+            self.cache = _insert_fragment_unrolled(self.cache, stripe, slot)
+        else:
+            k_big = _insert_fragment(self.cache.k, stripe.k, slot)
+            v_big = _insert_fragment(self.cache.v, stripe.v, slot)
+            self.cache = KVCache(k_big, v_big)
+
+        self._finish_admit(slot, req, logits, base=sess.n_past, tail=sess.tail)
+        return True
+
+    def _finish_admit(self, slot: int, req: Request, logits, base: int,
+                      tail: List[int]):
+        prompt = req.prompt
+        req.n_past0 = base
         ring = np.full((self.n_ring,), -1, np.int32)
-        m = min(self.n_ring, len(prompt))
-        ring[self.n_ring - m :] = prompt[-m:]
+        hist = (list(tail) + list(prompt))[-self.n_ring:]
+        ring[self.n_ring - len(hist):] = hist
         if self._dynamic:
             from tokenhawk_tpu.sampling import SamplingParams, sample_dynamic
 
@@ -258,10 +365,12 @@ class Scheduler:
 
         self.last_tok, self.offsets, self.last_n, self.done = _admit_state(
             self.last_tok, self.offsets, self.last_n, self.done,
-            slot, first, len(prompt),
+            slot, first, base + len(prompt),
             jnp.concatenate([jnp.asarray(ring[1:]), first[None]]),
         )
         self.slots[slot] = req
+        # The slot now belongs to this request; drop any idle pin.
+        self.pinned.pop(slot, None)
         req.first_token_at = time.perf_counter()
         self._deliver(slot, int(first))
 
@@ -279,7 +388,7 @@ class Scheduler:
         if len(req.output) >= req.max_new_tokens:
             self._retire(slot, "length")
             return False
-        if len(req.prompt) + len(req.output) >= self.S - 1:
+        if req.n_past0 + len(req.prompt) + len(req.output) >= self.S - 1:
             self._retire(slot, "context_full")
             return False
         return True
@@ -290,17 +399,66 @@ class Scheduler:
         req.done_at = time.perf_counter()
         self.slots[slot] = None
         self.done = _kill_slot(self.done, slot)
+        if req.session is not None and not reason.startswith("error"):
+            # Pin the slot: its KV stripe (prompt + response) is the
+            # session's context for the next message.
+            tail = (list(req.prompt) + list(req.output))[-self.n_ring:]
+            sess = self.sessions.get(req.session)
+            if sess is None:
+                sess = Session(id=req.session, slot=slot, n_past=0, tail=[])
+                self.sessions[req.session] = sess
+            sess.slot = slot
+            H = req.n_past0 + len(req.prompt) + len(req.output)
+            sess.n_past = H
+            # Tokens actually written to the cache = the device write
+            # frontier (capped at H: overrun steps past retirement wrote
+            # garbage BEYOND the history, which continuation overwrites).
+            written = min(int(np.asarray(self.offsets)[slot]), H)
+            hist_req = list(req.prompt) + list(req.output)
+            sess.pending = hist_req[written - req.n_past0:]
+            sess.tail = ((sess.tail if req.n_past0 else []) + tail)[-self.n_ring:]
+            sess.last_used = time.perf_counter()
+            self.pinned[slot] = req.session
         self.finished.append(req)
         if req.on_done:
             req.on_done(req)
+
+    def _free_slot(self) -> Optional[int]:
+        """An idle unpinned slot, else evict the LRU pinned session."""
+        for slot in range(self.B):
+            if self.slots[slot] is None and slot not in self.pinned:
+                return slot
+        lru = None
+        for slot, sid in self.pinned.items():
+            if self.slots[slot] is None:
+                sess = self.sessions.get(sid)
+                t = sess.last_used if sess else 0.0
+                if lru is None or t < lru[1]:
+                    lru = (slot, t, sid)
+        if lru is None:
+            return None
+        self.pinned.pop(lru[0], None)
+        self.sessions.pop(lru[2], None)
+        return lru[0]
 
     # ------------------------------------------------------------------
 
     def step(self):
         """Admit what fits, then run one decode chunk."""
-        for slot in range(self.B):
-            if self.slots[slot] is None and self.pending:
-                self._admit_one(slot, self.pending.popleft())
+        while self.pending:
+            req = self.pending[0]
+            sess = self.sessions.get(req.session) if req.session else None
+            if sess is not None:
+                if self.slots[sess.slot] is not None:
+                    break  # session busy with its previous request
+                self.pending.popleft()
+                self._continue_one(sess.slot, req, sess)
+                continue
+            slot = self._free_slot()
+            if slot is None:
+                break
+            self.pending.popleft()
+            self._admit_one(slot, req)
         if self.n_active == 0:
             return
 

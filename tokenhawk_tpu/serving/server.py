@@ -51,24 +51,37 @@ class ServingLoop:
         self._thread.join(timeout=10)
 
     def submit_text(self, prompt: str, max_tokens: int = 256,
-                    sampling=None) -> "queue.Queue":
-        """Returns a queue yielding decoded-token strings, then _SENTINEL.
+                    sampling=None, session: Optional[str] = None) -> "queue.Queue":
+        """Returns a queue yielding decoded-token strings, then
+        ("__done__", finish_reason) and _SENTINEL.
 
         `sampling`: optional per-request SamplingConfig (temperature /
         top_k / top_p / repeat_penalty / seed) applied to this request
-        only — the scheduler runs it alongside neighbours with different
-        settings in the same decode step."""
+        only.  `session`: conversation id — messages with the same id
+        share KV context (multi-turn chat); the literal message
+        "[cmd] reset" clears it (/root/reference/web/main.cpp:160-179).
+        """
         out: "queue.Queue" = queue.Queue()
-        ids = self.tokenizer.encode_prompt(prompt, add_bos=True)
+        if session is not None and prompt.strip() == "[cmd] reset":
+            self._inbox.put(("reset", session, out))
+            self._wake.set()
+            return out
+        # BOS only opens a conversation; continuations append mid-stream.
+        is_continuation = (
+            session is not None and session in self.scheduler.sessions
+        )
+        ids = self.tokenizer.encode_prompt(prompt, add_bos=not is_continuation)
 
         def on_token(tid: int):
             out.put(self.tokenizer.decode_token_bytes(tid).decode("utf-8", "replace"))
 
         def on_done(req: Request):
+            out.put(("__done__", req.finish_reason))
             out.put(_SENTINEL)
 
         req = Request(prompt=ids, max_new_tokens=max_tokens,
-                      sampling=sampling, on_token=on_token, on_done=on_done)
+                      sampling=sampling, session=session,
+                      on_token=on_token, on_done=on_done)
         self._inbox.put(req)
         self._wake.set()
         return out
@@ -78,10 +91,17 @@ class ServingLoop:
             drained = False
             while True:
                 try:
-                    req = self._inbox.get_nowait()
+                    item = self._inbox.get_nowait()
                 except queue.Empty:
                     break
-                self.scheduler.submit(req)
+                if isinstance(item, tuple) and item[0] == "reset":
+                    _, sid, out = item
+                    self.scheduler.reset_session(sid)
+                    out.put("LLM context reset.")
+                    out.put(("__done__", "reset"))
+                    out.put(_SENTINEL)
+                else:
+                    self.scheduler.submit(item)
                 drained = True
             try:
                 if self.scheduler.has_work:
@@ -133,6 +153,9 @@ def _make_handler(loop: ServingLoop, model_info: dict):
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 prompt = payload["prompt"]
                 max_tokens = int(payload.get("max_tokens", 256))
+                session = payload.get("session")
+                if session is not None and not isinstance(session, str):
+                    raise ValueError("session must be a string")
                 sampling = None
                 keys = ("temperature", "top_k", "top_p", "repeat_penalty",
                         "seed")
@@ -153,18 +176,24 @@ def _make_handler(loop: ServingLoop, model_info: dict):
                 self._send(400, b'{"error":"bad request"}', "application/json")
                 return
 
-            out = loop.submit_text(prompt, max_tokens, sampling=sampling)
+            out = loop.submit_text(prompt, max_tokens, sampling=sampling,
+                                   session=session)
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
             try:
+                reason = ""
                 while True:
                     piece = out.get()
                     if piece is _SENTINEL:
-                        self.wfile.write(b"event: done\ndata: {}\n\n")
+                        data = json.dumps({"finish_reason": reason})
+                        self.wfile.write(f"event: done\ndata: {data}\n\n".encode())
                         self.wfile.flush()
                         break
+                    if isinstance(piece, tuple) and piece[0] == "__done__":
+                        reason = piece[1]
+                        continue
                     data = json.dumps({"token": piece})
                     self.wfile.write(f"data: {data}\n\n".encode())
                     self.wfile.flush()

@@ -7,6 +7,11 @@ const form = document.getElementById("form");
 const promptBox = document.getElementById("prompt");
 const sendBtn = document.getElementById("send");
 
+// Conversation id: every message in this tab shares KV context
+// server-side (n_past continuity).  Type "[cmd] reset" to clear it,
+// matching the reference chat (web/main.cpp:160-179).
+const sessionId = "web-" + Math.random().toString(36).slice(2);
+
 function addMsg(cls, text) {
   const div = document.createElement("div");
   div.className = "msg " + cls;
@@ -29,7 +34,7 @@ form.addEventListener("submit", async (ev) => {
     const resp = await fetch("/generate", {
       method: "POST",
       headers: { "Content-Type": "application/json" },
-      body: JSON.stringify({ prompt: prompt, max_tokens: 256 }),
+      body: JSON.stringify({ prompt: prompt, max_tokens: 256, session: sessionId }),
     });
     const reader = resp.body.getReader();
     const decoder = new TextDecoder();
@@ -42,10 +47,14 @@ form.addEventListener("submit", async (ev) => {
       while ((idx = buf.indexOf("\n\n")) >= 0) {
         const frame = buf.slice(0, idx);
         buf = buf.slice(idx + 2);
-        if (frame.startsWith("event: done")) continue;
         const line = frame.split("\n").find((l) => l.startsWith("data: "));
         if (!line) continue;
         const payload = JSON.parse(line.slice(6));
+        if (frame.startsWith("event: done")) {
+          if (payload.finish_reason === "error:context_full")
+            botDiv.textContent += " [context full — send \"[cmd] reset\"]";
+          continue;
+        }
         if (payload.token !== undefined) {
           botDiv.textContent += payload.token;
           log.scrollTop = log.scrollHeight;
