@@ -3,6 +3,8 @@
 Axes:
   "data"  — batch/data parallelism (continuous-batching shards requests)
   "model" — tensor parallelism (attention heads + FFN columns + vocab)
+  "ctx"   — context parallelism (KV cache sharded along the sequence;
+            see parallel/cp.py)
 
 The reference has no multi-device layer at all (SURVEY.md §2.6); its
 k-way split-GEMV + local reduce (/root/reference/th.cpp:3795-3912,
@@ -20,6 +22,24 @@ from jax.sharding import Mesh
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+CTX_AXIS = "ctx"
+
+
+def make_cp_mesh(
+    dp: int = 1, cp: Optional[int] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a (data, ctx) mesh for context parallelism."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if cp is None:
+        if n % dp:
+            raise ValueError(f"{n} devices not divisible by dp={dp}")
+        cp = n // dp
+    if dp * cp > n:
+        raise ValueError(f"dp*cp={dp * cp} exceeds {n} devices")
+    grid = np.asarray(devices[: dp * cp]).reshape(dp, cp)
+    return Mesh(grid, (DATA_AXIS, CTX_AXIS))
 
 
 def make_mesh(

@@ -70,11 +70,15 @@ def ring_attention(
     axis_name: str,
     n_shards: int,
     scale: Optional[float] = None,
+    layout: str = "block",
 ) -> jax.Array:
     """Causal ring attention (call inside shard_map over `axis_name`).
 
-    The global sequence is the concatenation of shard blocks in axis
-    order; shard i's queries sit at positions [i*T, (i+1)*T).
+    layout "block":  shard i's queries sit at global positions
+                     [i*T, (i+1)*T) (contiguous blocks in axis order).
+    layout "cyclic": shard i owns positions {i, i+n, i+2n, ...} — the
+                     interleave parallel/cp.py uses so decode appends
+                     land round-robin on shards (even load, O(1) writes).
     """
     B, H, T, Dh = q_local.shape
     if scale is None:
@@ -82,7 +86,12 @@ def ring_attention(
     idx = jax.lax.axis_index(axis_name)
     q = q_local.astype(jnp.float32) * scale
 
-    qpos = idx * T + jnp.arange(T)  # [T]
+    def pos_of(shard):
+        if layout == "cyclic":
+            return shard + jnp.arange(T) * n_shards
+        return shard * T + jnp.arange(T)
+
+    qpos = pos_of(idx)  # [T]
     o = jnp.zeros((B, H, T, Dh), jnp.float32)
     m = jnp.full((B, H, T, 1), -jnp.inf, jnp.float32)
     l = jnp.zeros((B, H, T, 1), jnp.float32)
@@ -91,7 +100,7 @@ def ring_attention(
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     for step in range(n_shards):
         src = (idx - step) % n_shards  # owner of the visiting KV block
-        kpos = src * T + jnp.arange(T)  # [T]
+        kpos = pos_of(src)  # [T]
         mask = kpos[None, None, :] <= qpos[None, :, None]  # [1, T, T]
         mask = jnp.broadcast_to(mask, (B, T, T))
         o_b, m_b, l_b = _block_attend_stats(q, k_blk, v_blk, mask)

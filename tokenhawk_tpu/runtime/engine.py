@@ -190,6 +190,20 @@ class Engine:
                                              eos_id, params)
             self._make_decode1 = lambda: make_tp_decode_fn(
                 cfg, mesh, sampling, 1, eos_id, params)
+        elif mesh is not None and parallel == "cp":
+            from tokenhawk_tpu.parallel.cp import (
+                make_cp_decode_fn,
+                make_cp_prefill_fn,
+                validate_cp,
+            )
+            from tokenhawk_tpu.parallel.mesh import CTX_AXIS
+
+            validate_cp(cfg, mesh.shape[CTX_AXIS], max_seq or cfg.n_ctx)
+            self._prefill = make_cp_prefill_fn(cfg, mesh, params)
+            self._decode = make_cp_decode_fn(cfg, mesh, sampling, decode_chunk,
+                                             eos_id, params)
+            self._make_decode1 = lambda: make_cp_decode_fn(
+                cfg, mesh, sampling, 1, eos_id, params)
         else:
             self._prefill = make_prefill_fn(cfg)
             self._decode = make_decode_fn(cfg, sampling, decode_chunk, eos_id)
@@ -231,6 +245,10 @@ class Engine:
                 from tokenhawk_tpu.parallel.tp import shard_cache_tp
 
                 cache = shard_cache_tp(cache, self.mesh)
+            elif self.mesh is not None and self.parallel == "cp":
+                from tokenhawk_tpu.parallel.cp import shard_cache_cp
+
+                cache = shard_cache_cp(cache, self.mesh)
             return cache
         cache = KVCache.create(
             self.cfg, batch or self.batch_size, self.max_seq, self.cache_dtype
