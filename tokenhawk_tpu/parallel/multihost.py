@@ -3,8 +3,11 @@
 The reference is strictly one GPU, one process (SURVEY.md §2.6).  For
 N>=2 hosts (a v5e/v5p multi-host slice) this module wires
 `jax.distributed.initialize` and builds the global (data, model) mesh
-over all hosts' devices; weights load host-locally (each host only
-materializes its own shards via `jax.make_array_from_callback`).
+over all hosts' devices.  Weights load host-locally through
+`runtime.sharded_loader.load_model_sharded`: each weight is a
+`jax.make_array_from_callback` whose callback decodes only the mmap
+byte ranges of the requesting shard, so a host materializes 1/tp of the
+model (70B memory math in that module's docstring).
 
 On a multi-host slice, collectives over "model" ride ICI within the
 slice; keep tp within a host group (tp <= devices-per-host * hosts on
