@@ -351,6 +351,76 @@ def forward_paged_decode(
     return x, PagedKVCache(k_new, v_new)
 
 
+def forward_paged_prefill(
+    cfg: LlamaConfig,
+    params: LlamaParams,
+    tokens: jax.Array,  # [B, Tb] int32 (fresh prompts, positions 0..Tb)
+    cache,  # runtime.paged.PagedKVCache
+    page_table: jax.Array,  # [B, max_pages]
+    lengths: jax.Array,  # [B] valid prompt tokens
+):
+    """Prefill straight into pages — no dense-fragment detour.
+
+    The previous admission path prefilled a dense fragment and then
+    copied it page-by-page (double-writing every prompt token); here each
+    layer's K/V block pages out in place during the forward.  Attention
+    is block-local (the prompt attends only to itself: fresh admission,
+    position 0), so the math is identical to the dense fragment prefill.
+    Returns (hidden [B, Tb, D], new cache).
+    """
+    from tokenhawk_tpu.runtime.paged import (
+        PagedKVCache,
+        paginate_fragment_layer,
+    )
+
+    B, T = tokens.shape
+    H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    x = params.tok_embd[tokens].astype(params.tok_embd.dtype)
+    offsets = jnp.zeros((B,), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    def body(x, layer_inputs):
+        lp, k_l, v_l = layer_inputs
+        h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
+        Dq, Dkv = H * Dh, Hkv * Dh
+        if lp.wqkv is not None:
+            qkv = matmul(h, lp.wqkv)
+            q = qkv[..., :Dq].reshape(B, T, H, Dh)
+            k = qkv[..., Dq : Dq + Dkv].reshape(B, T, Hkv, Dh)
+            v = qkv[..., Dq + Dkv :].reshape(B, T, Hkv, Dh)
+        else:
+            q = matmul(h, lp.wq).reshape(B, T, H, Dh)
+            k = matmul(h, lp.wk).reshape(B, T, Hkv, Dh)
+            v = matmul(h, lp.wv).reshape(B, T, Hkv, Dh)
+        q = apply_rope(q, cos, sin, cfg.rope_style)
+        k = apply_rope(k, cos, sin, cfg.rope_style)
+
+        k_b = jnp.swapaxes(k, 1, 2)  # [B, Hkv, T, Dh]
+        v_b = jnp.swapaxes(v, 1, 2)
+        ctx = attend_cache(q, k_b, v_b, positions)
+        k_l = paginate_fragment_layer(k_l, k_b, page_table)
+        v_l = paginate_fragment_layer(v_l, v_b, page_table)
+        x = x + matmul(ctx.reshape(B, T, H * Dh), lp.wo)
+
+        h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)
+        F = cfg.n_ff
+        if lp.w13 is not None:
+            gu = matmul(h2, lp.w13)
+            g, u = gu[..., :F], gu[..., F:]
+        else:
+            g, u = matmul(h2, lp.w1), matmul(h2, lp.w3)
+        gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+        x = x + matmul(gate * u, lp.w2)
+        return x, (k_l, v_l)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params.layers, cache.k_pages, cache.v_pages)
+    )
+    del offsets
+    return x, PagedKVCache(k_new, v_new)
+
+
 def logits_from_hidden(
     cfg: LlamaConfig, params: LlamaParams, hidden: jax.Array
 ) -> jax.Array:

@@ -39,7 +39,7 @@ GROUP = 32  # quantization block length (ggml QK)
 # Default tile sizes; overridable for tuning sweeps.
 import os as _os
 
-BLOCK_N = int(_os.environ.get("THAWK_QBLOCK_N", "256"))
+BLOCK_N = int(_os.environ.get("THAWK_QBLOCK_N", "512"))
 BLOCK_K = int(_os.environ.get("THAWK_QBLOCK_K", "4096"))
 BLOCK_KP = int(_os.environ.get("THAWK_QBLOCK_KP", "2048"))
 # q4 bias-dot: skip the per-element -8 and correct with two tiny MXU dots
@@ -162,6 +162,18 @@ def _pick_block(dim: int, target: int, multiple: int) -> int:
     return best if best is not None else dim
 
 
+def _pick_block_k(dim: int, target: int, multiple: int) -> int:
+    """K-tile choice: like _pick_block, but degenerate small divisors
+    fall through to WHOLE-K.  Single-K-tile kernels measure fastest
+    (no accumulator revisits/output rewrites, BENCH_NOTES); e.g.
+    K=11008 = 256*43 has no 256-multiple divisor between 256 and 4096,
+    and a 256-deep K loop with 43 accumulator passes loses badly."""
+    best = _pick_block(dim, target, multiple)
+    if best < target // 2 and dim <= 4 * target:
+        return dim
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
 def q8_matmul(
     x: jax.Array,  # [B, K]
@@ -175,7 +187,7 @@ def q8_matmul(
     B, K = x.shape
     K2, N = qs.shape
     assert K == K2, (x.shape, qs.shape)
-    bk = _pick_block(K, block_k, 256)
+    bk = _pick_block_k(K, block_k, 256)
     bn = _pick_block(N, block_n, 128)
     bb = _pick_block(B, 128, 8)  # activation-row tile (prefill batches)
     n_k_tiles = K // bk
@@ -220,7 +232,7 @@ def q4_matmul(
     B, K = x.shape
     KP, N = qs_packed.shape
     assert KP * 2 == K, (x.shape, qs_packed.shape)
-    bkp = _pick_block(KP, block_k, 256)
+    bkp = _pick_block_k(KP, block_k, 256)
     bn = _pick_block(N, block_n, 128)
     bb = _pick_block(B, 128, 8)  # activation-row tile (prefill batches)
     n_k_tiles = KP // bkp

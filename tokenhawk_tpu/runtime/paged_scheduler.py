@@ -25,17 +25,13 @@ import numpy as np
 
 from tokenhawk_tpu.config import LlamaConfig, SamplingConfig
 from tokenhawk_tpu.models.llama import (
-    KVCache,
     LlamaParams,
     forward_paged_decode,
+    forward_paged_prefill,
     logits_from_hidden,
 )
-from tokenhawk_tpu.runtime.engine import make_prefill_fn, _bucket
-from tokenhawk_tpu.runtime.paged import (
-    PageAllocator,
-    PagedKVCache,
-    paginate_fragment_layer,
-)
+from tokenhawk_tpu.runtime.engine import _bucket
+from tokenhawk_tpu.runtime.paged import PageAllocator, PagedKVCache
 from tokenhawk_tpu.runtime.scheduler import Request
 from tokenhawk_tpu.sampling import sample
 from tokenhawk_tpu.tokenizer import EOS_ID
@@ -101,20 +97,21 @@ def make_paged_decode_fn_dynamic(cfg: LlamaConfig, chunk: int,
     return decode
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _paginate_fragment(k_pages, v_pages, frag_k, frag_v, table_row):
-    """Scatter a dense prefill fragment [L, 1, Hkv, Tb, Dh] into pages."""
+def make_paged_prefill_fn(cfg: LlamaConfig):
+    """Direct paged prefill: one pass writes prompt KV straight into the
+    slot's pages (no dense-fragment double-write; models/llama.py
+    forward_paged_prefill)."""
 
-    def body(_, inp):
-        kp, vp, fk, fv = inp
-        kp = paginate_fragment_layer(kp, fk, table_row)
-        vp = paginate_fragment_layer(vp, fv, table_row)
-        return (), (kp, vp)
+    @partial(jax.jit, donate_argnums=(1,))
+    def prefill(params, cache, tokens, lengths, table_row):
+        h, cache = forward_paged_prefill(cfg, params, tokens, cache,
+                                         table_row, lengths)
+        idx = jnp.clip(lengths - 1, 0, tokens.shape[1] - 1)
+        h_last = jnp.take_along_axis(h, idx[:, None, None], axis=1)[:, 0]
+        logits = logits_from_hidden(cfg, params, h_last)
+        return cache, logits
 
-    _, (k_new, v_new) = jax.lax.scan(
-        body, (), (k_pages, v_pages, frag_k, frag_v)
-    )
-    return k_new, v_new
+    return prefill
 
 
 class PagedScheduler:
@@ -152,7 +149,7 @@ class PagedScheduler:
         self.slot_pages: List[List[int]] = [[] for _ in range(self.B)]
         self.lengths = np.zeros((self.B,), np.int32)
 
-        self._prefill = make_prefill_fn(cfg)
+        self._prefill = make_paged_prefill_fn(cfg)
         self._decode = make_paged_decode_fn_dynamic(cfg, decode_chunk, eos_id)
 
         n_ring = max(sampling.repeat_last_n, 1)
@@ -228,18 +225,13 @@ class PagedScheduler:
         if not self._ensure_pages(slot, Tb):
             return False  # not enough pages right now
 
-        frag = KVCache.create(cfg, 1, Tb, self.cache_dtype)
         toks = np.zeros((1, Tb), np.int32)
         toks[0, : len(prompt)] = prompt
-        frag, logits = self._prefill(
-            self.params, frag, jnp.asarray(toks),
-            jnp.asarray([len(prompt)], jnp.int32), jnp.zeros((1,), jnp.int32),
-        )
-        k_new, v_new = _paginate_fragment(
-            self.cache.k_pages, self.cache.v_pages, frag.k, frag.v,
+        self.cache, logits = self._prefill(
+            self.params, self.cache, jnp.asarray(toks),
+            jnp.asarray([len(prompt)], jnp.int32),
             jnp.asarray(self.table[slot : slot + 1]),
         )
-        self.cache = PagedKVCache(k_new, v_new)
 
         ring = np.full((self.n_ring,), -1, np.int32)
         m = min(self.n_ring, len(prompt))
