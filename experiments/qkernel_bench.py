@@ -44,7 +44,6 @@ def main() -> int:
     import jax.numpy as jnp
 
     from tokenhawk_tpu.ops.pallas import qmatmul as qm
-    from tokenhawk_tpu.utils.benchlib import measure_iter_seconds
 
     K, N, R = args.k, args.n, args.rows
     bn = args.block_n or None
@@ -118,13 +117,18 @@ def main() -> int:
     t0 = time.perf_counter()
     from tokenhawk_tpu.utils.benchlib import _time_call
 
-    f4, f16_ = make_fn(4), make_fn(16)
-    _time_call(f4, (x0, wargs)); _time_call(f16_, (x0, wargs))  # compile+warm
-    for trial in range(3):
-        ts, tl = _time_call(f4, (x0, wargs)), _time_call(f16_, (x0, wargs))
-        print(f"  T(4)={ts*1e3:.2f}ms T(16)={tl*1e3:.2f}ms "
-              f"-> {(tl-ts)/12*1e3:.3f} ms/pass", file=sys.stderr)
-    per_iter = measure_iter_seconds(make_fn, (x0, wargs), n_small=4, n_large=16)
+    # Long runs so compute dwarfs the ~30-50 ms relay call overhead;
+    # median of the diffs (min picks noise).
+    f_s, f_l = make_fn(8), make_fn(40)
+    _time_call(f_s, (x0, wargs)); _time_call(f_l, (x0, wargs))  # compile+warm
+    diffs = []
+    for trial in range(5):
+        ts, tl = _time_call(f_s, (x0, wargs)), _time_call(f_l, (x0, wargs))
+        d = (tl - ts) / 32
+        diffs.append(d)
+        print(f"  T(8)={ts*1e3:.2f}ms T(40)={tl*1e3:.2f}ms "
+              f"-> {d*1e3:.3f} ms/pass", file=sys.stderr)
+    per_iter = sorted(diffs)[len(diffs) // 2]
     gbps = bytes_per_pass / per_iter / 1e9
     print(f"compile+measure {time.perf_counter() - t0:.0f}s", file=sys.stderr)
     print(f"{args.kind} variant={args.variant} blocks(n={bn},k={bk}) rows={R}: "

@@ -103,3 +103,57 @@ def test_engine_int8_kv_cache_generates(rng):
     assert len(got) > 0
     n_match = sum(a == b for a, b in zip(got, want))
     assert n_match >= min(len(got), len(want)) // 2, (got, want)
+
+
+def test_int8_prefill_kernel_matches_reference(rng):
+    """Pallas int8-KV prefill (per-tile dequant) vs the XLA
+    whole-cache-dequant fallback."""
+    import jax.numpy as jnp
+    from tokenhawk_tpu.ops.kvquant import (
+        attend_cache_int8,
+        quantize_kv_block,
+    )
+    from tokenhawk_tpu.ops.pallas.flash_attention_int8 import (
+        attend_prefill_int8,
+    )
+
+    B, T, Hkv, rep, Dh, S = 2, 16, 2, 2, 128, 128
+    H = Hkv * rep
+    q = jnp.asarray(rng.standard_normal((B, T, H, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, Dh)), jnp.float32)
+    kq, ks = quantize_kv_block(k)
+    vq, vs = quantize_kv_block(v)
+    positions = jnp.broadcast_to(jnp.arange(16, 16 + T)[None], (B, T))
+
+    want = attend_cache_int8(q, kq, ks, vq, vs, positions)
+    got = attend_prefill_int8(q, kq, ks, vq, vs, positions, 1.0 / Dh**0.5,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_int8_decode_update_is_dus_chain(rng):
+    """Decode-time int8 cache updates must not lower to scatter (whole
+    cache rewrite): temp allocation of a jitted step stays tiny."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from tokenhawk_tpu.ops.kvquant import update_kv_cache_int8
+
+    B, Hkv, S, Dh = 2, 2, 256, 128
+    from tokenhawk_tpu.ops.kvquant import SCALE_LANES
+
+    kc = jnp.zeros((B, Hkv, S, Dh), jnp.int8)
+    ks = jnp.zeros((B, Hkv, S, SCALE_LANES), jnp.bfloat16)
+    vc, vs = kc, ks
+    k_new = jnp.ones((B, 1, Hkv, Dh), jnp.float32)
+    offs = jnp.asarray([3, 7], jnp.int32)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def step(kc, ks, vc, vs):
+        return update_kv_cache_int8(kc, ks, vc, vs, k_new, k_new, offs)
+
+    compiled = step.lower(kc, ks, vc, vs).compile()
+    temp = compiled.memory_analysis().temp_size_in_bytes
+    assert temp < kc.nbytes, (temp, kc.nbytes)

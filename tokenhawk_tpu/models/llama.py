@@ -112,8 +112,9 @@ def _attend_and_update(cfg, q, k, v, lcache, offsets, positions):
     kc, ksc, vc, vsc = update_kv_cache_int8(*lcache, k, v, offsets)
     Dh = q.shape[-1]
     S = kc.shape[2]
+    T = q.shape[1]
     mode = pallas_mode()
-    if mode is not None and q.shape[1] == 1 and Dh % 128 == 0 and S % 128 == 0:
+    if mode is not None and Dh % 128 == 0 and S % 128 == 0 and T == 1:
         from tokenhawk_tpu.ops.pallas.flash_decode_int8 import flash_decode_int8
 
         B, T, H, _ = q.shape
@@ -125,6 +126,17 @@ def _attend_and_update(cfg, q, k, v, lcache, offsets, positions):
             interpret=(mode == "interpret"),
         )
         ctx = out.reshape(B, 1, H, Dh).astype(q.dtype)
+    elif mode is not None and Dh % 128 == 0 and S % 128 == 0 and T % 8 == 0:
+        # int8-KV prefill kernel: per-tile dequant in VMEM instead of
+        # the XLA fallback's whole-cache f32 materialization.
+        from tokenhawk_tpu.ops.pallas.flash_attention_int8 import (
+            attend_prefill_int8,
+        )
+
+        ctx = attend_prefill_int8(
+            q, kc, ksc, vc, vsc, positions, 1.0 / Dh**0.5,
+            interpret=(mode == "interpret"),
+        )
     else:
         ctx = attend_cache_int8(q, kc, ksc, vc, vsc, positions)
     return ctx, (kc, ksc, vc, vsc)

@@ -52,9 +52,28 @@ def update_kv_cache_int8(
     v_new: jax.Array,
     offsets: jax.Array,  # [B]
 ):
-    """Quantize a new block and write it at each sequence's offset."""
+    """Quantize a new block and write it at each sequence's offset.
+
+    Decode (T == 1) uses a static-unrolled chain of scalar-start
+    dynamic_update_slices so the writes alias in place on the donated
+    cache (vmap lowers to scatter = whole-cache rewrite per step — the
+    context-dependent-cost bug fixed on the bf16 path, BENCH_NOTES)."""
     kq, ks = quantize_kv_block(jnp.swapaxes(k_new, 1, 2))  # [B, Hkv, T, *]
     vq, vs = quantize_kv_block(jnp.swapaxes(v_new, 1, 2))
+
+    if k_new.shape[1] == 1:  # decode
+        B = k_cache.shape[0]
+        for b in range(B):
+            at = (b, 0, offsets[b], 0)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, kq[b][None].astype(k_cache.dtype), at)
+            ks_cache = jax.lax.dynamic_update_slice(
+                ks_cache, ks[b][None].astype(ks_cache.dtype), at)
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, vq[b][None].astype(v_cache.dtype), at)
+            vs_cache = jax.lax.dynamic_update_slice(
+                vs_cache, vs[b][None].astype(vs_cache.dtype), at)
+        return k_cache, ks_cache, v_cache, vs_cache
 
     def upd(cache, new, off):
         return jax.lax.dynamic_update_slice(

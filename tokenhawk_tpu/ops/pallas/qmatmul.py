@@ -77,6 +77,14 @@ def _qdot(x, w, acc_ref):
         )
 
 
+# In-kernel K sub-chunking bounds the live f32 dequant intermediate
+# (whole-K tiles at bn=512 would need >16 MB of scoped VMEM otherwise);
+# the accumulator stays in scratch so sub-dots are free of the
+# grid-level K-loop's output rewrites.
+Q8_SUB = 2048
+Q4_SUB = 1024
+
+
 def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
     k = pl.program_id(2)
 
@@ -85,10 +93,13 @@ def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
-    w = qs_ref[...].astype(jnp.float32)  # [bk, bn]
-    s = s_ref[...].astype(jnp.float32)  # [bk//GROUP, bn] (tiled by BlockSpec)
-    w = _apply_scales(w, s)
-    _qdot(x, w, acc_ref)
+    bk = qs_ref.shape[0]
+    for j in range(0, bk, Q8_SUB):
+        sub = min(Q8_SUB, bk - j)
+        w = qs_ref[j : j + sub, :].astype(jnp.float32)  # [sub, bn]
+        s = s_ref[j // GROUP : (j + sub) // GROUP, :].astype(jnp.float32)
+        w = _apply_scales(w, s)
+        _qdot(x[:, j : j + sub], w, acc_ref)
 
     @pl.when(k == n_k_tiles - 1)
     def _():
@@ -107,11 +118,8 @@ def _q4_kernel(
 
     # Mosaic supports neither int8 vector subtraction nor uint8->bf16
     # casts; widen to int32 for the unpack arithmetic, then convert.
-    p32 = qs_ref[...].astype(jnp.int32)  # [bkp, bn]
     x_lo = x_lo_ref[...]
     x_hi = x_hi_ref[...]
-    s_lo = s_lo_ref[...].astype(jnp.float32)  # [sg, bn]
-    s_hi = s_hi_ref[...].astype(jnp.float32)
 
     if biasdot:
         # Offset-binary nibbles used directly (value+8 in [0,15]); the
@@ -119,26 +127,34 @@ def _q4_kernel(
         # removed with two [bb, sg] x [sg, bn] dots.  Group sums of x
         # come from an MXU dot with a block-diagonal ones matrix (cheap
         # compile-time pattern), avoiding lane-dim reshapes.
-        lo = (p32 & 0x0F).astype(jnp.float32)
-        hi = (p32 >> 4).astype(jnp.float32)
-        bkp, sg = lo.shape[0], s_lo.shape[0]
+        s_lo_full = s_lo_ref[...].astype(jnp.float32)
+        s_hi_full = s_hi_ref[...].astype(jnp.float32)
+        bkp, sg = qs_ref.shape[0], s_lo_full.shape[0]
         g_ids = jax.lax.broadcasted_iota(jnp.int32, (bkp, sg), 0) // GROUP
         c_ids = jax.lax.broadcasted_iota(jnp.int32, (bkp, sg), 1)
         ones_bd = (g_ids == c_ids).astype(x_lo.dtype)  # [bkp, sg]
         xsum_lo = jnp.dot(x_lo, ones_bd, preferred_element_type=jnp.float32)
         xsum_hi = jnp.dot(x_hi, ones_bd, preferred_element_type=jnp.float32)
-        corr = jnp.dot(xsum_lo, s_lo, preferred_element_type=jnp.float32)
-        corr += jnp.dot(xsum_hi, s_hi, preferred_element_type=jnp.float32)
+        corr = jnp.dot(xsum_lo, s_lo_full, preferred_element_type=jnp.float32)
+        corr += jnp.dot(xsum_hi, s_hi_full, preferred_element_type=jnp.float32)
         acc_ref[...] -= 8.0 * corr
-    else:
-        lo = ((p32 & 0x0F) - 8).astype(jnp.float32)
-        hi = ((p32 >> 4) - 8).astype(jnp.float32)
 
-    lo = _apply_scales(lo, s_lo)
-    hi = _apply_scales(hi, s_hi)
-
-    _qdot(x_lo, lo, acc_ref)
-    _qdot(x_hi, hi, acc_ref)
+    bkp = qs_ref.shape[0]
+    for j in range(0, bkp, Q4_SUB):
+        sub = min(Q4_SUB, bkp - j)
+        p32 = qs_ref[j : j + sub, :].astype(jnp.int32)  # [sub, bn]
+        s_lo = s_lo_ref[j // GROUP : (j + sub) // GROUP, :].astype(jnp.float32)
+        s_hi = s_hi_ref[j // GROUP : (j + sub) // GROUP, :].astype(jnp.float32)
+        if biasdot:
+            lo = (p32 & 0x0F).astype(jnp.float32)
+            hi = (p32 >> 4).astype(jnp.float32)
+        else:
+            lo = ((p32 & 0x0F) - 8).astype(jnp.float32)
+            hi = ((p32 >> 4) - 8).astype(jnp.float32)
+        lo = _apply_scales(lo, s_lo)
+        hi = _apply_scales(hi, s_hi)
+        _qdot(x_lo[:, j : j + sub], lo, acc_ref)
+        _qdot(x_hi[:, j : j + sub], hi, acc_ref)
 
     @pl.when(k == n_k_tiles - 1)
     def _():
