@@ -93,13 +93,15 @@ class LlamaConfig:
 
     @staticmethod
     def llama2_13b(**kw) -> "LlamaConfig":
-        return LlamaConfig(n_embd=5120, n_head=40, n_layer=40, n_ctx=4096, **kw)
+        kw.setdefault("n_ctx", 4096)
+        return LlamaConfig(n_embd=5120, n_head=40, n_layer=40, **kw)
 
     @staticmethod
     def llama2_70b(**kw) -> "LlamaConfig":
         kw.setdefault("n_ff", 28672)
+        kw.setdefault("n_ctx", 4096)
         return LlamaConfig(
-            n_embd=8192, n_head=64, n_layer=80, n_kv_head=8, n_ctx=4096, **kw
+            n_embd=8192, n_head=64, n_layer=80, n_kv_head=8, **kw
         )
 
     @staticmethod
