@@ -83,15 +83,17 @@ class Session:
     last_used: float = 0.0
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
+@partial(jax.jit, donate_argnums=(0,))
 def _insert_fragment(big: jax.Array, frag: jax.Array, slot) -> jax.Array:
+    # Only `big` can alias the output; donating the (differently-shaped)
+    # fragment just produced buffer-donation warnings.
     """frag [L, 1, Hkv, Tb, Dh] -> big [L, B, Hkv, S, Dh] at (slot, seq 0)."""
     return jax.lax.dynamic_update_slice(
         big, frag.astype(big.dtype), (0, slot, 0, 0, 0)
     )
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
+@partial(jax.jit, donate_argnums=(0,))
 def _insert_fragment_unrolled(big, frag, slot):
     """Unrolled caches: per-layer tuples of ([B,Hkv,S,Dh], ...) pairs."""
     out = []
