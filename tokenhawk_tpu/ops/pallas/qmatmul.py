@@ -49,10 +49,13 @@ Q4_BIASDOT = _os.environ.get("THAWK_Q4_BIASDOT", "0") == "1"
 # and broadcast-multiplies s[:, None, :] (sublane broadcast, no data
 # movement); "repeat" materializes repeat(s, GROUP) (full relayout).
 SCALE_MODE = _os.environ.get("THAWK_SCALE_MODE", "reshape")
-# Feed the MXU f32 instead of casting the dequantized tile to bf16:
-# saves one wide VPU convert per element; f32 MXU rate only matters at
-# prefill row counts.
-DOT_F32 = _os.environ.get("THAWK_DOT_F32", "0") == "1"
+# MXU input precision for the dequantized tile:
+#   auto = f32 at decode row counts (<= 8 rows: skips the wide VPU
+#          f32->bf16 convert, measured +8% on q4; MXU FLOPs are trivial),
+#          bf16 at prefill row counts (f32 MXU rate is 1/8 and prefill
+#          is FLOP-bound);
+#   1 / 0 force f32 / bf16 everywhere.
+DOT_F32 = _os.environ.get("THAWK_DOT_F32", "auto")
 
 
 def _apply_scales(w, s, group=GROUP):
@@ -66,7 +69,8 @@ def _apply_scales(w, s, group=GROUP):
 
 def _qdot(x, w, acc_ref):
     """acc += x @ w with the dequantized tile in f32 or bf16."""
-    if DOT_F32:
+    f32 = DOT_F32 == "1" or (DOT_F32 == "auto" and x.shape[0] <= 8)
+    if f32:
         acc_ref[...] += jax.lax.dot_general(
             x.astype(jnp.float32), w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
