@@ -179,6 +179,9 @@ def main(argv=None) -> int:
         from tokenhawk_tpu.models.llama import unstack_params
 
         params = unstack_params(params)
+    from tokenhawk_tpu.ops.qweight import maybe_i4_params
+
+    params = maybe_i4_params(params)  # int4-native q4 layout on TPU
     params = jax.block_until_ready(params)
     print(f"synth {args.model} {args.quant} params ready in "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)

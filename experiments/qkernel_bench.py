@@ -25,7 +25,8 @@ import numpy as np
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--kind", choices=["q8_0", "q4_0", "f16"], default="q8_0")
+    p.add_argument("--kind", choices=["q8_0", "q4_0", "q4_i4", "f16"],
+                   default="q8_0")
     p.add_argument("--pairs", type=int, default=4, help="w1/w2-like weight pairs")
     p.add_argument("--rows", type=int, default=8, help="activation rows (decode=8)")
     p.add_argument("--k", type=int, default=4096)
@@ -34,6 +35,9 @@ def main() -> int:
     p.add_argument("--block-k", type=int, default=0)
     p.add_argument("--variant", default="default",
                    help="kernel variant tag (see ops/pallas/qmatmul*.py)")
+    p.add_argument("--iters", type=int, default=128,
+                   help="iteration-count difference between long/short runs")
+    p.add_argument("--trials", type=int, default=7)
     args = p.parse_args()
 
     os.makedirs("/root/.cache/jax_comp", exist_ok=True)
@@ -71,6 +75,20 @@ def main() -> int:
             s2 = jnp.full((N // 64, K), 0.01, jnp.bfloat16)
             pairs.append((("q4", qs1, s1, s1), ("q4", qs2, s2, s2)))
             bytes_per_pass += qs1.nbytes + 2 * s1.nbytes + qs2.nbytes + 2 * s2.nbytes
+        elif args.kind == "q4_i4":
+            # int4 cannot device_put through the relay; build on device.
+            import functools as _ft
+
+            @_ft.partial(jax.jit, static_argnums=(1, 2))
+            def mk4(seed, k, n):
+                v = (jnp.arange(k * n, dtype=jnp.int32) + seed) % 16 - 8
+                return v.astype(jnp.int4).reshape(k, n)
+            qs1 = mk4(i, K, N)
+            s1 = jnp.full((K // 32, N), 0.01, jnp.bfloat16)
+            qs2 = mk4(7 * i, N, K)
+            s2 = jnp.full((N // 32, K), 0.01, jnp.bfloat16)
+            pairs.append((("q4i4", qs1, s1, None), ("q4i4", qs2, s2, None)))
+            bytes_per_pass += (K * N) // 2 + s1.nbytes + (N * K) // 2 + s2.nbytes
         else:  # f16 dense bf16 (XLA matmul)
             w1 = jnp.full((K, N), 0.01, jnp.bfloat16) + i * 1e-4
             w2 = jnp.full((N, K), 0.01, jnp.bfloat16) + i * 1e-4
@@ -85,7 +103,7 @@ def main() -> int:
     if bk:
         kw["block_k"] = bk
 
-    kind = {"q8_0": "q8", "q4_0": "q4", "f16": "f16"}[args.kind]
+    kind = {"q8_0": "q8", "q4_0": "q4", "q4_i4": "q4i4", "f16": "f16"}[args.kind]
 
     def apply(x, w):
         a, b, c = w
@@ -93,6 +111,8 @@ def main() -> int:
             return qm.q8_matmul(x, a, b, **kw)
         if kind == "q4":
             return qm.q4_matmul(x, a, b, c, **kw)
+        if kind == "q4i4":
+            return qm.q4_matmul_i4(x, a, b, **kw)
         return jnp.dot(x, a, preferred_element_type=jnp.float32).astype(x.dtype)
 
     # Weight arrays must be jit ARGUMENTS: closed-over they bake into the
@@ -117,18 +137,22 @@ def main() -> int:
     t0 = time.perf_counter()
     from tokenhawk_tpu.utils.benchlib import _time_call
 
-    # Long runs so compute dwarfs the ~30-50 ms relay call overhead;
-    # median of the diffs (min picks noise).
-    f_s, f_l = make_fn(8), make_fn(40)
+    # Long runs so compute dwarfs the ~30-50 ms relay call overhead
+    # (which has +-20 ms variance: the diff iteration count must be large
+    # enough that noise/iters << signal); median of the diffs.
+    n_s, n_l = 16, 16 + args.iters
+    f_s, f_l = make_fn(n_s), make_fn(n_l)
     _time_call(f_s, (x0, wargs)); _time_call(f_l, (x0, wargs))  # compile+warm
-    diffs = []
-    for trial in range(5):
+    ts_all, tl_all = [], []
+    for trial in range(args.trials):
         ts, tl = _time_call(f_s, (x0, wargs)), _time_call(f_l, (x0, wargs))
-        d = (tl - ts) / 32
-        diffs.append(d)
-        print(f"  T(8)={ts*1e3:.2f}ms T(40)={tl*1e3:.2f}ms "
-              f"-> {d*1e3:.3f} ms/pass", file=sys.stderr)
-    per_iter = sorted(diffs)[len(diffs) // 2]
+        ts_all.append(ts)
+        tl_all.append(tl)
+        print(f"  T({n_s})={ts*1e3:.2f}ms T({n_l})={tl*1e3:.2f}ms "
+              f"-> {(tl - ts) / args.iters * 1e3:.3f} ms/pass", file=sys.stderr)
+    # Relay/tunnel noise is strictly additive interference, so min-of-N
+    # is the honest estimator for each run length; diff the minima.
+    per_iter = (min(tl_all) - min(ts_all)) / args.iters
     gbps = bytes_per_pass / per_iter / 1e9
     print(f"compile+measure {time.perf_counter() - t0:.0f}s", file=sys.stderr)
     print(f"{args.kind} variant={args.variant} blocks(n={bn},k={bk}) rows={R}: "

@@ -22,4 +22,8 @@ program with donated KV buffers, so there is no per-token host round-trip.
 
 __version__ = "0.1.0"
 
+from tokenhawk_tpu.utils import jaxpatches as _jaxpatches
+
+_jaxpatches.apply()
+
 from tokenhawk_tpu.config import LlamaConfig  # noqa: F401

@@ -22,7 +22,7 @@ def matmul(x: jax.Array, w: ArrayOrQ, *, accum_dtype=jnp.float32) -> jax.Array:
         from tokenhawk_tpu.ops.dispatch import pallas_mode
 
         mode = pallas_mode()
-        if mode is not None and w.kind in ("q8_0", "q4_0"):
+        if mode is not None and w.kind in ("q8_0", "q4_0", "q4_0_i4"):
             from tokenhawk_tpu.ops.pallas.qmatmul import quant_matmul
 
             return quant_matmul(x, w, interpret=(mode == "interpret"))

@@ -108,11 +108,14 @@ def load_model(
                               scale_dtype=scale_dtype)
     if mesh is None:
         from tokenhawk_tpu.models.llama import fuse_params, unstack_params
+        from tokenhawk_tpu.ops.qweight import maybe_i4_params
 
         # Single chip: fused wqkv/w13 + unrolled per-layer buffers (no
         # scan -> the KV cache isn't rewritten as scan ys every step;
-        # +17% decode at 2048 ctx, see BENCH_NOTES.md).
-        params = unstack_params(fuse_params(params))
+        # +17% decode at 2048 ctx, see BENCH_NOTES.md).  q4_0 weights
+        # then convert to the int4-native layout on TPU (657 vs 450 GB/s
+        # decode weight stream; ops/qweight.py).
+        params = maybe_i4_params(unstack_params(fuse_params(params)))
     if mesh is not None:
         if parallel == "tp":
             from tokenhawk_tpu.models.llama import unstack_params
