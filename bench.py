@@ -48,7 +48,15 @@ def synth_qweight(key, K, N, kind, scale_dtype):
     raise ValueError(kind)
 
 
-def synth_params(cfg, kind, dtype, scale_dtype):
+def synth_params(cfg, kind, dtype, scale_dtype, fuse=True, unroll=True):
+    """Synthetic parameters sized like the real model.
+
+    unroll=True returns the per-layer tuple form with every layer
+    REFERENCING the same device buffers: HBM has no cache between the
+    weight stream and the MXU, so per-token traffic is identical to
+    distinct buffers, while setup memory stays at one layer
+    (13.5 GB of distinct f16 layers + the unstack copies OOM the chip).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -65,34 +73,60 @@ def synth_params(cfg, kind, dtype, scale_dtype):
     def stack_qw(K, N):
         from tokenhawk_tpu.ops.qweight import QWeight
 
-        ws = [synth_qweight(jax.random.fold_in(next(ks), i), K, N, kind, scale_dtype)
-              for i in range(1)]
-        # All layers share the same random payload broadcast-stacked: decode
-        # speed only depends on bytes moved, and this keeps setup fast.
-        w = ws[0]
+        w = synth_qweight(next(ks), K, N, kind, scale_dtype)
+        if not unroll:
+            # Stacked [L, ...] form for lax.scan: broadcast-stacked
+            # shared payload (materializes once under jit).
+            def bcast(x):
+                return None if x is None else jnp.broadcast_to(
+                    x[None], (L, *x.shape))
 
-        def bcast(x):
-            return None if x is None else jnp.broadcast_to(x[None], (L, *x.shape))
+            if kind == "f16":
+                return bcast(w)
+            return QWeight(
+                qs=bcast(w.qs), scales=bcast(w.scales), mins=None,
+                scales_hi=bcast(w.scales_hi), kind=kind,
+            )
+        return w
 
-        if kind == "f16":
-            return bcast(w)
-
-        return QWeight(
-            qs=bcast(w.qs), scales=bcast(w.scales), mins=None,
-            scales_hi=bcast(w.scales_hi), kind=kind,
+    if fuse:
+        # Build the fused wqkv/w13 forms directly (synthetic payloads are
+        # interchangeable): concatenating separate wq/wk/wv on device
+        # would double peak HBM during setup and OOM the f16 7B config
+        # (2 x 13.5 GB).
+        layers = LayerParams(
+            wq=None, wk=None, wv=None, w1=None, w3=None,
+            wqkv=stack_qw(D, D + 2 * Dkv),
+            w13=stack_qw(D, 2 * F),
+            wo=stack_qw(D, D),
+            w2=stack_qw(F, D),
+            attn_norm=jnp.ones((L, D), dtype),
+            ffn_norm=jnp.ones((L, D), dtype),
         )
+    else:
+        layers = LayerParams(
+            wq=stack_qw(D, D),
+            wk=stack_qw(D, Dkv),
+            wv=stack_qw(D, Dkv),
+            wo=stack_qw(D, D),
+            w1=stack_qw(D, F),
+            w2=stack_qw(F, D),
+            w3=stack_qw(D, F),
+            attn_norm=jnp.ones((L, D), dtype),
+            ffn_norm=jnp.ones((L, D), dtype),
+        )
+    if unroll:
+        import dataclasses
 
-    layers = LayerParams(
-        wq=stack_qw(D, D),
-        wk=stack_qw(D, Dkv),
-        wv=stack_qw(D, Dkv),
-        wo=stack_qw(D, D),
-        w1=stack_qw(D, F),
-        w2=stack_qw(F, D),
-        w3=stack_qw(D, F),
-        attn_norm=jnp.ones((L, D), dtype),
-        ffn_norm=jnp.ones((L, D), dtype),
-    )
+        from tokenhawk_tpu.ops.qweight import maybe_i4_params
+
+        # Convert the ONE shared layer to the int4 layout before
+        # replication (converting after would materialize 32 copies),
+        # and drop the leading L dim off the norms (tuple form is [D]).
+        lp = dataclasses.replace(
+            maybe_i4_params(layers),
+            attn_norm=jnp.ones((D,), dtype), ffn_norm=jnp.ones((D,), dtype))
+        layers = tuple([lp] * L)
     emb = jnp.full((V, D), 0.01, dtype)
     return LlamaParams(
         tok_embd=emb,
@@ -172,9 +206,8 @@ def main(argv=None) -> int:
 
     scale_dtype = jnp.bfloat16 if args.scale_dtype == "bf16" else jnp.float32
     t0 = time.perf_counter()
-    params = synth_params(cfg, args.quant, jnp.bfloat16, scale_dtype)
-    if not args.no_fuse:
-        params = fuse_params(params)
+    params = synth_params(cfg, args.quant, jnp.bfloat16, scale_dtype,
+                          fuse=not args.no_fuse, unroll=args.unroll)
     if args.unroll:
         from tokenhawk_tpu.models.llama import unstack_params
 

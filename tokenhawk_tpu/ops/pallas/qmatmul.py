@@ -89,6 +89,22 @@ Q8_SUB = 2048
 Q4_SUB = 1024
 
 
+def _pick_sub(bk: int, target: int) -> int:
+    """Sub-chunk length: the largest divisor of bk that is <= target, a
+    multiple of 256 (so every scales slice starts at a sublane offset
+    Mosaic can prove 8-aligned — sub=1376 compiles to "Expected mask
+    vector type"), and >= 1024 (43 tiny subs lose more than a ragged
+    tail).  Falls back to `target` with a ragged tail (e.g. K=11008 =
+    256*43, 43 prime: 5x2048 + 768)."""
+    best = None
+    b = 256
+    while b <= min(bk, target):
+        if bk % b == 0:
+            best = b
+        b += 256
+    return best if best is not None and best >= 1024 else target
+
+
 def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
     k = pl.program_id(2)
 
@@ -98,8 +114,9 @@ def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
 
     x = x_ref[...]
     bk = qs_ref.shape[0]
-    for j in range(0, bk, Q8_SUB):
-        sub = min(Q8_SUB, bk - j)
+    step = _pick_sub(bk, Q8_SUB)
+    for j in range(0, bk, step):
+        sub = min(step, bk - j)
         w = qs_ref[j : j + sub, :].astype(jnp.float32)  # [sub, bn]
         s = s_ref[j // GROUP : (j + sub) // GROUP, :].astype(jnp.float32)
         w = _apply_scales(w, s)
@@ -179,8 +196,9 @@ def _q4i4_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
 
     x = x_ref[...]
     bk = qs_ref.shape[0]
-    for j in range(0, bk, Q8_SUB):
-        sub = min(Q8_SUB, bk - j)
+    step = _pick_sub(bk, Q8_SUB)
+    for j in range(0, bk, step):
+        sub = min(step, bk - j)
         w = qs_ref[j : j + sub, :].astype(jnp.float32)  # [sub, bn]
         s = s_ref[j // GROUP : (j + sub) // GROUP, :].astype(jnp.float32)
         w = _apply_scales(w, s)
