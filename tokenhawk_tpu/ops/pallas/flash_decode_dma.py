@@ -124,6 +124,115 @@ def _kernel(
             o_ref[0, h] = (acc_ref[h] * l_inv).astype(o_ref.dtype)
 
 
+def _kernel_vec(
+    lengths_ref,  # SMEM [B]
+    q_ref,  # VMEM [1, HB, rep, Dh]
+    k_hbm,  # ANY [B, Hkv, n_blocks, ps, Dh]
+    v_hbm,
+    o_ref,  # VMEM [1, HB, rep, Dh]
+    m_ref,  # VMEM [HB*rep, 128] f32
+    l_ref,
+    acc_ref,  # VMEM [HB, rep, Dh] f32
+    s_buf,  # VMEM [HB*rep, ps] f32  per-head scores, vectorized softmax
+    k_buf,  # VMEM [2, HB, ps, Dh]
+    v_buf,
+    k_sem,
+    v_sem,
+    *,
+    block_s: int,
+    head_block: int,
+):
+    """Head-vectorized variant: the QK^T and PV dots stay per-head (each
+    head contracts its own K/V), but ALL softmax bookkeeping (mask, max,
+    exp, rescale) runs once on an [HB*rep, ps] tile instead of HB times
+    on [rep, ps] slivers.  At rep=1/Hkv=32 the per-head slivers are
+    1-row ops whose fixed VPU cost dominated the kernel (261 GB/s at 256
+    live tokens; the pure-DMA floor is ~5 us/layer)."""
+    b = pl.program_id(0)
+    hg = pl.program_id(1)
+    i = pl.program_id(2)
+    h0 = hg * head_block
+    rep = q_ref.shape[2]
+    length = jnp.minimum(lengths_ref[b], pl.num_programs(2) * block_s)
+    n_blocks = pl.cdiv(length, block_s)
+
+    def copies(blk, slot):
+        k = pltpu.make_async_copy(
+            k_hbm.at[b, pl.ds(h0, head_block), blk], k_buf.at[slot],
+            k_sem.at[slot],
+        )
+        v = pltpu.make_async_copy(
+            v_hbm.at[b, pl.ds(h0, head_block), blk], v_buf.at[slot],
+            v_sem.at[slot],
+        )
+        return k, v
+
+    @pl.when(i < n_blocks)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            ck, cv = copies(0, 0)
+            ck.start()
+            cv.start()
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            nk, nv = copies(i + 1, (i + 1) % 2)
+            nk.start()
+            nv.start()
+
+        slot = i % 2
+        ck, cv = copies(i, slot)
+        ck.wait()
+
+        for h in range(head_block):
+            q = q_ref[0, h].astype(jnp.float32)  # [rep, Dh]
+            k = k_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
+            s_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        kpos = i * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, s_buf.shape, 1
+        )
+        s = jnp.where(kpos < length, s_buf[...], _MASK)  # [HB*rep, ps]
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)  # [HB*rep, 1]
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+        s_buf[...] = p
+
+        cv.wait()
+        for h in range(head_block):
+            v = v_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
+            p_h = s_buf[h * rep : (h + 1) * rep, :]
+            pv = jnp.dot(p_h, v, preferred_element_type=jnp.float32)
+            acc_ref[h] = acc_ref[h] * alpha[h * rep : (h + 1) * rep] + pv
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        l = l_ref[:, 0:1]  # [HB*rep, 1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        for h in range(head_block):
+            o_ref[0, h] = (
+                acc_ref[h] * l_inv[h * rep : (h + 1) * rep]
+            ).astype(o_ref.dtype)
+
+
+import os as _os
+
+DECODE_VEC = _os.environ.get("THAWK_DECODE_VEC", "1") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("block_s", "head_block", "interpret"))
 def flash_decode_dma(
     q: jax.Array,  # [B, Hkv, rep, Dh]
@@ -147,7 +256,14 @@ def flash_decode_dma(
 
     kv_view = (B, Hkv, n_blocks, bs, Dh)
     grid = (B, Hkv // hb, n_blocks)
-    kernel = functools.partial(_kernel, block_s=bs, head_block=hb)
+    if DECODE_VEC:
+        kernel = functools.partial(_kernel_vec, block_s=bs, head_block=hb)
+        ml_shape = (hb * rep, 128)
+        extra = [pltpu.VMEM((hb * rep, bs), jnp.float32)]
+    else:
+        kernel = functools.partial(_kernel, block_s=bs, head_block=hb)
+        ml_shape = (hb, rep, 128)
+        extra = []
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -162,9 +278,10 @@ def flash_decode_dma(
                 (1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((hb, rep, 128), jnp.float32),
-                pltpu.VMEM((hb, rep, 128), jnp.float32),
+                pltpu.VMEM(ml_shape, jnp.float32),
+                pltpu.VMEM(ml_shape, jnp.float32),
                 pltpu.VMEM((hb, rep, Dh), jnp.float32),
+                *extra,
                 pltpu.VMEM((2, hb, bs, Dh), k_cache.dtype),
                 pltpu.VMEM((2, hb, bs, Dh), v_cache.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
