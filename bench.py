@@ -223,6 +223,10 @@ def main(argv=None) -> int:
 
     def new_cache():
         if args.kv == "int8":
+            if args.unroll:
+                from tokenhawk_tpu.models.llama import make_unrolled_quant_cache
+
+                return make_unrolled_quant_cache(cfg, B, args.ctx)
             from tokenhawk_tpu.models.llama import QuantKVCache
 
             return QuantKVCache.create(cfg, B, args.ctx)

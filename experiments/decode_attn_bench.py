@@ -47,26 +47,40 @@ def main() -> int:
         from tokenhawk_tpu.ops.pallas.flash_decode_dma import flash_decode_dma as fn
     elif args.variant == "pipeline":
         from tokenhawk_tpu.ops.pallas.flash_decode import flash_decode as fn
+    elif args.variant == "int8":
+        from tokenhawk_tpu.ops.pallas.flash_decode_int8 import flash_decode_int8 as fn
     else:
         raise SystemExit(f"unknown variant {args.variant}")
 
     caches = []
     for i in range(args.layers):
-        k = jnp.full((B, H, S, D), 0.01 * (i + 1), jnp.bfloat16)
-        v = jnp.full((B, H, S, D), 0.02 * (i + 1), jnp.bfloat16)
-        caches.append((k, v))
+        if args.variant == "int8":
+            k = jnp.full((B, H, S, D), i % 7 - 3, jnp.int8)
+            v = jnp.full((B, H, S, D), i % 5 - 2, jnp.int8)
+            ks = jnp.full((B, H, S), 0.01, jnp.bfloat16)
+            vs = jnp.full((B, H, S), 0.02, jnp.bfloat16)
+            caches.append((k, ks, v, vs))
+        else:
+            k = jnp.full((B, H, S, D), 0.01 * (i + 1), jnp.bfloat16)
+            v = jnp.full((B, H, S, D), 0.02 * (i + 1), jnp.bfloat16)
+            caches.append((k, v))
     caches = jax.block_until_ready(caches)
     lengths = jnp.full((B,), args.length, jnp.int32)
     # live KV bytes actually streamed per pass
-    live = 2 * B * H * min(args.length, S) * D * 2 * args.layers
+    if args.variant == "int8":
+        live = (2 * B * H * min(args.length, S) * D  # int8 payload
+                + 2 * B * H * S * 2  # scales (full-S pipelined)
+                ) * args.layers
+    else:
+        live = 2 * B * H * min(args.length, S) * D * 2 * args.layers
     print(f"live KV: {live/1e6:.0f} MB per pass", file=sys.stderr)
 
     def make_fn(n):
         @jax.jit
         def run(q, caches, lengths):
             def body(q, _):
-                for k, v in caches:
-                    o = fn(q, k, v, lengths)
+                for c in caches:
+                    o = fn(q, *c, lengths)
                     q = o * 1e-3 + q * 1e-3
                 return q, ()
 

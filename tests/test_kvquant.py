@@ -6,7 +6,6 @@ import pytest
 
 from tokenhawk_tpu.ops.attention import attend_cache, update_kv_cache
 from tokenhawk_tpu.ops.kvquant import (
-    SCALE_LANES,
     attend_cache_int8,
     dequantize_kv,
     quantize_kv_block,
@@ -18,7 +17,7 @@ from tokenhawk_tpu.ops.pallas.flash_decode_int8 import flash_decode_int8
 def test_quantize_roundtrip_error(rng):
     x = rng.standard_normal((2, 3, 4, 64)).astype(np.float32)
     q, s = quantize_kv_block(jnp.asarray(x))
-    assert q.dtype == jnp.int8 and s.shape == (2, 3, 4, SCALE_LANES)
+    assert q.dtype == jnp.int8 and s.shape == (2, 3, 4)
     y = np.asarray(dequantize_kv(q, s))
     amax = np.abs(x).max(-1, keepdims=True)
     # half a quantization step + bf16 rounding of the scale (~0.4% of value)
@@ -33,7 +32,7 @@ def test_update_and_attend_matches_bf16_path(rng):
     offsets = jnp.asarray([3, 10], jnp.int32)
 
     kq = jnp.zeros((B, Hkv, S, Dh), jnp.int8)
-    ks = jnp.zeros((B, Hkv, S, SCALE_LANES), jnp.bfloat16)
+    ks = jnp.zeros((B, Hkv, S), jnp.bfloat16)
     vq = jnp.zeros_like(kq)
     vs = jnp.zeros_like(ks)
     kq, ks, vq, vs = update_kv_cache_int8(
@@ -75,7 +74,10 @@ def test_flash_decode_int8_matches_reference(rng, Hkv, rep):
     got = np.asarray(flash_decode_int8(
         jnp.asarray(qg), kq, ks, vq, vs, positions[:, 0] + 1, interpret=True
     )).reshape(B, 1, H, Dh)
-    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+    # The int8-MXU kernel additionally quantizes q and the probability
+    # rows (int8 attention); ~0.4% relative each on top of the cache
+    # rounding the reference already shares.
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
 
 
 def test_engine_int8_kv_cache_generates(rng):
@@ -142,10 +144,9 @@ def test_int8_decode_update_is_dus_chain(rng):
     from tokenhawk_tpu.ops.kvquant import update_kv_cache_int8
 
     B, Hkv, S, Dh = 2, 2, 256, 128
-    from tokenhawk_tpu.ops.kvquant import SCALE_LANES
 
     kc = jnp.zeros((B, Hkv, S, Dh), jnp.int8)
-    ks = jnp.zeros((B, Hkv, S, SCALE_LANES), jnp.bfloat16)
+    ks = jnp.zeros((B, Hkv, S), jnp.bfloat16)
     vc, vs = kc, ks
     k_new = jnp.ones((B, 1, Hkv, Dh), jnp.float32)
     offs = jnp.asarray([3, 7], jnp.int32)

@@ -131,6 +131,48 @@ def test_tp_scheduler_matches(tensors):
     assert got == want
 
 
+def test_tp_per_request_sampling(tensors):
+    """Per-request sampling params under shard_map TP: a greedy request
+    keeps its solo-greedy output while its neighbour samples with a
+    different temperature/seed, reproducibly (parallel/tp.py
+    make_tp_decode_fn_dynamic)."""
+    from tokenhawk_tpu.runtime.scheduler import Request, Scheduler
+
+    tp = 4
+    mesh = make_mesh(dp=1, tp=tp)
+    params_tp = shard_params_tp(
+        CFG, params_from_ggml(CFG, tensors, dtype=jnp.float32,
+                              row_parallel_shards=tp), mesh)
+    greedy_cfg = SamplingConfig(temperature=0.0)
+    stoch_cfg = SamplingConfig(temperature=1.0, top_k=0, top_p=1.0,
+                               repeat_penalty=1.0, seed=1234)
+
+    solo = Scheduler(CFG, params_tp, sampling=greedy_cfg, max_batch=2,
+                     cache_dtype=jnp.float32, decode_chunk=4,
+                     mesh=mesh, parallel="tp")
+    want_greedy = solo.generate_many([[1, 5, 9]], max_new_tokens=6)[0].output
+
+    def run_pair(order):
+        s = Scheduler(CFG, params_tp, sampling=greedy_cfg, max_batch=2,
+                      cache_dtype=jnp.float32, decode_chunk=4,
+                      mesh=mesh, parallel="tp")
+        reqs = [Request(prompt=[1, 5, 9], max_new_tokens=6,
+                        sampling=greedy_cfg),
+                Request(prompt=[1, 7, 2, 9], max_new_tokens=6,
+                        sampling=stoch_cfg)]
+        for r in (reqs if order else reqs[::-1]):
+            s.submit(r)
+        s.run()
+        return reqs
+
+    a = run_pair(True)
+    b = run_pair(False)
+    assert a[0].output == want_greedy
+    assert b[0].output == want_greedy
+    assert a[1].output == b[1].output
+    assert all(0 <= t < CFG.n_vocab for t in a[1].output)
+
+
 def test_tp_gqa_generation_matches():
     """GQA (Llama-2-70B shape class): q heads share KV heads under TP."""
     cfg = LlamaConfig.tiny(n_vocab=512, n_embd=256, n_head=8, n_kv_head=2,

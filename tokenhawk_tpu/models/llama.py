@@ -181,17 +181,15 @@ class QuantKVCache(NamedTuple):
     """Int8 KV cache (see ops/kvquant.py): [L, B, Hkv, S, *] arrays."""
 
     k: jax.Array  # int8 [L, B, Hkv, S, Dh]
-    ks: jax.Array  # bf16 [L, B, Hkv, S, SCALE_LANES]
+    ks: jax.Array  # bf16 [L, B, Hkv, S] (token-innermost scales)
     v: jax.Array
     vs: jax.Array
 
     @staticmethod
     def create(cfg: LlamaConfig, batch: int, max_seq: Optional[int] = None) -> "QuantKVCache":
-        from tokenhawk_tpu.ops.kvquant import SCALE_LANES
-
         S = max_seq or cfg.n_ctx
         shape = (cfg.n_layer, batch, cfg.n_kv_head, S, cfg.head_dim)
-        sshape = (cfg.n_layer, batch, cfg.n_kv_head, S, SCALE_LANES)
+        sshape = (cfg.n_layer, batch, cfg.n_kv_head, S)
         return QuantKVCache(
             jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.bfloat16),
             jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.bfloat16),
@@ -211,6 +209,23 @@ def make_unrolled_cache(
     shape = (batch, cfg.n_kv_head, S, cfg.head_dim)
     return tuple(
         (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(cfg.n_layer)
+    )
+
+
+def make_unrolled_quant_cache(
+    cfg: LlamaConfig, batch: int, max_seq: Optional[int] = None,
+) -> Tuple:
+    """Per-layer int8 cache tuple: (k, ks, v, vs) per layer — the 4-tuple
+    form `_attend_and_update` dispatches on (ops/kvquant.py)."""
+    S = max_seq or cfg.n_ctx
+    shape = (batch, cfg.n_kv_head, S, cfg.head_dim)
+    sshape = (batch, cfg.n_kv_head, S)
+    return tuple(
+        (
+            jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.bfloat16),
+            jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.bfloat16),
+        )
         for _ in range(cfg.n_layer)
     )
 

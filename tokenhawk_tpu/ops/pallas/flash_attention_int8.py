@@ -2,17 +2,23 @@
 
 Same online-softmax structure as flash_attention.py, but K/V tiles
 arrive as int8 payloads + per-token scales (ops/kvquant.py layout:
-scales [.., S, SCALE_LANES] with the scale replicated across 8 lanes)
-and dequantize per tile in VMEM.  This removes the XLA fallback's
+scales bf16 [.., S], token-innermost).  This removes the XLA fallback's
 whole-cache dequantize during prefill (kvquant.attend_cache_int8),
 whose [B, Hkv, S, Dh] f32 materialization blows up at long context.
+
+The per-token scales fold into score space rather than dequantizing
+the K/V tiles: q.(k_i8*ksc)^T == (q.k_i8^T) * ksc_row and
+p.(vsc*v_i8) == (p*vsc_row).v_i8 — the token-innermost layout makes
+ksc_row/vsc_row [1, BS] rows that broadcast over the [BT, BS] score
+tile with no transposes.  K/V convert int8->f32 once per tile for the
+MXU feed (amortized over BT query rows; prefill stays MXU-bound).
 
 Kernel shapes:
   q         [B, Hkv, rep, T, Dh]  (pre-scaled by 1/sqrt(Dh))
   k_cache   int8 [B, Hkv, S, Dh]
-  ks_cache  bf16 [B, Hkv, S, SCALE_LANES]
+  ks_cache  bf16 [B, Hkv, S]
   v_cache   int8 [B, Hkv, S, Dh]
-  vs_cache  bf16 [B, Hkv, S, SCALE_LANES]
+  vs_cache  bf16 [B, Hkv, S]
   offsets   [B] int32
 """
 
@@ -32,9 +38,9 @@ def _kernel(
     offsets_ref,  # SMEM [B]
     q_ref,  # [1, 1, rep, BT, Dh]
     k_ref,  # int8 [1, 1, BS, Dh]
-    ks_ref,  # [1, 1, BS, SL]
+    ks_ref,  # bf16 [1, 1, 1, 1, BS]
     v_ref,  # int8 [1, 1, BS, Dh]
-    vs_ref,  # [1, 1, BS, SL]
+    vs_ref,  # bf16 [1, 1, 1, 1, BS]
     o_ref,  # [1, 1, rep, BT, Dh]
     m_ref,
     l_ref,
@@ -60,10 +66,12 @@ def _kernel(
 
     @pl.when(i * block_s <= max_qpos)
     def _():
-        # Dequantize the tile: int8 -> f32 row-scaled by the [BS, 1]
-        # scale column (broadcasts along Dh, no lane shuffles).
-        k = k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0, :, 0:1].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0, :, 0:1].astype(jnp.float32)
+        # int8 -> f32 convert only (MXU feed); scales fold into score
+        # space as [1, BS] rows below.
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        ks_row = ks_ref[0, 0, 0].astype(jnp.float32)  # [1, BS]
+        vs_row = vs_ref[0, 0, 0].astype(jnp.float32)  # [1, BS]
         row = jax.lax.broadcasted_iota(jnp.int32, (block_t, block_s), 0)
         kpos = i * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (block_t, block_s), 1
@@ -76,7 +84,7 @@ def _kernel(
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ) * ks_row
             s = jnp.where(causal, s, _MASK)
 
             m_prev = m_ref[r, :, 0:1]
@@ -89,7 +97,7 @@ def _kernel(
             m_ref[r] = jnp.broadcast_to(m_next, m_ref.shape[1:])
             l_ref[r] = jnp.broadcast_to(l_next, l_ref.shape[1:])
 
-            pv = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            pv = jnp.dot(p * vs_row, v, preferred_element_type=jnp.float32)
             acc_ref[r] = acc_ref[r] * alpha + pv
 
     @pl.when(i == n_s_tiles - 1)
@@ -104,7 +112,7 @@ def _kernel(
 def flash_attention_int8(
     q: jax.Array,  # [B, Hkv, rep, T, Dh]
     k_cache: jax.Array,  # int8 [B, Hkv, S, Dh]
-    ks_cache: jax.Array,  # [B, Hkv, S, SL]
+    ks_cache: jax.Array,  # bf16 [B, Hkv, S]
     v_cache: jax.Array,
     vs_cache: jax.Array,
     offsets: jax.Array,  # [B] int32
@@ -115,7 +123,6 @@ def flash_attention_int8(
 ) -> jax.Array:
     B, Hkv, rep, T, Dh = q.shape
     S = k_cache.shape[2]
-    SL = ks_cache.shape[3]
     bt = min(block_t, T)
     while T % bt:
         bt //= 2
@@ -138,9 +145,13 @@ def flash_attention_int8(
                     (1, 1, rep, bt, Dh), lambda b, h, t, i, *_: (b, h, 0, t, 0)
                 ),
                 pl.BlockSpec((1, 1, bs, Dh), lambda b, h, t, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, bs, SL), lambda b, h, t, i, *_: (b, h, i, 0)),
+                pl.BlockSpec(
+                    (1, 1, 1, 1, bs), lambda b, h, t, i, *_: (b, h, i, 0, 0)
+                ),
                 pl.BlockSpec((1, 1, bs, Dh), lambda b, h, t, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, bs, SL), lambda b, h, t, i, *_: (b, h, i, 0)),
+                pl.BlockSpec(
+                    (1, 1, 1, 1, bs), lambda b, h, t, i, *_: (b, h, i, 0, 0)
+                ),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, rep, bt, Dh), lambda b, h, t, i, *_: (b, h, 0, t, 0)
@@ -156,7 +167,11 @@ def flash_attention_int8(
             dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(offsets.astype(jnp.int32), q, k_cache, ks_cache, v_cache, vs_cache)
+    )(
+        offsets.astype(jnp.int32), q,
+        k_cache, ks_cache.reshape(B, Hkv, S // bs, 1, bs),
+        v_cache, vs_cache.reshape(B, Hkv, S // bs, 1, bs),
+    )
 
 
 def attend_prefill_int8(

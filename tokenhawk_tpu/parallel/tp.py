@@ -322,6 +322,66 @@ def make_tp_decode_fn(cfg: LlamaConfig, mesh: Mesh, sampling: SamplingConfig,
     return decode
 
 
+def make_tp_decode_fn_dynamic(cfg: LlamaConfig, mesh: Mesh, chunk: int,
+                              eos_id: int = 2, params: LlamaParams = None):
+    """TP decode chunk with PER-SLOT sampling parameters (the shard_map
+    twin of engine.make_decode_fn_dynamic).
+
+    (params, cache, last_tok [B], offsets [B], last_n [B,N], done [B],
+     sp: SamplingParams, counters [B])
+      -> (cache, tokens [B,chunk], offsets, last_n, done, counters)
+
+    SamplingParams/counters are [B] arrays sharded along the data axis
+    like every other per-slot array; `_logits_tp` all-gathers full-vocab
+    logits per model shard, so sample_dynamic runs replicated across the
+    model axis and identically per slot (each slot keeps its own
+    (seed, counter) RNG stream)."""
+    from tokenhawk_tpu.sampling import SamplingParams, sample_dynamic
+
+    tp = mesh.shape[MODEL_AXIS]
+    validate_tp(cfg, tp)
+    pspecs = param_specs_tp(params)
+    unrolled = params is not None and isinstance(params.layers, tuple)
+    cspecs = (cache_specs_tp(tuple(range(cfg.n_layer))) if unrolled
+              else KVCache(kv_cache_spec_tp(), kv_cache_spec_tp()))
+    bspec = P(DATA_AXIS)
+    sp_spec = SamplingParams(bspec, bspec, bspec, bspec, bspec)
+
+    def local_fn(params, cache, last_tok, offsets, last_n, done, sp, counters):
+        def step(carry, _):
+            cache, tok, off, last_n, done, counters = carry
+            h, cache = _forward_tp(cfg, tp, params, tok[:, None], cache, off)
+            logits = _logits_tp(cfg, params, h[:, 0])
+            nxt = sample_dynamic(logits, sp, counters, last_n)
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            off = off + jnp.where(done, 0, 1)
+            counters = counters + 1
+            done = done | (nxt == eos_id)
+            last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
+            return (cache, nxt, off, last_n, done, counters), nxt
+
+        (cache, tok, offsets, last_n, done, counters), toks = jax.lax.scan(
+            step, (cache, last_tok, offsets, last_n, done, counters),
+            None, length=chunk,
+        )
+        return cache, toks.T, offsets, last_n, done, counters
+
+    mapped = shard_map(
+        local_fn, mesh,
+        in_specs=(pspecs, cspecs, bspec, bspec, P(DATA_AXIS, None),
+                  bspec, sp_spec, bspec),
+        out_specs=(cspecs, P(DATA_AXIS, None), bspec,
+                   P(DATA_AXIS, None), bspec, bspec),
+    )
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def decode(params, cache, last_tok, offsets, last_n, done, sp, counters):
+        return mapped(params, cache, last_tok, offsets, last_n, done,
+                      sp, counters)
+
+    return decode
+
+
 # ---------------------------------------------------------------------------
 # Parameter placement / fusion
 # ---------------------------------------------------------------------------

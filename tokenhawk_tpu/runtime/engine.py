@@ -229,6 +229,12 @@ class Engine:
 
     def new_cache(self, batch: Optional[int] = None):
         if self.cache_dtype == "int8":  # quantized KV (ops/kvquant.py)
+            if isinstance(self.params.layers, tuple):
+                from tokenhawk_tpu.models.llama import make_unrolled_quant_cache
+
+                return make_unrolled_quant_cache(
+                    self.cfg, batch or self.batch_size, self.max_seq
+                )
             from tokenhawk_tpu.models.llama import QuantKVCache
 
             return QuantKVCache.create(

@@ -159,16 +159,14 @@ class Scheduler:
 
         if mesh is not None and parallel == "tp":
             from tokenhawk_tpu.parallel.tp import (
-                make_tp_decode_fn,
+                make_tp_decode_fn_dynamic,
                 make_tp_prefill_fn,
             )
 
-            # TP decode bakes the scheduler-default sampling config (the
-            # per-request path is single-host; see ROADMAP).
-            self._dynamic = False
+            self._dynamic = True
             self._prefill = make_tp_prefill_fn(cfg, mesh, params)
-            self._decode = make_tp_decode_fn(cfg, mesh, sampling, decode_chunk,
-                                             eos_id, params)
+            self._decode = make_tp_decode_fn_dynamic(cfg, mesh, decode_chunk,
+                                                     eos_id, params)
         else:
             from tokenhawk_tpu.runtime.engine import make_decode_fn_dynamic
 
