@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--seed", type=int, default=780658349)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--kv", choices=["bf16", "int8", "auto"], default="bf16",
+                   help="KV cache dtype; auto picks int8 at long n-ctx "
+                        "(crossover ~256 live tokens, see BENCH_NOTES)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
     p.add_argument("--timing", action="store_true", help="per-token latency stats")
     return p
@@ -72,8 +75,9 @@ def main(argv=None) -> int:
         repeat_penalty=args.repeat_penalty,
         seed=args.seed,
     )
+    kv = {"bf16": jnp.bfloat16, "int8": "int8", "auto": "auto"}[args.kv]
     engine = Engine(cfg, params, tokenizer=tokenizer, sampling=sampling,
-                    mesh=mesh, parallel="tp")
+                    cache_dtype=kv, mesh=mesh, parallel="tp")
 
     timer = TokenTimer() if args.timing else None
 

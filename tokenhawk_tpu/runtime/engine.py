@@ -175,6 +175,15 @@ class Engine:
         self.sampling = sampling
         self.max_seq = max_seq or cfg.n_ctx
         self.batch_size = batch_size
+        if cache_dtype == "auto":
+            # Measured crossover (BENCH_NOTES round 2): the int8-native
+            # MXU decode kernel beats bf16 KV beyond ~256 live tokens and
+            # costs ~1% below that; pick int8 whenever the context is
+            # long enough that requests plausibly live past the crossover.
+            # The shard_map TP/CP paths carry bf16 caches (int8 sharding
+            # not wired), so auto only upgrades the single-mesh path.
+            cache_dtype = ("int8" if self.max_seq >= 1024 and mesh is None
+                           else jnp.bfloat16)
         self.cache_dtype = cache_dtype
         self.decode_chunk = decode_chunk
         self.eos_id = eos_id
