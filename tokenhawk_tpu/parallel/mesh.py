@@ -23,6 +23,29 @@ from jax.sharding import Mesh
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 CTX_AXIS = "ctx"
+STAGE_AXIS = "stage"
+
+
+def make_pp_mesh(
+    dp: int = 1, pp: Optional[int] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a (data, stage) mesh for pipeline parallelism (parallel/pp.py).
+
+    The stage axis is the one mesh axis meant to ride DCN rather than
+    ICI: stage boundaries exchange only [B, T, D] activations per hop
+    (vs TP's per-layer all-reduces), the classic multi-host cut for
+    models too big for one host's HBM (SURVEY §2.6, 70B config)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if pp is None:
+        if n % dp:
+            raise ValueError(f"{n} devices not divisible by dp={dp}")
+        pp = n // dp
+    if dp * pp > n:
+        raise ValueError(f"dp*pp={dp * pp} exceeds {n} devices")
+    grid = np.asarray(devices[: dp * pp]).reshape(dp, pp)
+    return Mesh(grid, (DATA_AXIS, STAGE_AXIS))
 
 
 def make_cp_mesh(

@@ -199,6 +199,20 @@ class Engine:
                                              eos_id, params)
             self._make_decode1 = lambda: make_tp_decode_fn(
                 cfg, mesh, sampling, 1, eos_id, params)
+        elif mesh is not None and parallel == "pp":
+            from tokenhawk_tpu.parallel.pp import (
+                make_pp_decode_fn,
+                make_pp_prefill_fn,
+                validate_pp,
+            )
+            from tokenhawk_tpu.parallel.mesh import STAGE_AXIS
+
+            validate_pp(cfg, mesh.shape[STAGE_AXIS])
+            self._prefill = make_pp_prefill_fn(cfg, mesh, params)
+            self._decode = make_pp_decode_fn(cfg, mesh, sampling, decode_chunk,
+                                             eos_id, params)
+            self._make_decode1 = lambda: make_pp_decode_fn(
+                cfg, mesh, sampling, 1, eos_id, params)
         elif mesh is not None and parallel == "cp":
             from tokenhawk_tpu.parallel.cp import (
                 make_cp_decode_fn,
@@ -268,6 +282,10 @@ class Engine:
         cache = KVCache.create(
             self.cfg, batch or self.batch_size, self.max_seq, self.cache_dtype
         )
+        if self.mesh is not None and self.parallel == "pp":
+            from tokenhawk_tpu.parallel.pp import shard_cache_pp
+
+            return shard_cache_pp(cache, self.mesh)
         if self.mesh is not None:
             from tokenhawk_tpu.parallel import shard_kv_cache
 
