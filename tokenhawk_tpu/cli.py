@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(crossover ~256 live tokens, see BENCH_NOTES)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
     p.add_argument("--timing", action="store_true", help="per-token latency stats")
+    p.add_argument("--draft-model", help="GGML draft model for speculative "
+                   "decoding (greedy only; output identical to the target)")
+    p.add_argument("--gamma", type=int, default=4,
+                   help="draft tokens proposed per speculative round")
     return p
 
 
@@ -76,6 +80,38 @@ def main(argv=None) -> int:
         seed=args.seed,
     )
     kv = {"bf16": jnp.bfloat16, "int8": "int8", "auto": "auto"}[args.kv]
+
+    if args.draft_model:
+        # Speculative decoding: greedy-only (the acceptance rule verifies
+        # the target's argmax), so --temp is ignored with a note.
+        if not args.greedy and args.temp > 0:
+            print("note: --draft-model implies greedy decoding",
+                  file=sys.stderr)
+        from tokenhawk_tpu.runtime.speculative import SpeculativeEngine
+
+        cfg_d, params_d, _ = load_model(
+            args.draft_model, n_ctx=args.n_ctx, dtype=dtype
+        )
+        spec = SpeculativeEngine(cfg, params, cfg_d, params_d,
+                                 tokenizer=tokenizer, gamma=args.gamma,
+                                 cache_dtype=kv if kv != "auto" else jnp.bfloat16)
+        t0 = time.perf_counter()
+        toks, stats = spec.generate(
+            args.prompt, max_new_tokens=args.max_tokens,
+            on_token=lambda t: (
+                sys.stdout.buffer.write(tokenizer.decode_token_bytes(t)),
+                sys.stdout.flush()),
+        )
+        sys.stdout.write("\n")
+        dps = ((len(toks) - 1) / stats["decode_seconds"]
+               if stats["decode_seconds"] > 0 else 0.0)
+        print(f"[{len(toks)} generated; prefill "
+              f"{stats['prefill_seconds']:.2f}s, decode {dps:.1f} tok/s; "
+              f"accept {stats['acceptance_rate']:.0%}, "
+              f"{stats['tokens_per_round']:.2f} tok/round]",
+              file=sys.stderr)
+        return 0
+
     engine = Engine(cfg, params, tokenizer=tokenizer, sampling=sampling,
                     cache_dtype=kv, mesh=mesh, parallel="tp")
 

@@ -1,0 +1,212 @@
+"""Speculative decoding: a small draft model proposes, the target verifies.
+
+Decode is weight-stream-bound (BENCH_NOTES): a 7B forward over T=1 and
+T=gamma+1 tokens costs nearly the same HBM time, so verifying gamma
+draft tokens in ONE target pass multiplies tokens/step by the acceptance
+length.  Classic speculative decoding (greedy form): the target's
+argmax over the drafted prefix either reproduces each draft token
+(accept) or yields the correction token (reject + replace), so output
+is EXACTLY the target-only greedy stream regardless of draft quality —
+the draft only changes speed, never content.
+
+TPU-shaped details:
+
+  * Everything runs in one jitted step per round: the draft's
+    gamma-step `lax.scan`, the target's single [B, gamma+1] forward,
+    and the acceptance arithmetic.  Only token ids + accept counts
+    cross to the host.
+  * No KV rollback.  Both caches write K/V for speculative positions
+    as they go; on rejection the engine simply does not advance
+    `offsets` past the accepted prefix.  Every attention kernel in this
+    framework masks by length (`kpos < length`), so stale cache slots
+    beyond the offset are invisible and get overwritten when those
+    positions are legitimately reached again.
+  * The invariant matches runtime.engine: "last committed token not
+    yet in cache".  The draft writes [last, d_1..d_{g-1}] at
+    offsets..offsets+g-1; the accepted prefix d_1..d_k occupies exactly
+    the slots the committed history needs, so the draft cache is valid
+    for ANY acceptance length k.
+
+Beyond the reference's scope (it decodes strictly one token per GPU
+round trip, /root/reference/th-llama.cpp:662-727).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenhawk_tpu.config import LlamaConfig
+from tokenhawk_tpu.models.llama import (
+    LlamaParams,
+    forward,
+    logits_from_hidden,
+)
+from tokenhawk_tpu.tokenizer import BOS_ID, EOS_ID, Tokenizer
+
+
+def make_spec_decode_fn(cfg_draft: LlamaConfig, cfg_target: LlamaConfig,
+                        gamma: int):
+    """One speculative round, fully on device.
+
+    (params_d, params_t, cache_d, cache_t, last_tok [B], offsets [B])
+      -> (cache_d, cache_t, out [B, gamma+1] (-1-padded), n_new [B],
+          offsets', last_tok')
+
+    Greedy draft + greedy target: out[:, :n_new] extends the committed
+    stream with k accepted drafts plus the target's own token at the
+    cut — bit-identical to target-only greedy decoding.
+    """
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(params_d, params_t, cache_d, cache_t, last_tok, offsets):
+        B = last_tok.shape[0]
+
+        def dstep(carry, _):
+            cache_d, tok, off = carry
+            h, cache_d = forward(cfg_draft, params_d, tok[:, None],
+                                 cache_d, off)
+            lg = logits_from_hidden(cfg_draft, params_d, h[:, 0])
+            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            return (cache_d, nxt, off + 1), nxt
+
+        (cache_d, _, _), drafts = jax.lax.scan(
+            dstep, (cache_d, last_tok, offsets), None, length=gamma
+        )
+        drafts = drafts.T  # [B, gamma]
+
+        seq = jnp.concatenate([last_tok[:, None], drafts], axis=1)
+        h, cache_t = forward(cfg_target, params_t, seq, cache_t, offsets)
+        logits = logits_from_hidden(cfg_target, params_t, h)  # [B, g+1, V]
+        tgt = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, g+1]
+
+        # k = length of the matching draft prefix (0..gamma).
+        match = drafts == tgt[:, :gamma]
+        k = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+
+        # out[:, j] = drafts[:, j] for j < k; target's token at j == k;
+        # -1 padding after.
+        j = jnp.arange(gamma + 1)[None, :]
+        bonus = jnp.take_along_axis(tgt, k[:, None], axis=1)  # [B, 1]
+        drafts_pad = jnp.concatenate(
+            [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)
+        out = jnp.where(j < k[:, None], drafts_pad, -1)
+        out = jnp.where(j == k[:, None], bonus, out)
+
+        n_new = k + 1
+        offsets = offsets + n_new
+        last_tok = bonus[:, 0]
+        return cache_d, cache_t, out, n_new, offsets, last_tok
+
+    return step
+
+
+class SpeculativeEngine:
+    """Greedy generation with draft-model speculation.
+
+    Both models must share the tokenizer/vocab (e.g. LLaMA-7B target
+    with a TinyLlama-class draft).  Output is bit-identical to
+    `Engine(..., temperature=0).generate`; only throughput changes.
+    """
+
+    def __init__(
+        self,
+        cfg_target: LlamaConfig,
+        params_target: LlamaParams,
+        cfg_draft: LlamaConfig,
+        params_draft: LlamaParams,
+        tokenizer: Optional[Tokenizer] = None,
+        gamma: int = 4,
+        max_seq: Optional[int] = None,
+        cache_dtype=jnp.bfloat16,
+        eos_id: int = EOS_ID,
+    ):
+        if cfg_target.n_vocab != cfg_draft.n_vocab:
+            raise ValueError("draft and target must share the vocab")
+        from tokenhawk_tpu.runtime.engine import Engine
+
+        self.gamma = gamma
+        self.eos_id = eos_id
+        self.tokenizer = tokenizer
+        # Reuse Engine for prefill/caches on both models (greedy).
+        from tokenhawk_tpu.config import SamplingConfig
+
+        greedy = SamplingConfig(temperature=0.0)
+        self.target = Engine(cfg_target, params_target, tokenizer=tokenizer,
+                             sampling=greedy, max_seq=max_seq,
+                             cache_dtype=cache_dtype, eos_id=eos_id)
+        self.draft = Engine(cfg_draft, params_draft, tokenizer=tokenizer,
+                            sampling=greedy,
+                            max_seq=max_seq or cfg_target.n_ctx,
+                            cache_dtype=cache_dtype, eos_id=eos_id)
+        self._step = make_spec_decode_fn(cfg_draft, cfg_target, gamma)
+        self.max_seq = max_seq or cfg_target.n_ctx
+
+    def generate(self, prompt, max_new_tokens: int = 256,
+                 on_token=None):
+        """Greedy speculative generation for a single prompt.
+
+        Returns (tokens, stats) where stats carries the acceptance data:
+        rounds, drafted, accepted, tokens/round."""
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError("string prompt needs a tokenizer")
+            ids = [BOS_ID] + self.tokenizer.encode(" " + prompt)
+        else:
+            ids = list(prompt)
+
+        t_cache = self.target.new_cache(1)
+        d_cache = self.draft.new_cache(1)
+
+        t0 = time.perf_counter()
+        # Target prefill commits the prompt and greedily picks token 1;
+        # draft prefill just fills its cache (its logits are unused).
+        t_cache, logits, _ = self.target.prefill(t_cache, [ids])
+        d_cache, _, _ = self.draft.prefill(d_cache, [ids])
+        first = int(np.asarray(jnp.argmax(logits[0], -1)))
+        prefill_s = time.perf_counter() - t0
+
+        tokens: List[int] = [first]
+        if on_token:
+            on_token(first)
+        offsets = jnp.asarray([len(ids)], jnp.int32)
+        last = jnp.asarray([first], jnp.int32)
+        rounds = 0
+        accepted_drafts = 0
+        t0 = time.perf_counter()
+        while (len(tokens) < max_new_tokens
+               and tokens[-1] != self.eos_id
+               and int(offsets[0]) + self.gamma + 1 < self.max_seq):
+            d_cache, t_cache, out, n_new, offsets, last = self._step(
+                self.draft.params, self.target.params, d_cache, t_cache,
+                last, offsets)
+            rounds += 1
+            n = int(np.asarray(n_new)[0])
+            accepted_drafts += n - 1
+            new = [int(t) for t in np.asarray(out)[0, :n]]
+            for t in new:
+                tokens.append(t)
+                if on_token:
+                    on_token(t)
+                if t == self.eos_id or len(tokens) >= max_new_tokens:
+                    break
+            if self.eos_id in new:
+                break
+        decode_s = time.perf_counter() - t0
+
+        stats = {
+            "rounds": rounds,
+            "drafted": rounds * self.gamma,
+            "accepted_drafts": accepted_drafts,
+            "acceptance_rate": (accepted_drafts / (rounds * self.gamma)
+                                if rounds else 0.0),
+            "tokens_per_round": (len(tokens) - 1) / rounds if rounds else 0.0,
+            "prefill_seconds": prefill_s,
+            "decode_seconds": decode_s,
+        }
+        return tokens[:max_new_tokens], stats
