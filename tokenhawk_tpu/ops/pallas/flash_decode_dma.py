@@ -228,9 +228,169 @@ def _kernel_vec(
             ).astype(o_ref.dtype)
 
 
+def _kernel_loop(
+    lengths_ref,  # SMEM [B]
+    q_ref,  # VMEM [1, HB, rep, Dh]
+    k_hbm,  # ANY [B, Hkv, n_blocks, ps, Dh]
+    v_hbm,
+    o_ref,  # VMEM [1, HB, rep, Dh]
+    k_buf,  # VMEM [2, HB, ps, Dh]
+    v_buf,
+    k_sem,
+    v_sem,
+    *,
+    block_s: int,
+    head_block: int,
+    n_blocks_max: int,
+):
+    """Dynamic-trip-count variant: grid is (B, Hkv/hb) and the block walk
+    is an in-kernel fori_loop over ceil(length/ps) — the grid-per-block
+    form pays ~1 us per PREDICATED-OFF cell, which at 2048-ctx cache and
+    short live lengths (6 dead blocks x 4 head groups x 32 layers)
+    costs more than the attention itself (trace, BENCH_NOTES round 2).
+    Softmax state rides the loop carry (registers), not scratch."""
+    b = pl.program_id(0)
+    hg = pl.program_id(1)
+    h0 = hg * head_block
+    rep = q_ref.shape[2]
+    Dh = q_ref.shape[3]
+    length = jnp.minimum(lengths_ref[b], n_blocks_max * block_s)
+    n_blocks = pl.cdiv(length, block_s)
+
+    def copies(blk, slot):
+        k = pltpu.make_async_copy(
+            k_hbm.at[b, pl.ds(h0, head_block), blk], k_buf.at[slot],
+            k_sem.at[slot],
+        )
+        v = pltpu.make_async_copy(
+            v_hbm.at[b, pl.ds(h0, head_block), blk], v_buf.at[slot],
+            v_sem.at[slot],
+        )
+        return k, v
+
+    @pl.when(n_blocks > 0)
+    def _():
+        ck, cv = copies(0, 0)
+        ck.start()
+        cv.start()
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = i % 2
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            nk, nv = copies(i + 1, (i + 1) % 2)
+            nk.start()
+            nv.start()
+
+        ck, cv = copies(i, slot)
+        ck.wait()
+
+        s_rows = []
+        for h in range(head_block):
+            q = q_ref[0, h].astype(jnp.float32)  # [rep, Dh]
+            k = k_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
+            s_rows.append(jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        s = jnp.concatenate(s_rows, axis=0)  # [HB*rep, ps]
+
+        kpos = i * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kpos < length, s, _MASK)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m, m_cur)
+        alpha = jnp.exp(m - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+
+        cv.wait()
+        pvs = []
+        for h in range(head_block):
+            v = v_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
+            p_h = p[h * rep : (h + 1) * rep, :]
+            pvs.append(jnp.dot(p_h, v, preferred_element_type=jnp.float32))
+        pv = jnp.concatenate(pvs, axis=0)  # [HB*rep, Dh]
+        return m_next, l_next, acc * alpha + pv
+
+    hbr = head_block * rep
+    m0 = jnp.full((hbr, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((hbr, 1), jnp.float32)
+    acc0 = jnp.zeros((hbr, Dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0] = (acc * l_inv).reshape(head_block, rep, Dh).astype(o_ref.dtype)
+
+
 import os as _os
 
 DECODE_VEC = _os.environ.get("THAWK_DECODE_VEC", "1") == "1"
+# Negative result (BENCH_NOTES round 2): the in-kernel dynamic block
+# loop measured NEUTRAL vs the grid-per-block form (9.5 vs 9.4 us/layer
+# at 64 live, S=2048) — Mosaic's predicated-off grid cells are ~free, and
+# the short-length floor is per-cell fixed cost + block-granularity DMA
+# overfetch (bs=128 trades -13% short for -10% long; bs=256 kept).
+# The loop form is kept selectable for shapes where grids explode.
+DECODE_LOOP = _os.environ.get("THAWK_DECODE_LOOP", "0") == "1"
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "head_block", "interpret"))
+def flash_decode_loop(
+    q: jax.Array,  # [B, Hkv, rep, Dh]
+    k_cache: jax.Array,  # [B, Hkv, S, Dh]
+    v_cache: jax.Array,
+    lengths: jax.Array,  # [B] int32
+    *,
+    block_s: int = 256,
+    head_block: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """flash_decode_dma with the in-kernel dynamic block loop."""
+    B, Hkv, rep, Dh = q.shape
+    S = k_cache.shape[2]
+    bs = min(block_s, S)
+    while S % bs:
+        bs //= 2
+    n_blocks = S // bs
+    hb = min(head_block, Hkv)
+    while Hkv % hb:
+        hb -= 1
+
+    kv_view = (B, Hkv, n_blocks, bs, Dh)
+    grid = (B, Hkv // hb)
+    kernel = functools.partial(
+        _kernel_loop, block_s=bs, head_block=hb, n_blocks_max=n_blocks
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, hb, rep, Dh), lambda b, h, *_: (b, h, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, hb, rep, Dh), lambda b, h, *_: (b, h, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, hb, bs, Dh), k_cache.dtype),
+                pltpu.VMEM((2, hb, bs, Dh), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        lengths.astype(jnp.int32), q,
+        k_cache.reshape(kv_view), v_cache.reshape(kv_view),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "head_block", "interpret"))
@@ -244,6 +404,11 @@ def flash_decode_dma(
     head_block: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
+    if DECODE_LOOP:
+        return flash_decode_loop(
+            q, k_cache, v_cache, lengths,
+            block_s=block_s, head_block=head_block, interpret=interpret,
+        )
     B, Hkv, rep, Dh = q.shape
     S = k_cache.shape[2]
     bs = min(block_s, S)
