@@ -329,10 +329,14 @@ def forward_paged_decode(
     """
     from tokenhawk_tpu.runtime.paged import (
         PagedKVCache,
+        PagedQuantKVCache,
         append_token_layer,
+        append_token_layer_int8,
         attend_paged_layer,
+        attend_paged_layer_int8,
     )
 
+    quant = isinstance(cache, PagedQuantKVCache)
     B = tokens.shape[0]
     H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
     D = cfg.n_embd
@@ -341,7 +345,7 @@ def forward_paged_decode(
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     def body(x, layer_inputs):
-        lp, k_l, v_l = layer_inputs
+        lp, lcache = layer_inputs[0], layer_inputs[1:]
         h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
         if lp.wqkv is not None:
             qkv = matmul(h, lp.wqkv)
@@ -356,9 +360,21 @@ def forward_paged_decode(
         q = apply_rope(q, cos, sin, cfg.rope_style)
         k = apply_rope(k, cos, sin, cfg.rope_style)
 
-        k_l = append_token_layer(k_l, k[:, 0], page_table, lengths)
-        v_l = append_token_layer(v_l, v[:, 0], page_table, lengths)
-        ctx = attend_paged_layer(q, k_l, v_l, page_table, lengths + 1)
+        if quant:
+            k_l, ks_l, v_l, vs_l = lcache
+            k_l, ks_l = append_token_layer_int8(
+                k_l, ks_l, k[:, 0], page_table, lengths)
+            v_l, vs_l = append_token_layer_int8(
+                v_l, vs_l, v[:, 0], page_table, lengths)
+            ctx = attend_paged_layer_int8(
+                q, k_l, ks_l, v_l, vs_l, page_table, lengths + 1)
+            lcache = (k_l, ks_l, v_l, vs_l)
+        else:
+            k_l, v_l = lcache
+            k_l = append_token_layer(k_l, k[:, 0], page_table, lengths)
+            v_l = append_token_layer(v_l, v[:, 0], page_table, lengths)
+            ctx = attend_paged_layer(q, k_l, v_l, page_table, lengths + 1)
+            lcache = (k_l, v_l)
         x = x + matmul(ctx.reshape(B, 1, D), lp.wo)
 
         h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)
@@ -370,12 +386,10 @@ def forward_paged_decode(
             g, u = matmul(h2, lp.w1), matmul(h2, lp.w3)
         gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
         x = x + matmul(gate * u, lp.w2)
-        return x, (k_l, v_l)
+        return x, lcache
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params.layers, cache.k_pages, cache.v_pages)
-    )
-    return x, PagedKVCache(k_new, v_new)
+    x, new = jax.lax.scan(body, x, (params.layers, *cache))
+    return x, type(cache)(*new)
 
 
 def forward_paged_prefill(
@@ -397,18 +411,20 @@ def forward_paged_prefill(
     """
     from tokenhawk_tpu.runtime.paged import (
         PagedKVCache,
+        PagedQuantKVCache,
         paginate_fragment_layer,
+        paginate_fragment_layer_int8,
     )
 
+    quant = isinstance(cache, PagedQuantKVCache)
     B, T = tokens.shape
     H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
     x = params.tok_embd[tokens].astype(params.tok_embd.dtype)
-    offsets = jnp.zeros((B,), jnp.int32)
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     def body(x, layer_inputs):
-        lp, k_l, v_l = layer_inputs
+        lp, lcache = layer_inputs[0], layer_inputs[1:]
         h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
         Dq, Dkv = H * Dh, Hkv * Dh
         if lp.wqkv is not None:
@@ -426,8 +442,18 @@ def forward_paged_prefill(
         k_b = jnp.swapaxes(k, 1, 2)  # [B, Hkv, T, Dh]
         v_b = jnp.swapaxes(v, 1, 2)
         ctx = attend_cache(q, k_b, v_b, positions)
-        k_l = paginate_fragment_layer(k_l, k_b, page_table)
-        v_l = paginate_fragment_layer(v_l, v_b, page_table)
+        if quant:
+            k_l, ks_l, v_l, vs_l = lcache
+            k_l, ks_l = paginate_fragment_layer_int8(
+                k_l, ks_l, k_b, page_table)
+            v_l, vs_l = paginate_fragment_layer_int8(
+                v_l, vs_l, v_b, page_table)
+            lcache = (k_l, ks_l, v_l, vs_l)
+        else:
+            k_l, v_l = lcache
+            k_l = paginate_fragment_layer(k_l, k_b, page_table)
+            v_l = paginate_fragment_layer(v_l, v_b, page_table)
+            lcache = (k_l, v_l)
         x = x + matmul(ctx.reshape(B, T, H * Dh), lp.wo)
 
         h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)
@@ -439,13 +465,10 @@ def forward_paged_prefill(
             g, u = matmul(h2, lp.w1), matmul(h2, lp.w3)
         gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
         x = x + matmul(gate * u, lp.w2)
-        return x, (k_l, v_l)
+        return x, lcache
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params.layers, cache.k_pages, cache.v_pages)
-    )
-    del offsets
-    return x, PagedKVCache(k_new, v_new)
+    x, new = jax.lax.scan(body, x, (params.layers, *cache))
+    return x, type(cache)(*new)
 
 
 def logits_from_hidden(

@@ -323,6 +323,190 @@ def _kernel_loop(
     o_ref[0] = (acc * l_inv).reshape(head_block, rep, Dh).astype(o_ref.dtype)
 
 
+def _kernel_vec_stats(
+    lengths_ref,  # SMEM [B]
+    q_ref,  # VMEM [1, HB, rep, Dh]
+    k_hbm,  # ANY [B, Hkv, n_blocks, ps, Dh]
+    v_hbm,
+    o_ref,  # VMEM [1, HB, rep, Dh] f32  UNNORMALIZED accumulator
+    mo_ref,  # VMEM [1, HB*rep, 128] f32  row max
+    lo_ref,  # VMEM [1, HB*rep, 128] f32  row sum
+    m_ref,  # VMEM [HB*rep, 128] f32
+    l_ref,
+    acc_ref,  # VMEM [HB, rep, Dh] f32
+    s_buf,  # VMEM [HB*rep, ps] f32
+    k_buf,  # VMEM [2, HB, ps, Dh]
+    v_buf,
+    k_sem,
+    v_sem,
+    *,
+    block_s: int,
+    head_block: int,
+):
+    """_kernel_vec returning softmax PARTIALS (o*l, m, l) instead of the
+    normalized output — the per-shard half of a cross-chip
+    online-softmax merge (parallel/ring.decode_attend_cp).  A shard with
+    length 0 emits (0, -inf, 0), the merge identity."""
+    b = pl.program_id(0)
+    hg = pl.program_id(1)
+    i = pl.program_id(2)
+    h0 = hg * head_block
+    rep = q_ref.shape[2]
+    length = jnp.minimum(lengths_ref[b], pl.num_programs(2) * block_s)
+    n_blocks = pl.cdiv(length, block_s)
+
+    def copies(blk, slot):
+        k = pltpu.make_async_copy(
+            k_hbm.at[b, pl.ds(h0, head_block), blk], k_buf.at[slot],
+            k_sem.at[slot],
+        )
+        v = pltpu.make_async_copy(
+            v_hbm.at[b, pl.ds(h0, head_block), blk], v_buf.at[slot],
+            v_sem.at[slot],
+        )
+        return k, v
+
+    @pl.when((i == 0) & (n_blocks == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+        mo_ref[...] = jnp.full_like(mo_ref, -jnp.inf)
+        lo_ref[...] = jnp.zeros_like(lo_ref)
+
+    @pl.when(i < n_blocks)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            ck, cv = copies(0, 0)
+            ck.start()
+            cv.start()
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            nk, nv = copies(i + 1, (i + 1) % 2)
+            nk.start()
+            nv.start()
+
+        slot = i % 2
+        ck, cv = copies(i, slot)
+        ck.wait()
+
+        for h in range(head_block):
+            q = q_ref[0, h].astype(jnp.float32)
+            k = k_buf[slot, h].astype(jnp.float32)
+            s_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        kpos = i * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, s_buf.shape, 1
+        )
+        s = jnp.where(kpos < length, s_buf[...], _MASK)
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+        s_buf[...] = p
+
+        cv.wait()
+        for h in range(head_block):
+            v = v_buf[slot, h].astype(jnp.float32)
+            p_h = s_buf[h * rep : (h + 1) * rep, :]
+            pv = jnp.dot(p_h, v, preferred_element_type=jnp.float32)
+            acc_ref[h] = acc_ref[h] * alpha[h * rep : (h + 1) * rep] + pv
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+        mo_ref[0] = m_ref[...]
+        lo_ref[0] = l_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "head_block", "interpret"))
+def flash_decode_stats(
+    q: jax.Array,  # [B, Hkv, rep, Dh]
+    k_cache: jax.Array,  # [B, Hkv, S, Dh]
+    v_cache: jax.Array,
+    lengths: jax.Array,  # [B] int32 (0 allowed: emits the merge identity)
+    *,
+    block_s: int = 256,
+    head_block: int = 8,
+    interpret: bool = False,
+):
+    """Length-aware decode attention returning softmax partials.
+
+    Returns (o_unnorm f32 [B, Hkv, rep, Dh], m f32 [B, Hkv*rep, 128],
+    l f32 [B, Hkv*rep, 128]) — columns of m/l are replicated; consume
+    [..., 0:1].  o = o_unnorm / l after the cross-shard merge.
+    """
+    B, Hkv, rep, Dh = q.shape
+    S = k_cache.shape[2]
+    bs = min(block_s, S)
+    while S % bs:
+        bs //= 2
+    n_blocks = S // bs
+    hb = min(head_block, Hkv)
+    while Hkv % hb:
+        hb -= 1
+
+    kv_view = (B, Hkv, n_blocks, bs, Dh)
+    grid = (B, Hkv // hb, n_blocks)
+    kernel = functools.partial(
+        _kernel_vec_stats, block_s=bs, head_block=hb
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec(
+                    (1, hb * rep, 128), lambda b, h, i, *_: (b, h, 0)
+                ),
+                pl.BlockSpec(
+                    (1, hb * rep, 128), lambda b, h, i, *_: (b, h, 0)
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((hb * rep, 128), jnp.float32),
+                pltpu.VMEM((hb * rep, 128), jnp.float32),
+                pltpu.VMEM((hb, rep, Dh), jnp.float32),
+                pltpu.VMEM((hb * rep, bs), jnp.float32),
+                pltpu.VMEM((2, hb, bs, Dh), k_cache.dtype),
+                pltpu.VMEM((2, hb, bs, Dh), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, rep, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv * rep, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv * rep, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        lengths.astype(jnp.int32), q,
+        k_cache.reshape(kv_view), v_cache.reshape(kv_view),
+    )
+
+
 import os as _os
 
 DECODE_VEC = _os.environ.get("THAWK_DECODE_VEC", "1") == "1"

@@ -205,3 +205,154 @@ def paged_attend_decode(cache: PagedKVCache, q, page_table, lengths, layer,
         q, cache.k_pages[layer], cache.v_pages[layer], page_table, lengths,
         scale=scale,
     )
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized pages (the paged twin of ops/kvquant.py)
+# ---------------------------------------------------------------------------
+
+
+class PagedQuantKVCache(NamedTuple):
+    """int8 paged KV: payload pages + per-token scale pages
+    (token-innermost, ops/kvquant.py layout).  Scales are f32 here (not
+    bf16 like the dense cache): the kernel DMAs one [1, ps] scale row
+    per page, and bf16's 2-sublane packing rejects a size-1 sublane
+    slice (Mosaic tiling); f32 packs 1/sublane and the cost is ~3% of
+    payload bytes."""
+
+    k_pages: jax.Array  # int8 [L, Hkv, n_pages, ps, Dh]
+    ks_pages: jax.Array  # f32 [L, Hkv, n_pages, ps]
+    v_pages: jax.Array
+    vs_pages: jax.Array
+
+    @staticmethod
+    def create(cfg: LlamaConfig, n_pages: int,
+               page_size: int = 128) -> "PagedQuantKVCache":
+        shape = (cfg.n_layer, cfg.n_kv_head, n_pages, page_size, cfg.head_dim)
+        sshape = (cfg.n_layer, cfg.n_kv_head, n_pages, page_size)
+        return PagedQuantKVCache(
+            jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32),
+            jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32),
+        )
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[3]
+
+    @property
+    def n_pages(self) -> int:
+        return self.k_pages.shape[2]
+
+
+def append_token_layer_int8(
+    pages: jax.Array,  # int8 [Hkv, n_pages, ps, Dh]
+    spages: jax.Array,  # bf16 [Hkv, n_pages, ps]
+    new: jax.Array,  # [B, Hkv, Dh] one token per sequence
+    page_table: jax.Array,  # [B, max_pages]
+    positions: jax.Array,  # [B]
+):
+    from tokenhawk_tpu.ops.kvquant import quantize_kv_block
+
+    ps = pages.shape[2]
+    page = jnp.take_along_axis(page_table, (positions // ps)[:, None], axis=1)[:, 0]
+    slot = positions % ps
+    B = new.shape[0]
+    q8, sc = quantize_kv_block(new)  # int8 [B, Hkv, Dh], bf16 [B, Hkv]
+
+    def body(b, carry):
+        pages, spages = carry
+        pages = jax.lax.dynamic_update_slice(
+            pages, q8[b].astype(pages.dtype)[:, None, None, :],
+            (0, page[b], slot[b], 0),
+        )
+        spages = jax.lax.dynamic_update_slice(
+            spages, sc[b].astype(spages.dtype)[:, None, None],
+            (0, page[b], slot[b]),
+        )
+        return pages, spages
+
+    return jax.lax.fori_loop(0, B, body, (pages, spages))
+
+
+def paginate_fragment_layer_int8(
+    pages: jax.Array,  # int8 [Hkv, n_pages, ps, Dh]
+    spages: jax.Array,  # bf16 [Hkv, n_pages, ps]
+    frag: jax.Array,  # [B, Hkv, Tb, Dh] dense fragment (from seq 0)
+    page_table: jax.Array,  # [B, max_pages]
+):
+    """Quantize a dense K/V fragment and write it page-by-page."""
+    from tokenhawk_tpu.ops.kvquant import quantize_kv_block
+
+    B, Hkv, Tb, Dh = frag.shape
+    ps = pages.shape[2]
+    q8, sc = quantize_kv_block(frag)  # int8 [B, Hkv, Tb, Dh], bf16 [B, Hkv, Tb]
+    n_frag_pages = -(-Tb // ps)
+    for p in range(n_frag_pages):
+        chunk = q8[:, :, p * ps : (p + 1) * ps, :]
+        schunk = sc[:, :, p * ps : (p + 1) * ps]
+        pad = ps - chunk.shape[2]
+        if pad:
+            chunk = jnp.pad(chunk, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            schunk = jnp.pad(schunk, ((0, 0), (0, 0), (0, pad)))
+
+        def write(b, carry):
+            pages, spages = carry
+            pages = jax.lax.dynamic_update_slice(
+                pages, chunk[b].astype(pages.dtype)[:, None, :, :],
+                (0, page_table[b, p], 0, 0),
+            )
+            spages = jax.lax.dynamic_update_slice(
+                spages, schunk[b].astype(spages.dtype)[:, None, :],
+                (0, page_table[b, p], 0),
+            )
+            return pages, spages
+
+        pages, spages = jax.lax.fori_loop(0, B, write, (pages, spages))
+    return pages, spages
+
+
+def attend_paged_layer_int8(
+    q: jax.Array,  # [B, 1, H, Dh]
+    k_pages_l: jax.Array,  # int8 [Hkv, n_pages, ps, Dh]
+    ks_pages_l: jax.Array,  # bf16 [Hkv, n_pages, ps]
+    v_pages_l: jax.Array,
+    vs_pages_l: jax.Array,
+    page_table: jax.Array,  # [B, max_pages]
+    lengths: jax.Array,  # [B] valid tokens (including the current one)
+    scale: Optional[float] = None,
+) -> jax.Array:
+    B, T, H, Dh = q.shape
+    Hkv = k_pages_l.shape[0]
+    rep = H // Hkv
+    if scale is None:
+        scale = 1.0 / (Dh**0.5)
+
+    from tokenhawk_tpu.ops.dispatch import pallas_mode
+
+    mode = pallas_mode()
+    if mode == "compiled" and Dh % 128 == 0 and k_pages_l.shape[2] % 128 == 0:
+        from tokenhawk_tpu.ops.pallas.paged_decode_int8 import (
+            paged_flash_decode_int8,
+        )
+
+        qg = (q[:, 0] * scale).reshape(B, Hkv, rep, Dh)
+        out = paged_flash_decode_int8(
+            qg, k_pages_l, ks_pages_l, v_pages_l, vs_pages_l, page_table,
+            lengths.astype(jnp.int32))
+        return out.reshape(B, 1, H, Dh).astype(q.dtype)
+
+    # XLA gather + dequantize fallback
+    from tokenhawk_tpu.ops.attention import attend_cache
+    from tokenhawk_tpu.ops.kvquant import dequantize_kv
+
+    kg = jnp.swapaxes(k_pages_l[:, page_table], 0, 1)  # [B, Hkv, mp, ps, Dh]
+    ksg = jnp.swapaxes(ks_pages_l[:, page_table], 0, 1)  # [B, Hkv, mp, ps]
+    vg = jnp.swapaxes(v_pages_l[:, page_table], 0, 1)
+    vsg = jnp.swapaxes(vs_pages_l[:, page_table], 0, 1)
+    mp, ps = kg.shape[2], kg.shape[3]
+    kf = dequantize_kv(kg.reshape(B, Hkv, mp * ps, Dh),
+                       ksg.reshape(B, Hkv, mp * ps))
+    vf = dequantize_kv(vg.reshape(B, Hkv, mp * ps, Dh),
+                       vsg.reshape(B, Hkv, mp * ps))
+    return attend_cache(q, kf.astype(q.dtype), vf.astype(q.dtype),
+                        (lengths - 1)[:, None], scale=scale)

@@ -141,7 +141,13 @@ class PagedScheduler:
             # Default: full occupancy for half the slots + 1 trash page.
             n_pages = self.B * self.max_pages // 2 + 2
 
-        self.cache = PagedKVCache.create(cfg, n_pages, page_size, cache_dtype)
+        if cache_dtype == "int8":  # quantized pages (runtime/paged.py)
+            from tokenhawk_tpu.runtime.paged import PagedQuantKVCache
+
+            self.cache = PagedQuantKVCache.create(cfg, n_pages, page_size)
+        else:
+            self.cache = PagedKVCache.create(cfg, n_pages, page_size,
+                                             cache_dtype)
         self.cache_dtype = cache_dtype
         self.alloc = PageAllocator(n_pages)
         self.trash_page = self.alloc.alloc(1)[0]
