@@ -31,6 +31,7 @@ def main() -> int:
     p.add_argument("--layers", type=int, default=32, help="distinct caches chained")
     p.add_argument("--variant", default="dma")
     p.add_argument("--bs", type=int, default=256, help="kernel block_s")
+    p.add_argument("--hb", type=int, default=8, help="kernel head_block")
     p.add_argument("--iters", type=int, default=64)
     p.add_argument("--trials", type=int, default=5)
     args = p.parse_args()
@@ -81,7 +82,8 @@ def main() -> int:
         def run(q, caches, lengths):
             def body(q, _):
                 for c in caches:
-                    o = fn(q, *c, lengths, block_s=args.bs)
+                    o = fn(q, *c, lengths, block_s=args.bs,
+                           head_block=args.hb)
                     q = o * 1e-3 + q * 1e-3
                 return q, ()
 

@@ -100,7 +100,40 @@ def _attend_and_update(cfg, q, k, v, lcache, offsets, positions):
     (k, k_scales, v, v_scales) for an int8-quantized cache
     (ops/kvquant.py)."""
     if len(lcache) == 2:
-        kc, vc = update_kv_cache(lcache[0], lcache[1], k, v, offsets)
+        from tokenhawk_tpu.ops.dispatch import pallas_mode
+
+        kc, vc = lcache
+        B, T, H, Dh = q.shape
+        S = kc.shape[2]
+        mode = pallas_mode()
+        import os as _os
+
+        if (
+            T == 1
+            and mode is not None
+            and Dh % 128 == 0
+            and S % 128 == 0
+            and _os.environ.get("THAWK_DECODE_KERNEL", "dma") == "dma"
+            and _os.environ.get("THAWK_DECODE_APPEND", "1") == "1"
+        ):
+            # Fused append+attend: the KV write rides inside the decode
+            # kernel (aliased cache), replacing the per-layer dus chain
+            # (O(B) host-graph ops) — see flash_decode_append.
+            from tokenhawk_tpu.ops.pallas.flash_decode_dma import (
+                flash_decode_append,
+            )
+
+            Hkv = kc.shape[1]
+            rep = H // Hkv
+            qg = (q[:, 0] * (1.0 / Dh**0.5)).reshape(B, Hkv, rep, Dh)
+            lengths = jnp.minimum(positions[:, 0] + 1, S).astype(jnp.int32)
+            out, kc, vc = flash_decode_append(
+                qg, k[:, 0], v[:, 0], kc, vc, lengths,
+                interpret=(mode == "interpret"),
+            )
+            return out.reshape(B, 1, H, Dh).astype(q.dtype), (kc, vc)
+
+        kc, vc = update_kv_cache(kc, vc, k, v, offsets)
         return attend_cache(q, kc, vc, positions), (kc, vc)
 
     from tokenhawk_tpu.ops.dispatch import pallas_mode

@@ -27,6 +27,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 _MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# Scoped-VMEM budget for the KV double buffers + score/softmax scratch.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_hb(head_block: int, Hkv: int, rep: int, bs: int, Dh: int,
+             itemsize: int) -> int:
+    """Largest head_block <= requested that divides Hkv and fits VMEM.
+
+    Bigger head blocks mean fewer grid cells per layer — measured on v5e
+    (BENCH_NOTES round 2): hb 8 -> 32 is 7.0 -> 6.3 us/layer at 128 live
+    tokens and 696 -> 728 GB/s at 2048 (fixed per-cell cost dominates
+    short lengths; fewer, larger DMAs win everywhere).
+    """
+    hb = min(head_block, Hkv)
+    while hb > 1:
+        vmem = (
+            2 * 2 * hb * bs * Dh * itemsize  # k_buf + v_buf (2 slots each)
+            + hb * rep * bs * 4  # s_buf
+            + 2 * hb * rep * 128 * 4  # m/l
+            + hb * rep * Dh * 4  # acc
+        )
+        if Hkv % hb == 0 and vmem <= _VMEM_BUDGET:
+            return hb
+        hb -= 1
+    return 1
+
 
 def _kernel(
     lengths_ref,  # SMEM [B]
@@ -323,6 +349,197 @@ def _kernel_loop(
     o_ref[0] = (acc * l_inv).reshape(head_block, rep, Dh).astype(o_ref.dtype)
 
 
+def _kernel_vec_append(
+    lengths_ref,  # SMEM [B]  (length INCLUDING the token being appended)
+    q_ref,  # VMEM [1, HB, rep, Dh]
+    kn_ref,  # VMEM [1, HB, Dh]  new K row (cache dtype, RoPE'd)
+    vn_ref,  # VMEM [1, HB, Dh]
+    k_hbm,  # ANY [B, Hkv, n_blocks, ps, Dh]
+    v_hbm,
+    o_ref,  # VMEM [1, HB, rep, Dh]
+    ko_hbm,  # ANY — aliases k_hbm (in-place cache append target)
+    vo_hbm,  # ANY — aliases v_hbm
+    m_ref,  # VMEM [HB*rep, 128] f32
+    l_ref,
+    acc_ref,  # VMEM [HB, rep, Dh] f32
+    s_buf,  # VMEM [HB*rep, ps] f32
+    k_buf,  # VMEM [2, HB, ps, Dh]
+    v_buf,
+    ks_buf,  # VMEM [HB, 8, Dh]  tile-aligned RMW slab for the K append
+    vs_buf,
+    k_sem,
+    v_sem,
+    kr_sem,  # DMA sems for the append slab reads
+    vr_sem,
+    kw_sem,  # DMA sems for the cache append write-backs
+    vw_sem,
+    *,
+    block_s: int,
+    head_block: int,
+):
+    """_kernel_vec fused with the KV-cache append.
+
+    The per-step cache update used to be a chain of 2 x B x L host-graph
+    dynamic_update_slice ops (O(B) program size, ~us each of fixed
+    dispatch cost — the 'glue' tail in the decode trace).  Here the
+    kernel walks the OLD cache ([0, length-1)) and merges the new
+    token's attention contribution analytically at the end (one extra
+    online-softmax column: s_new = q·k_new, value row v_new), while the
+    new K/V rows land in the aliased HBM cache via a tile-aligned
+    read-modify-write: Mosaic only DMAs (8, 128)-tile-aligned HBM
+    slices, so the 8-row slab containing the append slot reads in at
+    cell start (overlapped with the walk), the row is masked in, and
+    the slab writes back at the end.  Walk reads finish before the
+    write-back within a cell, cells touch disjoint head ranges, and
+    slab rows below the append slot are rewritten with identical bytes
+    — no ordering hazard; outputs are bit-identical to
+    update-then-attend.
+    """
+    b = pl.program_id(0)
+    hg = pl.program_id(1)
+    i = pl.program_id(2)
+    h0 = hg * head_block
+    rep = q_ref.shape[2]
+    S = pl.num_programs(2) * block_s
+    length = jnp.minimum(lengths_ref[b], S)
+    pos = jnp.maximum(length - 1, 0)  # slot the new token lands in
+    len_old = pos  # valid tokens already in the cache
+    n_blocks = pl.cdiv(len_old, block_s)
+
+    def copies(blk, slot):
+        k = pltpu.make_async_copy(
+            k_hbm.at[b, pl.ds(h0, head_block), blk], k_buf.at[slot],
+            k_sem.at[slot],
+        )
+        v = pltpu.make_async_copy(
+            v_hbm.at[b, pl.ds(h0, head_block), blk], v_buf.at[slot],
+            v_sem.at[slot],
+        )
+        return k, v
+
+    blk_w = pos // block_s
+    row8 = ((pos % block_s) // 8) * 8  # slab start, 8-row tile aligned
+
+    def slab_reads():
+        kr = pltpu.make_async_copy(
+            k_hbm.at[b, pl.ds(h0, head_block), blk_w, pl.ds(row8, 8)],
+            ks_buf, kr_sem,
+        )
+        vr = pltpu.make_async_copy(
+            v_hbm.at[b, pl.ds(h0, head_block), blk_w, pl.ds(row8, 8)],
+            vs_buf, vr_sem,
+        )
+        return kr, vr
+
+    def slab_writes():
+        kw = pltpu.make_async_copy(
+            ks_buf,
+            ko_hbm.at[b, pl.ds(h0, head_block), blk_w, pl.ds(row8, 8)],
+            kw_sem,
+        )
+        vw = pltpu.make_async_copy(
+            vs_buf,
+            vo_hbm.at[b, pl.ds(h0, head_block), blk_w, pl.ds(row8, 8)],
+            vw_sem,
+        )
+        return kw, vw
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        kr, vr = slab_reads()
+        kr.start()
+        vr.start()
+
+        @pl.when(n_blocks > 0)
+        def _():
+            ck, cv = copies(0, 0)
+            ck.start()
+            cv.start()
+
+    @pl.when(i < n_blocks)
+    def _():
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            nk, nv = copies(i + 1, (i + 1) % 2)
+            nk.start()
+            nv.start()
+
+        slot = i % 2
+        ck, cv = copies(i, slot)
+        ck.wait()
+
+        for h in range(head_block):
+            q = q_ref[0, h].astype(jnp.float32)  # [rep, Dh]
+            k = k_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
+            s_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        kpos = i * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, s_buf.shape, 1
+        )
+        s = jnp.where(kpos < len_old, s_buf[...], _MASK)
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+        s_buf[...] = p
+
+        cv.wait()
+        for h in range(head_block):
+            v = v_buf[slot, h].astype(jnp.float32)
+            p_h = s_buf[h * rep : (h + 1) * rep, :]
+            pv = jnp.dot(p_h, v, preferred_element_type=jnp.float32)
+            acc_ref[h] = acc_ref[h] * alpha[h * rep : (h + 1) * rep] + pv
+
+    @pl.when(i == jnp.maximum(n_blocks, 1) - 1)
+    def _():
+        # Merge the just-appended token: one extra online-softmax column.
+        hb = head_block
+        Dh = q_ref.shape[3]
+        qf = q_ref[0].astype(jnp.float32)  # [hb, rep, Dh]
+        knf = kn_ref[0].astype(jnp.float32)[:, None, :]  # [hb, 1, Dh]
+        vnf = vn_ref[0].astype(jnp.float32)[:, None, :]  # [hb, 1, Dh]
+        s_new = jnp.sum(qf * knf, axis=-1).reshape(hb * rep, 1)
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        m_next = jnp.maximum(m_prev, s_new)
+        alpha = jnp.exp(m_prev - m_next)  # [hb*rep, 1]
+        p_new = jnp.exp(s_new - m_next)
+        l = alpha * l_prev + p_new
+        acc = acc_ref[...] * alpha.reshape(hb, rep, 1) + (
+            p_new.reshape(hb, rep, 1) * vnf
+        )
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l).reshape(hb, rep, 1)
+        o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+
+        # Masked row insert + slab write-back (no row-granular VMEM or
+        # HBM slicing: both would violate Mosaic tiling constraints).
+        kr, vr = slab_reads()
+        kr.wait()
+        vr.wait()
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (hb, 8, Dh), 1)
+        at_row = row_ids == (pos % 8)
+        ks_buf[...] = jnp.where(
+            at_row, kn_ref[0].astype(ks_buf.dtype)[:, None, :], ks_buf[...])
+        vs_buf[...] = jnp.where(
+            at_row, vn_ref[0].astype(vs_buf.dtype)[:, None, :], vs_buf[...])
+        kw, vw = slab_writes()
+        kw.start()
+        vw.start()
+        kw.wait()
+        vw.wait()
+
+
 def _kernel_vec_stats(
     lengths_ref,  # SMEM [B]
     q_ref,  # VMEM [1, HB, rep, Dh]
@@ -438,7 +655,7 @@ def flash_decode_stats(
     lengths: jax.Array,  # [B] int32 (0 allowed: emits the merge identity)
     *,
     block_s: int = 256,
-    head_block: int = 8,
+    head_block: int = 32,
     interpret: bool = False,
 ):
     """Length-aware decode attention returning softmax partials.
@@ -453,9 +670,7 @@ def flash_decode_stats(
     while S % bs:
         bs //= 2
     n_blocks = S // bs
-    hb = min(head_block, Hkv)
-    while Hkv % hb:
-        hb -= 1
+    hb = _pick_hb(head_block, Hkv, rep, bs, Dh, k_cache.dtype.itemsize)
 
     kv_view = (B, Hkv, n_blocks, bs, Dh)
     grid = (B, Hkv // hb, n_blocks)
@@ -507,6 +722,93 @@ def flash_decode_stats(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("block_s", "head_block", "interpret"),
+                   donate_argnums=(3, 4))
+def flash_decode_append(
+    q: jax.Array,  # [B, Hkv, rep, Dh]  (pre-scaled by 1/sqrt(Dh))
+    k_new: jax.Array,  # [B, Hkv, Dh]  cache dtype, RoPE'd
+    v_new: jax.Array,  # [B, Hkv, Dh]
+    k_cache: jax.Array,  # [B, Hkv, S, Dh]  donated (updated in place)
+    v_cache: jax.Array,
+    lengths: jax.Array,  # [B] int32: valid tokens INCLUDING the new one
+    *,
+    block_s: int = 256,
+    head_block: int = 32,
+    interpret: bool = False,
+):
+    """Fused decode attention + KV-cache append.
+
+    Returns (out [B, Hkv, rep, Dh], k_cache, v_cache) where the caches
+    have the new token written at slot lengths-1 (clamped to capacity) and
+    out attends over all `lengths` tokens.  Replaces the per-layer
+    update_kv_cache dus chain + flash_decode_dma pair with one kernel
+    (cache buffers alias in place via input_output_aliases).
+    """
+    B, Hkv, rep, Dh = q.shape
+    S = k_cache.shape[2]
+    bs = min(block_s, S)
+    while S % bs:
+        bs //= 2
+    n_blocks = S // bs
+    hb = _pick_hb(head_block, Hkv, rep, bs, Dh, k_cache.dtype.itemsize)
+
+    kv_view = (B, Hkv, n_blocks, bs, Dh)
+    grid = (B, Hkv // hb, n_blocks)
+    kernel = functools.partial(_kernel_vec_append, block_s=bs, head_block=hb)
+    out, kc, vc = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, hb, Dh), lambda b, h, i, *_: (b, h, 0)),
+                pl.BlockSpec((1, hb, Dh), lambda b, h, i, *_: (b, h, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((hb * rep, 128), jnp.float32),
+                pltpu.VMEM((hb * rep, 128), jnp.float32),
+                pltpu.VMEM((hb, rep, Dh), jnp.float32),
+                pltpu.VMEM((hb * rep, bs), jnp.float32),
+                pltpu.VMEM((2, hb, bs, Dh), k_cache.dtype),
+                pltpu.VMEM((2, hb, bs, Dh), v_cache.dtype),
+                pltpu.VMEM((hb, 8, Dh), k_cache.dtype),
+                pltpu.VMEM((hb, 8, Dh), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(kv_view, k_cache.dtype),
+            jax.ShapeDtypeStruct(kv_view, v_cache.dtype),
+        ],
+        # Flattened operand indices (incl. the scalar prefetch arg):
+        # 0 lengths, 1 q, 2 k_new, 3 v_new, 4 k_cache, 5 v_cache.
+        input_output_aliases={4: 1, 5: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        lengths.astype(jnp.int32), q,
+        k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
+        k_cache.reshape(kv_view), v_cache.reshape(kv_view),
+    )
+    return out, kc.reshape(k_cache.shape), vc.reshape(v_cache.shape)
+
+
 import os as _os
 
 DECODE_VEC = _os.environ.get("THAWK_DECODE_VEC", "1") == "1"
@@ -527,7 +829,7 @@ def flash_decode_loop(
     lengths: jax.Array,  # [B] int32
     *,
     block_s: int = 256,
-    head_block: int = 8,
+    head_block: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
     """flash_decode_dma with the in-kernel dynamic block loop."""
@@ -537,9 +839,7 @@ def flash_decode_loop(
     while S % bs:
         bs //= 2
     n_blocks = S // bs
-    hb = min(head_block, Hkv)
-    while Hkv % hb:
-        hb -= 1
+    hb = _pick_hb(head_block, Hkv, rep, bs, Dh, k_cache.dtype.itemsize)
 
     kv_view = (B, Hkv, n_blocks, bs, Dh)
     grid = (B, Hkv // hb)
@@ -585,7 +885,7 @@ def flash_decode_dma(
     lengths: jax.Array,  # [B] int32
     *,
     block_s: int = 256,
-    head_block: int = 8,
+    head_block: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
     if DECODE_LOOP:
@@ -599,9 +899,7 @@ def flash_decode_dma(
     while S % bs:
         bs //= 2
     n_blocks = S // bs
-    hb = min(head_block, Hkv)
-    while Hkv % hb:
-        hb -= 1
+    hb = _pick_hb(head_block, Hkv, rep, bs, Dh, k_cache.dtype.itemsize)
 
     kv_view = (B, Hkv, n_blocks, bs, Dh)
     grid = (B, Hkv // hb, n_blocks)

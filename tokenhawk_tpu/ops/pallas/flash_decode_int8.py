@@ -56,6 +56,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# Budget for the whole-S bf16 scale rows staged in VMEM (2 * hb * S * 2B).
+_INT8_SCALE_VMEM = 2 * 1024 * 1024
+
 
 def _kernel(
     lengths_ref,  # SMEM [B]
@@ -213,17 +216,22 @@ def flash_decode_int8(
     lengths: jax.Array,  # [B] int32
     *,
     block_s: int = 256,
-    head_block: int = 8,
+    head_block: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
+    from tokenhawk_tpu.ops.pallas.flash_decode_dma import _pick_hb
+
     B, Hkv, rep, Dh = q.shape
     S = k_cache.shape[2]
     bs = min(block_s, S)
     while S % bs:
         bs //= 2
     n_blocks = S // bs
-    hb = min(head_block, Hkv)
-    while Hkv % hb:
+    # Same fewer-larger-cells rule as the bf16 DMA kernel (BENCH_NOTES
+    # round 2: hb 8 -> 32 wins at every length); int8 payload halves the
+    # double-buffer bytes, the in-VMEM scale rows add 2*hb*S*2.
+    hb = _pick_hb(head_block, Hkv, rep, bs, Dh, k_cache.dtype.itemsize)
+    while hb > 1 and (Hkv % hb or 4 * hb * S > _INT8_SCALE_VMEM):
         hb -= 1
 
     kv_view = (B, Hkv, n_blocks, bs, Dh)
