@@ -147,6 +147,9 @@ class Scheduler:
         eos_id: int = EOS_ID,
         mesh=None,
         parallel: str = "gspmd",
+        draft_cfg: Optional[LlamaConfig] = None,
+        draft_params: Optional[LlamaParams] = None,
+        gamma: int = 4,
     ):
         self.cfg = cfg
         self.params = params
@@ -156,6 +159,30 @@ class Scheduler:
         self.eos_id = eos_id
         self.decode_chunk = decode_chunk
         self.mesh = mesh
+
+        # Speculative serving: a draft model proposes gamma tokens per
+        # round and the target commits the matching prefix + one token —
+        # continuous batching and speculation compose because every slot
+        # advances by its own n_new (runtime/speculative.py).  Greedy
+        # only: the accept rule is the greedy form, so outputs stay
+        # bit-identical to non-speculative greedy serving.
+        self.spec = draft_params is not None
+        self.gamma = gamma
+        if self.spec:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "speculative serving is single-mesh only")
+            if sampling.temperature > 0.0:
+                raise ValueError("speculative serving is greedy-only: "
+                                 "pass SamplingConfig(temperature=0)")
+            if draft_cfg.n_vocab != cfg.n_vocab:
+                raise ValueError("draft and target must share the vocab")
+            from tokenhawk_tpu.runtime.speculative import make_spec_serving_fn
+
+            self.draft_cfg = draft_cfg
+            self.draft_params = draft_params
+            self._spec_step = make_spec_serving_fn(draft_cfg, cfg, gamma,
+                                                   eos_id)
 
         if mesh is not None and parallel == "tp":
             from tokenhawk_tpu.parallel.tp import (
@@ -191,6 +218,18 @@ class Scheduler:
                 cache = shard_kv_cache(cache, mesh)
         self.cache = cache
         self.cache_dtype = cache_dtype
+
+        if self.spec:
+            self._draft_unrolled = isinstance(draft_params.layers, tuple)
+            if self._draft_unrolled:
+                from tokenhawk_tpu.models.llama import make_unrolled_cache
+
+                self.draft_cache = make_unrolled_cache(
+                    draft_cfg, self.B, self.S, cache_dtype)
+            else:
+                self.draft_cache = KVCache.create(
+                    draft_cfg, self.B, self.S, cache_dtype)
+            self._draft_prefill = make_prefill_fn(draft_cfg)
 
         n_ring = max(sampling.repeat_last_n, 1)
         self.n_ring = n_ring
@@ -238,12 +277,17 @@ class Scheduler:
         req.submitted_at = time.perf_counter()
         if len(req.prompt) >= self.S:
             return self._fail(req, "error:prompt_too_long")
+        if (self.spec and req.sampling is not None
+                and req.sampling.temperature > 0.0):
+            # The speculative accept rule implemented here is the greedy
+            # form (bit-identical to greedy target-only decoding).
+            return self._fail(req, "error:spec_greedy_only")
         sess = self.sessions.get(req.session) if req.session else None
         if sess is not None:
             # Context-full up front, like the reference's onError path
             # (/root/reference/th-llama.cpp:111-119): the padded new
             # message must fit behind the session's resident tokens.
-            pad = -(-len(req.prompt) // 8) * 8
+            pad = -(-len(req.prompt) // 8) * 8 + (self.gamma if self.spec else 0)
             if sess.n_past + pad >= self.S:
                 return self._fail(req, "error:context_full")
         self.pending.append(req)
@@ -297,6 +341,8 @@ class Scheduler:
             k_big = _insert_fragment(self.cache.k, frag.k, slot)
             v_big = _insert_fragment(self.cache.v, frag.v, slot)
             self.cache = KVCache(k_big, v_big)
+        if self.spec:
+            self._spec_prefill(slot, toks, len(prompt), base_w=0)
 
         self._finish_admit(slot, req, logits, base=0, tail=[])
 
@@ -336,9 +382,47 @@ class Scheduler:
             k_big = _insert_fragment(self.cache.k, stripe.k, slot)
             v_big = _insert_fragment(self.cache.v, stripe.v, slot)
             self.cache = KVCache(k_big, v_big)
+        if self.spec:
+            self._spec_prefill(slot, toks, len(combined), base_w=base_w)
 
         self._finish_admit(slot, req, logits, base=sess.n_past, tail=sess.tail)
         return True
+
+    def _spec_prefill(self, slot: int, toks: np.ndarray, n: int, base_w: int):
+        """Mirror an admission/continuation prefill into the DRAFT cache
+        (its logits are unused — the first token always comes from the
+        target; the draft only needs the KV state)."""
+        Tb = toks.shape[1]
+        if self._draft_unrolled:
+            from tokenhawk_tpu.models.llama import make_unrolled_cache
+
+            if base_w == 0:
+                frag = make_unrolled_cache(self.draft_cfg, 1, Tb,
+                                           self.cache_dtype)
+            else:
+                frag = _extract_stripe_unrolled(self.draft_cache, slot)
+            frag, _ = self._draft_prefill(
+                self.draft_params, frag, jnp.asarray(toks),
+                jnp.asarray([n], jnp.int32),
+                jnp.asarray([base_w], jnp.int32),
+            )
+            self.draft_cache = _insert_fragment_unrolled(
+                self.draft_cache, frag, slot)
+        else:
+            if base_w == 0:
+                frag = KVCache.create(self.draft_cfg, 1, Tb, self.cache_dtype)
+            else:
+                frag = KVCache(_extract_stripe(self.draft_cache.k, slot),
+                               _extract_stripe(self.draft_cache.v, slot))
+            frag, _ = self._draft_prefill(
+                self.draft_params, frag, jnp.asarray(toks),
+                jnp.asarray([n], jnp.int32),
+                jnp.asarray([base_w], jnp.int32),
+            )
+            self.draft_cache = KVCache(
+                _insert_fragment(self.draft_cache.k, frag.k, slot),
+                _insert_fragment(self.draft_cache.v, frag.v, slot),
+            )
 
     def _finish_admit(self, slot: int, req: Request, logits, base: int,
                       tail: List[int]):
@@ -388,7 +472,12 @@ class Scheduler:
         if len(req.output) >= req.max_new_tokens:
             self._retire(slot, "length")
             return False
-        if req.n_past0 + len(req.prompt) + len(req.output) >= self.S - 1:
+        # Spec mode retires gamma tokens early: the next round's target
+        # forward writes a [gamma+1] block, and a block whose dus start
+        # would clamp below the committed frontier must never be issued
+        # (it would overwrite session history).
+        margin = 1 + (self.gamma if self.spec else 0)
+        if req.n_past0 + len(req.prompt) + len(req.output) >= self.S - margin:
             self._retire(slot, "context_full")
             return False
         return True
@@ -460,6 +549,22 @@ class Scheduler:
             self.pending.popleft()
             self._admit_one(slot, req)
         if self.n_active == 0:
+            return
+
+        if self.spec:
+            (self.draft_cache, self.cache, out, n_new, self.offsets,
+             self.done, self.last_tok) = self._spec_step(
+                self.draft_params, self.params, self.draft_cache, self.cache,
+                self.last_tok, self.offsets, self.done,
+            )
+            out_host = np.asarray(out)
+            n_host = np.asarray(n_new)
+            for slot in range(self.B):
+                if self.slots[slot] is None:
+                    continue
+                for t in out_host[slot, : n_host[slot]]:
+                    if not self._deliver(slot, int(t)):
+                        break
             return
 
         if self._dynamic:

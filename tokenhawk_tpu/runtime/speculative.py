@@ -106,6 +106,78 @@ def make_spec_decode_fn(cfg_draft: LlamaConfig, cfg_target: LlamaConfig,
     return step
 
 
+def make_spec_serving_fn(cfg_draft: LlamaConfig, cfg_target: LlamaConfig,
+                         gamma: int, eos_id: int = EOS_ID):
+    """One speculative round shaped for the continuous-batching scheduler.
+
+    (params_d, params_t, cache_d, cache_t, last_tok [B], offsets [B],
+     done [B])
+      -> (cache_d, cache_t, out [B, gamma+1] (-1 past n_new), n_new [B],
+          offsets', done', last_tok')
+
+    Differences from make_spec_decode_fn, matching the scheduler's slot
+    protocol (runtime/scheduler.py):
+      * done slots freeze: their offsets do not advance, n_new == 0, and
+        their rows of `out` are all -1 (their forwards still run — the
+        batch is shape-stable — but writes land beyond the committed
+        frontier, invisible to the length-masked kernels);
+      * EOS latches ON DEVICE: the round's output is cut at the first
+        EOS among the committed tokens (n_new includes the EOS so the
+        host's delivery loop sees it and retires the slot).
+    """
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(params_d, params_t, cache_d, cache_t, last_tok, offsets, done):
+        B = last_tok.shape[0]
+        live = ~done
+        adv = live.astype(jnp.int32)
+
+        def dstep(carry, _):
+            cache_d, tok, off = carry
+            h, cache_d = forward(cfg_draft, params_d, tok[:, None],
+                                 cache_d, off)
+            lg = logits_from_hidden(cfg_draft, params_d, h[:, 0])
+            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            return (cache_d, nxt, off + adv), nxt
+
+        (cache_d, _, _), drafts = jax.lax.scan(
+            dstep, (cache_d, last_tok, offsets), None, length=gamma
+        )
+        drafts = drafts.T  # [B, gamma]
+
+        seq = jnp.concatenate([last_tok[:, None], drafts], axis=1)
+        h, cache_t = forward(cfg_target, params_t, seq, cache_t, offsets)
+        logits = logits_from_hidden(cfg_target, params_t, h)  # [B, g+1, V]
+        tgt = jnp.argmax(logits, -1).astype(jnp.int32)
+
+        match = drafts == tgt[:, :gamma]
+        k = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+
+        j = jnp.arange(gamma + 1)[None, :]
+        bonus = jnp.take_along_axis(tgt, k[:, None], axis=1)  # [B, 1]
+        drafts_pad = jnp.concatenate(
+            [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)
+        out = jnp.where(j < k[:, None], drafts_pad, -1)
+        out = jnp.where(j == k[:, None], bonus, out)
+
+        n_new = jnp.where(done, 0, k + 1)
+        # Cut at the first EOS among the committed tokens (inclusive).
+        is_eos = (out == eos_id) & (j < n_new[:, None])
+        eos_pos = jnp.min(jnp.where(is_eos, j, gamma + 1), axis=1)
+        has_eos = eos_pos <= gamma
+        n_new = jnp.where(has_eos, eos_pos + 1, n_new)
+        out = jnp.where(j < n_new[:, None], out, -1)
+
+        offsets = offsets + n_new
+        done_new = done | has_eos
+        last_idx = jnp.clip(n_new - 1, 0, gamma)
+        last_new = jnp.take_along_axis(out, last_idx[:, None], axis=1)[:, 0]
+        last_tok = jnp.where(done, last_tok, last_new)
+        return cache_d, cache_t, out, n_new, offsets, done_new, last_tok
+
+    return step
+
+
 class SpeculativeEngine:
     """Greedy generation with draft-model speculation.
 

@@ -1,0 +1,98 @@
+"""HTTP chat server entry point.
+
+    python -m tokenhawk_tpu.serving -m model.bin --port 22345
+
+Reference parity: the web frontend's serve.py + WASM chat
+(/root/reference/web/serve.py:1-20, web/main.cpp:82-179), except the
+model runs server-side on TPU behind an SSE streaming API, with
+continuous batching, multi-turn sessions, per-request sampling, and
+optional speculative decoding (--draft-model).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tokenhawk-serve", description="TPU-native LLaMA chat server"
+    )
+    p.add_argument("-m", "--model", help="GGML model file")
+    p.add_argument("-d", "--dir", help="TH chunk directory (split model)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=22345,
+                   help="reference web/serve.py port parity")
+    p.add_argument("--n-ctx", type=int, default=2048)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--decode-chunk", type=int, default=8)
+    p.add_argument("--temp", type=float, default=0.80)
+    p.add_argument("--top-k", type=int, default=40)
+    p.add_argument("--top-p", type=float, default=0.95)
+    p.add_argument("--repeat-penalty", type=float, default=1.10)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--seed", type=int, default=780658349)
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--draft-model",
+                   help="GGML draft model: speculative continuous batching "
+                        "(greedy only; outputs identical to the target)")
+    p.add_argument("--gamma", type=int, default=4)
+    return p
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    model_path = args.model or args.dir
+    if not model_path:
+        parser.error("one of -m/--model or -d/--dir is required")
+
+    import jax.numpy as jnp
+
+    from tokenhawk_tpu.config import SamplingConfig
+    from tokenhawk_tpu.runtime.loader import load_model
+    from tokenhawk_tpu.runtime.scheduler import Scheduler
+    from tokenhawk_tpu.serving.server import serve
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    print(f"Loading {model_path} ...", file=sys.stderr)
+    t0 = time.perf_counter()
+    cfg, params, tokenizer = load_model(model_path, n_ctx=args.n_ctx,
+                                        dtype=dtype)
+    print(f"Loaded in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    greedy = args.greedy or args.draft_model is not None
+    if args.draft_model and not args.greedy and args.temp > 0:
+        print("note: --draft-model implies greedy decoding", file=sys.stderr)
+    sampling = SamplingConfig(
+        temperature=0.0 if greedy else args.temp,
+        top_k=args.top_k, top_p=args.top_p,
+        repeat_penalty=args.repeat_penalty, seed=args.seed,
+    )
+    draft_cfg = draft_params = None
+    if args.draft_model:
+        draft_cfg, draft_params, _ = load_model(
+            args.draft_model, n_ctx=args.n_ctx, dtype=dtype)
+
+    sched = Scheduler(
+        cfg, params, sampling=sampling, max_batch=args.max_batch,
+        max_seq=args.n_ctx, decode_chunk=args.decode_chunk,
+        draft_cfg=draft_cfg, draft_params=draft_params, gamma=args.gamma,
+    )
+    httpd = serve(sched, tokenizer, host=args.host, port=args.port,
+                  model_info={"model": model_path, "n_ctx": args.n_ctx,
+                              "speculative": bool(args.draft_model)})
+    print(f"Serving on http://{args.host}:{args.port}", file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.serving_loop.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
