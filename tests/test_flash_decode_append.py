@@ -108,7 +108,9 @@ def test_model_forward_uses_append(rng, monkeypatch):
 
     dispatch.set_backend("pallas_interpret")
     try:
-        monkeypatch.setenv("THAWK_DECODE_APPEND", "1")
+        # "force": the test model is dense f32, and dense weights prefer
+        # the dus path on TPU (MSA interaction, see _attend_and_update).
+        monkeypatch.setenv("THAWK_DECODE_APPEND", "force")
         cache = make_unrolled_cache(cfg, 1, cfg.n_ctx, jnp.float32)
         h_fused, cache_fused = forward(cfg, params, tokens, cache, offsets)
 

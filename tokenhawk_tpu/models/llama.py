@@ -93,12 +93,22 @@ class KVCache(NamedTuple):
         return self.k.shape[3]
 
 
-def _attend_and_update(cfg, q, k, v, lcache, offsets, positions):
+def _attend_and_update(cfg, q, k, v, lcache, offsets, positions,
+                       prefer_append: bool = True):
     """Write (k, v) into this layer's cache and attend.
 
     lcache is (k_cache, v_cache) for a bf16/f32 cache or
     (k, k_scales, v, v_scales) for an int8-quantized cache
-    (ops/kvquant.py)."""
+    (ops/kvquant.py).
+
+    prefer_append: use the fused append+attend kernel when available.
+    The caller passes False for DENSE (unquantized) weights: in that
+    program XLA's memory-space assignment stages the aliased caches in
+    alternate memory around the pallas call (a full HBM<->VMEM round
+    trip per layer per step, 55.4 -> 50.6 tok/s on the f16 7B config),
+    while in the quantized program — whose VMEM is held by the qmatmul
+    kernels — aliasing stays in place and the fusion wins (+3.6%).
+    """
     if len(lcache) == 2:
         from tokenhawk_tpu.ops.dispatch import pallas_mode
 
@@ -108,13 +118,14 @@ def _attend_and_update(cfg, q, k, v, lcache, offsets, positions):
         mode = pallas_mode()
         import os as _os
 
+        append_env = _os.environ.get("THAWK_DECODE_APPEND", "1")
         if (
             T == 1
+            and (append_env == "force" or (prefer_append and append_env == "1"))
             and mode is not None
             and Dh % 128 == 0
             and S % 128 == 0
             and _os.environ.get("THAWK_DECODE_KERNEL", "dma") == "dma"
-            and _os.environ.get("THAWK_DECODE_APPEND", "1") == "1"
         ):
             # Fused append+attend: the KV write rides inside the decode
             # kernel (aliased cache), replacing the per-layer dus chain
@@ -193,7 +204,9 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, lcache, cos, sin, offse
     q = apply_rope(q, cos, sin, cfg.rope_style)
     k = apply_rope(k, cos, sin, cfg.rope_style)
 
-    ctx, lcache = _attend_and_update(cfg, q, k, v, lcache, offsets, positions)
+    quantized = isinstance(lp.wqkv if lp.wqkv is not None else lp.wq, QWeight)
+    ctx, lcache = _attend_and_update(cfg, q, k, v, lcache, offsets, positions,
+                                     prefer_append=quantized)
     x = x + matmul(ctx.reshape(B, T, D), lp.wo)
 
     h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)

@@ -799,6 +799,15 @@ def flash_decode_append(
         input_output_aliases={4: 1, 5: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # Reserve (nearly) all of VMEM as this kernel's scoped space.
+            # Without this, XLA's memory-space assignment may decide to
+            # stage the aliased CACHE operands/results in alternate
+            # memory around the call — a full HBM->VMEM->HBM round trip
+            # of the KV cache per layer per step (measured: 55.4 -> 50.6
+            # tok/s on the f16 7B config, ~290 cache-sized copies/tok).
+            # The kernel streams the cache via its own manual DMA; the
+            # reservation tells MSA there is no room to "help".
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(

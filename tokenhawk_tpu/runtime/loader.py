@@ -64,6 +64,44 @@ def load_model(
     mesh=None,
     parallel: str = "tp",  # with a mesh: "tp" (shard_map) or "gspmd"
     scale_dtype=jnp.bfloat16,  # quant scale dtype (bf16 halves scale traffic)
+    retries: int = 2,
+    **config_overrides,
+) -> Tuple[LlamaConfig, LlamaParams, Tokenizer]:
+    """Load a GGML model onto the device.
+
+    `retries`: transient host->device failures (a flaky runtime/relay,
+    an interrupted transfer) retry with backoff from a fresh mmap; the
+    reference just latches a loadFailed flag and gives up
+    (/root/reference/th-llama-loader.cpp:473-476).
+    """
+    import time as _time
+
+    last_exc = None
+    for attempt in range(retries + 1):
+        try:
+            return _load_model_once(path, n_ctx, dtype, mesh, parallel,
+                                    scale_dtype, **config_overrides)
+        except (OSError, ValueError):
+            raise  # corrupt/missing file: retrying cannot help
+        except Exception as e:  # runtime/transfer errors: retry
+            last_exc = e
+            if attempt < retries:
+                import sys
+
+                print(f"load_model: attempt {attempt + 1} failed "
+                      f"({type(e).__name__}: {e}); retrying",
+                      file=sys.stderr)
+                _time.sleep(1.0 * (attempt + 1))
+    raise last_exc
+
+
+def _load_model_once(
+    path: str,
+    n_ctx: int = 2048,
+    dtype=jnp.bfloat16,
+    mesh=None,
+    parallel: str = "tp",
+    scale_dtype=jnp.bfloat16,
     **config_overrides,
 ) -> Tuple[LlamaConfig, LlamaParams, Tokenizer]:
     import os as _os

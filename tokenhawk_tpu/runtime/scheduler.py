@@ -159,6 +159,7 @@ class Scheduler:
         self.eos_id = eos_id
         self.decode_chunk = decode_chunk
         self.mesh = mesh
+        self.parallel = parallel
 
         # Speculative serving: a draft model proposes gamma tokens per
         # round and the target commits the matching prefix + one token —
@@ -511,6 +512,51 @@ class Scheduler:
         self.finished.append(req)
         if req.on_done:
             req.on_done(req)
+
+    def reset_device_state(self):
+        """Recovery path: rebuild every device buffer from scratch.
+
+        After repeated device-step failures (e.g. a poisoned buffer or a
+        runtime fault), serving must not stay wedged: callers retire the
+        active slots, then this drops all KV caches and slot state and
+        reallocates clean buffers.  Sessions lose their context (their
+        KV may be corrupt); the pending queue is untouched.  The
+        reference has no recovery at all (SURVEY §5: load failure sets a
+        flag, nothing retries)."""
+        from tokenhawk_tpu.models.llama import make_unrolled_cache
+
+        if self._unrolled:
+            self.cache = make_unrolled_cache(
+                self.cfg, self.B, self.S, self.cache_dtype)
+            if self.mesh is not None and self.parallel == "tp":
+                from tokenhawk_tpu.parallel.tp import shard_cache_tp
+
+                self.cache = shard_cache_tp(self.cache, self.mesh)
+        else:
+            self.cache = KVCache.create(self.cfg, self.B, self.S,
+                                        self.cache_dtype)
+            if self.mesh is not None:
+                from tokenhawk_tpu.parallel import shard_kv_cache
+
+                self.cache = shard_kv_cache(self.cache, self.mesh)
+        if self.spec:
+            if self._draft_unrolled:
+                self.draft_cache = make_unrolled_cache(
+                    self.draft_cfg, self.B, self.S, self.cache_dtype)
+            else:
+                self.draft_cache = KVCache.create(
+                    self.draft_cfg, self.B, self.S, self.cache_dtype)
+        self.last_tok = jnp.zeros((self.B,), jnp.int32)
+        self.offsets = jnp.zeros((self.B,), jnp.int32)
+        self.last_n = jnp.full((self.B, self.n_ring), -1, jnp.int32)
+        self.done = jnp.ones((self.B,), bool)
+        from tokenhawk_tpu.sampling import SamplingParams
+
+        self.sp = SamplingParams.broadcast(self.sampling, self.B)
+        self.counters = jnp.zeros((self.B,), jnp.int32)
+        self.slots = [None] * self.B
+        self.sessions.clear()
+        self.pinned.clear()
 
     def _free_slot(self) -> Optional[int]:
         """An idle unpinned slot, else evict the LRU pinned session."""

@@ -33,6 +33,10 @@ _SENTINEL = object()
 class ServingLoop:
     """Owns the Scheduler on a dedicated thread; thread-safe submit()."""
 
+    # Consecutive device-step failures before the loop rebuilds the
+    # scheduler's device state (fresh caches/slots; sessions evicted).
+    RECOVER_AFTER = 3
+
     def __init__(self, scheduler: Scheduler, tokenizer: Tokenizer):
         self.scheduler = scheduler
         self.tokenizer = tokenizer
@@ -40,6 +44,39 @@ class ServingLoop:
         self._wake = threading.Event()
         self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
+        import time as _time
+
+        self.stats = {
+            "started_at": _time.time(),
+            "steps": 0,
+            "step_errors": 0,
+            "consecutive_errors": 0,
+            "recoveries": 0,
+            "last_error": "",
+            "last_error_at": 0.0,
+            "requests": 0,
+            "completed": 0,
+        }
+
+    def health(self) -> dict:
+        """Liveness + degradation report (beyond the reference's
+        load-failed flag, /root/reference/th-llama-loader.cpp:473-476).
+
+        status: "ok" normally; "degraded" while step errors are
+        accumulating (a recovery will trigger at RECOVER_AFTER)."""
+        import time as _time
+
+        s = dict(self.stats)
+        degraded = s["consecutive_errors"] > 0 or (
+            s["last_error_at"] and _time.time() - s["last_error_at"] < 60.0
+        )
+        return {
+            "status": "degraded" if degraded else "ok",
+            "uptime_s": round(_time.time() - s.pop("started_at"), 1),
+            "active": self.scheduler.n_active,
+            "queued": len(self.scheduler.pending),
+            **s,
+        }
 
     def start(self):
         self._thread.start()
@@ -76,6 +113,7 @@ class ServingLoop:
             out.put(self.tokenizer.decode_token_bytes(tid).decode("utf-8", "replace"))
 
         def on_done(req: Request):
+            self.stats["completed"] += 1
             out.put(("__done__", req.finish_reason))
             out.put(_SENTINEL)
 
@@ -101,22 +139,41 @@ class ServingLoop:
                     out.put(("__done__", "reset"))
                     out.put(_SENTINEL)
                 else:
+                    self.stats["requests"] += 1
                     self.scheduler.submit(item)
                 drained = True
             try:
                 if self.scheduler.has_work:
                     self.scheduler.step()
+                    self.stats["steps"] += 1
+                    self.stats["consecutive_errors"] = 0
                 elif not drained:
                     self._wake.wait(timeout=0.05)
                     self._wake.clear()
             except Exception as e:  # keep serving; fail active requests
                 import sys
+                import time as _time
                 import traceback
 
                 traceback.print_exc(file=sys.stderr)
+                self.stats["step_errors"] += 1
+                self.stats["consecutive_errors"] += 1
+                self.stats["last_error"] = f"{type(e).__name__}: {e}"[:200]
+                self.stats["last_error_at"] = _time.time()
                 for slot, req in enumerate(self.scheduler.slots):
                     if req is not None:
                         self.scheduler._retire(slot, f"error:{type(e).__name__}")
+                if self.stats["consecutive_errors"] >= self.RECOVER_AFTER:
+                    # Repeated failures: assume poisoned device state and
+                    # rebuild it (pending requests survive and re-admit).
+                    try:
+                        self.scheduler.reset_device_state()
+                        self.stats["recoveries"] += 1
+                        self.stats["consecutive_errors"] = 0
+                        print("serving loop: device state rebuilt after "
+                              "repeated step failures", file=sys.stderr)
+                    except Exception:
+                        traceback.print_exc(file=sys.stderr)
 
 
 def _make_handler(loop: ServingLoop, model_info: dict):
@@ -139,7 +196,7 @@ def _make_handler(loop: ServingLoop, model_info: dict):
                 self._send(200, (_WEB_DIR / "chat.js").read_bytes(),
                            "application/javascript")
             elif self.path == "/health":
-                body = json.dumps({"status": "ok", **model_info}).encode()
+                body = json.dumps({**loop.health(), **model_info}).encode()
                 self._send(200, body, "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
