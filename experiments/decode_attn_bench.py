@@ -51,12 +51,26 @@ def main() -> int:
         from tokenhawk_tpu.ops.pallas.flash_decode import flash_decode as fn
     elif args.variant == "int8":
         from tokenhawk_tpu.ops.pallas.flash_decode_int8 import flash_decode_int8 as fn
+    elif args.variant == "paged":
+        from tokenhawk_tpu.ops.pallas.paged_decode import paged_flash_decode
+
+        def fn(q, k_pages, v_pages, table, lengths, block_s=None,
+               head_block=8):
+            return paged_flash_decode(q, k_pages, v_pages, table, lengths,
+                                      head_block=head_block)
     else:
         raise SystemExit(f"unknown variant {args.variant}")
 
     caches = []
     for i in range(args.layers):
-        if args.variant == "int8":
+        if args.variant == "paged":
+            ps = 128
+            n_pages = max(1, -(-S // ps))
+            k = jnp.full((H, n_pages, ps, D), 0.01 * (i + 1), jnp.bfloat16)
+            v = jnp.full((H, n_pages, ps, D), 0.02 * (i + 1), jnp.bfloat16)
+            table = jnp.tile(jnp.arange(n_pages, dtype=jnp.int32), (B, 1))
+            caches.append((k, v, table))
+        elif args.variant == "int8":
             k = jnp.full((B, H, S, D), i % 7 - 3, jnp.int8)
             v = jnp.full((B, H, S, D), i % 5 - 2, jnp.int8)
             ks = jnp.full((B, H, S), 0.01, jnp.bfloat16)

@@ -114,7 +114,113 @@ def _kernel(
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _kernel_vec(
+    lengths_ref,  # SMEM [B]
+    tables_ref,  # SMEM [B, max_pages]
+    q_ref,  # VMEM [1, HB, rep, Dh]
+    k_hbm,  # ANY  [Hkv, n_pages, ps, Dh]
+    v_hbm,
+    o_ref,  # VMEM [1, HB, rep, Dh]
+    m_ref,  # VMEM [HB*rep, 128] f32
+    l_ref,
+    acc_ref,  # VMEM [HB, rep, Dh] f32
+    s_buf,  # VMEM [HB*rep, ps] f32
+    k_buf,  # VMEM [2, HB, ps, Dh]
+    v_buf,
+    k_sem,
+    v_sem,
+    *,
+    page_size: int,
+    head_block: int,
+):
+    """Head-blocked + head-vectorized variant (the same two fixes that
+    took the dense DMA kernel from 261 to >700 GB/s, BENCH_NOTES round
+    2): each cell gathers a [head_block, ps, Dh] slab of every page —
+    the page index is shared across heads, so the slab is one strided
+    DMA — and all softmax bookkeeping runs once on an [HB*rep, ps] tile
+    instead of per-head slivers."""
+    b = pl.program_id(0)
+    hg = pl.program_id(1)
+    i = pl.program_id(2)
+    h0 = hg * head_block
+    rep = q_ref.shape[2]
+    length = lengths_ref[b]
+    n_blocks = pl.cdiv(length, page_size)
+
+    def copies(blk, slot):
+        page = tables_ref[b, blk]
+        k = pltpu.make_async_copy(
+            k_hbm.at[pl.ds(h0, head_block), page], k_buf.at[slot],
+            k_sem.at[slot],
+        )
+        v = pltpu.make_async_copy(
+            v_hbm.at[pl.ds(h0, head_block), page], v_buf.at[slot],
+            v_sem.at[slot],
+        )
+        return k, v
+
+    @pl.when(i < n_blocks)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            ck, cv = copies(0, 0)
+            ck.start()
+            cv.start()
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            nk, nv = copies(i + 1, (i + 1) % 2)
+            nk.start()
+            nv.start()
+
+        slot = i % 2
+        ck, cv = copies(i, slot)
+        ck.wait()
+
+        for h in range(head_block):
+            q = q_ref[0, h].astype(jnp.float32)  # [rep, Dh]
+            k = k_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
+            s_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        kpos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, s_buf.shape, 1
+        )
+        s = jnp.where(kpos < length, s_buf[...], _MASK)
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+        s_buf[...] = p
+
+        cv.wait()
+        for h in range(head_block):
+            v = v_buf[slot, h].astype(jnp.float32)
+            p_h = s_buf[h * rep : (h + 1) * rep, :]
+            pv = jnp.dot(p_h, v, preferred_element_type=jnp.float32)
+            acc_ref[h] = acc_ref[h] * alpha[h * rep : (h + 1) * rep] + pv
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        l = l_ref[:, 0:1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        for h in range(head_block):
+            o_ref[0, h] = (
+                acc_ref[h] * l_inv[h * rep : (h + 1) * rep]
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("head_block", "interpret"))
 def paged_flash_decode(
     q: jax.Array,  # [B, Hkv, rep, Dh]
     k_pages: jax.Array,  # [Hkv, n_pages, ps, Dh]
@@ -122,33 +228,38 @@ def paged_flash_decode(
     page_table: jax.Array,  # [B, max_pages] int32
     lengths: jax.Array,  # [B] int32
     *,
+    head_block: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
+    from tokenhawk_tpu.ops.pallas.flash_decode_dma import _pick_hb
+
     B, Hkv, rep, Dh = q.shape
     ps = k_pages.shape[2]
     max_pages = page_table.shape[1]
+    hb = _pick_hb(head_block, Hkv, rep, ps, Dh, k_pages.dtype.itemsize)
 
-    grid = (B, Hkv, max_pages)
-    kernel = functools.partial(_kernel, page_size=ps, max_pages=max_pages)
+    grid = (B, Hkv // hb, max_pages)
+    kernel = functools.partial(_kernel_vec, page_size=ps, head_block=hb)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # lengths, page_table
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)
+                (1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((rep, 128), jnp.float32),
-                pltpu.VMEM((rep, 128), jnp.float32),
-                pltpu.VMEM((rep, Dh), jnp.float32),
-                pltpu.VMEM((2, ps, Dh), k_pages.dtype),
-                pltpu.VMEM((2, ps, Dh), v_pages.dtype),
+                pltpu.VMEM((hb * rep, 128), jnp.float32),
+                pltpu.VMEM((hb * rep, 128), jnp.float32),
+                pltpu.VMEM((hb, rep, Dh), jnp.float32),
+                pltpu.VMEM((hb * rep, ps), jnp.float32),
+                pltpu.VMEM((2, hb, ps, Dh), k_pages.dtype),
+                pltpu.VMEM((2, hb, ps, Dh), v_pages.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
