@@ -58,6 +58,16 @@ def main() -> int:
                head_block=8):
             return paged_flash_decode(q, k_pages, v_pages, table, lengths,
                                       head_block=head_block)
+    elif args.variant == "paged_int8":
+        from tokenhawk_tpu.ops.pallas.paged_decode_int8 import (
+            paged_flash_decode_int8,
+        )
+
+        def fn(q, k_pages, ks, v_pages, vs, table, lengths, block_s=None,
+               head_block=8):
+            return paged_flash_decode_int8(q, k_pages, ks, v_pages, vs,
+                                           table, lengths,
+                                           head_block=head_block)
     else:
         raise SystemExit(f"unknown variant {args.variant}")
 
@@ -70,6 +80,15 @@ def main() -> int:
             v = jnp.full((H, n_pages, ps, D), 0.02 * (i + 1), jnp.bfloat16)
             table = jnp.tile(jnp.arange(n_pages, dtype=jnp.int32), (B, 1))
             caches.append((k, v, table))
+        elif args.variant == "paged_int8":
+            ps = 128
+            n_pages = max(1, -(-S // ps))
+            k = jnp.full((H, n_pages, ps, D), i % 7 - 3, jnp.int8)
+            v = jnp.full((H, n_pages, ps, D), i % 5 - 2, jnp.int8)
+            ks = jnp.full((H, n_pages, ps), 0.01, jnp.float32)
+            vs = jnp.full((H, n_pages, ps), 0.02, jnp.float32)
+            table = jnp.tile(jnp.arange(n_pages, dtype=jnp.int32), (B, 1))
+            caches.append((k, ks, v, vs, table))
         elif args.variant == "int8":
             k = jnp.full((B, H, S, D), i % 7 - 3, jnp.int8)
             v = jnp.full((B, H, S, D), i % 5 - 2, jnp.int8)
@@ -86,6 +105,10 @@ def main() -> int:
     if args.variant == "int8":
         live = (2 * B * H * min(args.length, S) * D  # int8 payload
                 + 2 * B * H * S * 2  # scales (full-S pipelined)
+                ) * args.layers
+    elif args.variant == "paged_int8":
+        live = (2 * B * H * min(args.length, S) * D  # int8 payload
+                + 2 * B * H * min(args.length, S) * 4  # f32 scale rows
                 ) * args.layers
     else:
         live = 2 * B * H * min(args.length, S) * D * 2 * args.layers

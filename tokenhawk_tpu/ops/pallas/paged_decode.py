@@ -29,91 +29,6 @@ from jax.experimental.pallas import tpu as pltpu
 _MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel(
-    lengths_ref,  # SMEM [B]
-    tables_ref,  # SMEM [B, max_pages]
-    q_ref,  # VMEM [1, 1, rep, Dh]
-    k_hbm,  # ANY  [Hkv, n_pages, ps, Dh]
-    v_hbm,  # ANY
-    o_ref,  # VMEM [1, 1, rep, Dh]
-    m_ref,  # VMEM [rep, 128] f32
-    l_ref,  # VMEM [rep, 128] f32
-    acc_ref,  # VMEM [rep, Dh] f32
-    k_buf,  # VMEM [2, ps, Dh]
-    v_buf,  # VMEM [2, ps, Dh]
-    k_sem,  # DMA sems (2,)
-    v_sem,  # DMA sems (2,)
-    *,
-    page_size: int,
-    max_pages: int,
-):
-    b = pl.program_id(0)
-    h = pl.program_id(1)
-    i = pl.program_id(2)
-    length = lengths_ref[b]
-    n_blocks = pl.cdiv(length, page_size)
-
-    def copies(blk, slot):
-        page = tables_ref[b, blk]
-        k = pltpu.make_async_copy(k_hbm.at[h, page], k_buf.at[slot],
-                                  k_sem.at[slot])
-        v = pltpu.make_async_copy(v_hbm.at[h, page], v_buf.at[slot],
-                                  v_sem.at[slot])
-        return k, v
-
-    @pl.when(i < n_blocks)
-    def _():
-        @pl.when(i == 0)
-        def _():
-            m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
-            l_ref[...] = jnp.zeros_like(l_ref)
-            acc_ref[...] = jnp.zeros_like(acc_ref)
-            ck, cv = copies(0, 0)
-            ck.start()
-            cv.start()
-
-        # Prefetch the next page while this one is in flight / computing.
-        @pl.when(i + 1 < n_blocks)
-        def _():
-            nk, nv = copies(i + 1, (i + 1) % 2)
-            nk.start()
-            nv.start()
-
-        slot = i % 2
-        ck, cv = copies(i, slot)
-        ck.wait()
-        k = k_buf[slot].astype(jnp.float32)  # [ps, Dh]
-
-        q = q_ref[0, 0].astype(jnp.float32)  # [rep, Dh]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [rep, ps]
-        kpos = i * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(kpos < length, s, _MASK)
-
-        m_prev = m_ref[:, 0:1]
-        l_prev = l_ref[:, 0:1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
-
-        cv.wait()
-        v = v_buf[slot].astype(jnp.float32)  # [ps, Dh]
-        acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32
-        )
-
-    @pl.when(i == n_blocks - 1)
-    def _():
-        l = l_ref[:, 0:1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
-
-
 def _kernel_vec(
     lengths_ref,  # SMEM [B]
     tables_ref,  # SMEM [B, max_pages]

@@ -36,23 +36,25 @@ from jax.experimental.pallas import tpu as pltpu
 _MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel(
+def _kernel_vec(
     lengths_ref,  # SMEM [B]
     tables_ref,  # SMEM [B, max_pages]
-    q_ref,  # VMEM [1, 1, rep, Dh]
+    q_ref,  # VMEM [1, HB, rep, Dh]
     k_hbm,  # ANY int8 [Hkv, n_pages, ps, Dh]
     ks_hbm,  # ANY f32 [Hkv, n_pages, 1, ps]
     v_hbm,
     vs_hbm,
-    o_ref,  # VMEM [1, 1, rep, Dh]
-    m_ref,  # VMEM [rep, 128] f32
+    o_ref,  # VMEM [1, HB, rep, Dh]
+    m_ref,  # VMEM [HB*rep, 128] f32
     l_ref,
-    acc_ref,  # VMEM [rep, Dh] f32
-    qi_ref,  # VMEM [rep, Dh] int8
-    qs_ref,  # VMEM [rep, 128] f32
-    k_buf,  # VMEM [2, ps, Dh] int8
-    ks_buf,  # VMEM [2, 1, ps] f32
+    acc_ref,  # VMEM [HB*rep, Dh] f32
+    s_buf,  # VMEM [HB*rep, ps] f32
+    qi_ref,  # VMEM [HB, rep, Dh] int8
+    qs_ref,  # VMEM [HB*rep, 128] f32
+    pv_buf,  # VMEM [HB*rep, Dh] int32
+    k_buf,  # VMEM [2, HB, ps, Dh] int8
     v_buf,
+    ks_buf,  # VMEM [2, HB, 1, ps] f32
     vs_buf,
     k_sem,  # DMA sems (2,) x4
     ks_sem,
@@ -60,21 +62,30 @@ def _kernel(
     vs_sem,
     *,
     page_size: int,
+    head_block: int,
 ):
+    """Head-blocked + head-vectorized int8 paged decode (the same two
+    fixes that took the bf16 paged kernel 110 -> 724 GB/s: the page
+    index is shared across heads so each page's payload+scales land in
+    four strided DMAs per slab instead of per-head slivers, and all
+    softmax/scale-fold bookkeeping runs once on [HB*rep, ps] tiles)."""
     b = pl.program_id(0)
-    h = pl.program_id(1)
+    hg = pl.program_id(1)
     i = pl.program_id(2)
+    h0 = hg * head_block
+    rep = q_ref.shape[2]
     length = lengths_ref[b]
     n_blocks = pl.cdiv(length, page_size)
+    hs = pl.ds(h0, head_block)
 
     def copies(blk, slot):
         page = tables_ref[b, blk]
         mk = pltpu.make_async_copy
         return (
-            mk(k_hbm.at[h, page], k_buf.at[slot], k_sem.at[slot]),
-            mk(ks_hbm.at[h, page], ks_buf.at[slot], ks_sem.at[slot]),
-            mk(v_hbm.at[h, page], v_buf.at[slot], v_sem.at[slot]),
-            mk(vs_hbm.at[h, page], vs_buf.at[slot], vs_sem.at[slot]),
+            mk(k_hbm.at[hs, page], k_buf.at[slot], k_sem.at[slot]),
+            mk(ks_hbm.at[hs, page], ks_buf.at[slot], ks_sem.at[slot]),
+            mk(v_hbm.at[hs, page], v_buf.at[slot], v_sem.at[slot]),
+            mk(vs_hbm.at[hs, page], vs_buf.at[slot], vs_sem.at[slot]),
         )
 
     @pl.when(i < n_blocks)
@@ -84,12 +95,16 @@ def _kernel(
             m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
             l_ref[...] = jnp.zeros_like(l_ref)
             acc_ref[...] = jnp.zeros_like(acc_ref)
-            qf = q_ref[0, 0].astype(jnp.float32)  # [rep, Dh]
+            qf = q_ref[0].astype(jnp.float32)  # [HB, rep, Dh]
             qmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
-            qinv = jnp.where(qmax > 0.0,
-                             127.0 / jnp.where(qmax > 0.0, qmax, 1.0), 0.0)
+            qinv = jnp.where(
+                qmax > 0.0, 127.0 / jnp.where(qmax > 0.0, qmax, 1.0), 0.0
+            )
             qi_ref[...] = jnp.round(qf * qinv).astype(jnp.int8)
-            qs_ref[...] = jnp.broadcast_to(qmax * (1.0 / 127.0), qs_ref.shape)
+            qs_ref[...] = jnp.broadcast_to(
+                (qmax * (1.0 / 127.0)).reshape(head_block * rep, 1),
+                qs_ref.shape,
+            )
             for c in copies(0, 0):
                 c.start()
 
@@ -103,15 +118,26 @@ def _kernel(
         ck.wait()
         cks.wait()
 
-        s_i32 = jax.lax.dot_general(
-            qi_ref[...], k_buf[slot], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [rep, ps]
-        ks_row = ks_buf[slot].astype(jnp.float32)  # [1, ps]
-        s = s_i32.astype(jnp.float32) * qs_ref[:, 0:1] * ks_row
-        kpos = i * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(kpos < length, s, _MASK)
+        for h in range(head_block):
+            s_i32 = jax.lax.dot_general(
+                qi_ref[h], k_buf[slot, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [rep, ps]
+            s_buf[h * rep : (h + 1) * rep, :] = s_i32.astype(jnp.float32)
 
+        def per_row(x):  # [HB, ps] -> [HB*rep, ps]
+            if rep == 1:
+                return x
+            return jnp.broadcast_to(
+                x[:, None, :], (head_block, rep, x.shape[-1])
+            ).reshape(head_block * rep, x.shape[-1])
+
+        ks_row = per_row(ks_buf[slot, :, 0, :].astype(jnp.float32))
+        kpos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, s_buf.shape, 1
+        )
+        s = s_buf[...] * qs_ref[:, 0:1] * ks_row
+        s = jnp.where(kpos < length, s, _MASK)
         m_prev = m_ref[:, 0:1]
         l_prev = l_ref[:, 0:1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -123,29 +149,37 @@ def _kernel(
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
         cvs.wait()
-        pw = p * vs_buf[slot].astype(jnp.float32)  # [rep, ps]
+        vs_row = per_row(vs_buf[slot, :, 0, :].astype(jnp.float32))
+        pw = p * vs_row
         pmax = jnp.max(pw, axis=1, keepdims=True)
-        pinv = jnp.where(pmax > 0.0,
-                         127.0 / jnp.where(pmax > 0.0, pmax, 1.0), 0.0)
+        pinv = jnp.where(
+            pmax > 0.0, 127.0 / jnp.where(pmax > 0.0, pmax, 1.0), 0.0
+        )
         pq = jnp.round(pw * pinv).astype(jnp.int8)
 
         cv.wait()
-        pv = jax.lax.dot_general(
-            pq, v_buf[slot], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [rep, Dh]
+        for h in range(head_block):
+            pv_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
+                pq[h * rep : (h + 1) * rep, :], v_buf[slot, h],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
         acc_ref[...] = acc_ref[...] * alpha + (
-            pv.astype(jnp.float32) * (pmax * (1.0 / 127.0))
+            pv_buf[...].astype(jnp.float32) * (pmax * (1.0 / 127.0))
         )
 
     @pl.when(i == n_blocks - 1)
     def _():
         l = l_ref[:, 0:1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0] = (
+            (acc_ref[...] * l_inv)
+            .reshape(head_block, rep, o_ref.shape[-1])
+            .astype(o_ref.dtype)
+        )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("head_block", "interpret"))
 def paged_flash_decode_int8(
     q: jax.Array,  # [B, Hkv, rep, Dh]
     k_pages: jax.Array,  # int8 [Hkv, n_pages, ps, Dh]
@@ -155,40 +189,46 @@ def paged_flash_decode_int8(
     page_table: jax.Array,  # [B, max_pages] int32
     lengths: jax.Array,  # [B] int32
     *,
+    head_block: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
+    from tokenhawk_tpu.ops.pallas.flash_decode_dma import _pick_hb
+
     B, Hkv, rep, Dh = q.shape
     n_pages, ps = k_pages.shape[1], k_pages.shape[2]
     max_pages = page_table.shape[1]
     sc_view = (Hkv, n_pages, 1, ps)
+    hb = _pick_hb(head_block, Hkv, rep, ps, Dh, k_pages.dtype.itemsize)
 
-    grid = (B, Hkv, max_pages)
-    kernel = functools.partial(_kernel, page_size=ps)
+    grid = (B, Hkv // hb, max_pages)
+    kernel = functools.partial(_kernel_vec, page_size=ps, head_block=hb)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # lengths, page_table
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)
+                (1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((rep, 128), jnp.float32),
-                pltpu.VMEM((rep, 128), jnp.float32),
-                pltpu.VMEM((rep, Dh), jnp.float32),
-                pltpu.VMEM((rep, Dh), jnp.int8),
-                pltpu.VMEM((rep, 128), jnp.float32),
-                pltpu.VMEM((2, ps, Dh), k_pages.dtype),
-                pltpu.VMEM((2, 1, ps), ks_pages.dtype),
-                pltpu.VMEM((2, ps, Dh), v_pages.dtype),
-                pltpu.VMEM((2, 1, ps), vs_pages.dtype),
+                pltpu.VMEM((hb * rep, 128), jnp.float32),
+                pltpu.VMEM((hb * rep, 128), jnp.float32),
+                pltpu.VMEM((hb * rep, Dh), jnp.float32),
+                pltpu.VMEM((hb * rep, ps), jnp.float32),
+                pltpu.VMEM((hb, rep, Dh), jnp.int8),
+                pltpu.VMEM((hb * rep, 128), jnp.float32),
+                pltpu.VMEM((hb * rep, Dh), jnp.int32),
+                pltpu.VMEM((2, hb, ps, Dh), k_pages.dtype),
+                pltpu.VMEM((2, hb, ps, Dh), v_pages.dtype),
+                pltpu.VMEM((2, hb, 1, ps), ks_pages.dtype),
+                pltpu.VMEM((2, hb, 1, ps), vs_pages.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
