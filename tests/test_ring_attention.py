@@ -82,3 +82,56 @@ def test_decode_cp_matches_dense(rng, n_shards):
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths)
     ))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("layout", ["block", "cyclic"])
+def test_ring_attention_pallas_kernel(rng, layout):
+    """Kernel-backed ring step (flash_attention_stats) vs dense.
+
+    Dh=128 + pallas_interpret routes ring_attention through the Pallas
+    stats kernel; the jnp fallback is covered by the Dh=64 tests above.
+    """
+    from tokenhawk_tpu.ops import dispatch
+
+    n_shards, Hkv, rep = 4, 2, 2
+    B, T_local, Dh = 2, 8, 128
+    H = Hkv * rep
+    T = n_shards * T_local
+    q = rng.standard_normal((B, H, T, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, Hkv, T, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, T, Dh)).astype(np.float32)
+
+    want = np.asarray(attend_cache(
+        jnp.asarray(np.transpose(q, (0, 2, 1, 3))), jnp.asarray(k),
+        jnp.asarray(v), jnp.asarray(np.arange(T)[None, :].repeat(B, 0)),
+    ))  # [B, T, H, Dh]
+
+    if layout == "cyclic":
+        # shard i owns global positions {i, i+n, ...}: gather the
+        # interleaved rows so shard-local slot j = global i + j*n.
+        order = np.arange(T).reshape(T_local, n_shards).T.reshape(-1)
+        q_in, k_in, v_in = q[:, :, order], k[:, :, order], v[:, :, order]
+    else:
+        order = np.arange(T)
+        q_in, k_in, v_in = q, k, v
+
+    mesh = _ctx_mesh(n_shards)
+    fn = shard_map(
+        lambda ql, kl, vl: ring_attention(
+            ql, kl, vl, "ctx", n_shards, layout=layout
+        ),
+        mesh,
+        in_specs=(P(None, None, "ctx", None),) * 3,
+        out_specs=P(None, None, "ctx", None),
+    )
+    dispatch.set_backend("pallas_interpret")
+    try:
+        got = np.asarray(
+            jax.jit(fn)(jnp.asarray(q_in), jnp.asarray(k_in), jnp.asarray(v_in))
+        )
+    finally:
+        dispatch.set_backend("auto")
+    inv = np.argsort(order)
+    np.testing.assert_allclose(
+        np.transpose(got[:, :, inv], (0, 2, 1, 3)), want, atol=3e-5, rtol=1e-4
+    )

@@ -154,6 +154,177 @@ def flash_attention(
     )(offsets.astype(jnp.int32), q, k_cache, v_cache)
 
 
+def _kernel_stats(
+    starts_ref,  # SMEM [B, 2] int32 (q_start, k_start)
+    q_ref,  # [1, 1, rep, BT, Dh]
+    k_ref,  # [1, 1, BS, Dh]
+    v_ref,  # [1, 1, BS, Dh]
+    o_ref,  # [1, 1, rep, BT, Dh] f32 (unnormalized)
+    mo_ref,  # [1, 1, rep, BT, 128] f32
+    lo_ref,  # [1, 1, rep, BT, 128] f32
+    m_ref,  # VMEM [rep, BT, 128] f32
+    l_ref,
+    acc_ref,  # VMEM [rep, BT, Dh] f32
+    *,
+    stride: int,
+    block_t: int,
+    block_s: int,
+    n_s_tiles: int,
+    rep: int,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    i = pl.program_id(3)
+    q_start = starts_ref[b, 0]
+    k_start = starts_ref[b, 1]
+
+    @pl.when(i == 0)
+    def _():
+        # Init m to the finite _MASK (not -inf): fully-masked rows then
+        # carry m == _MASK and their pollution (p = exp(0) = 1 rows)
+        # cancels to exactly 0 in any online-softmax merge against a
+        # real score — the same convention as the jnp ring path, and it
+        # keeps exp(m1 - m) NaN-free when both partials are empty.
+        m_ref[...] = jnp.full_like(m_ref, _MASK)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Positions are affine in the row index (block layout: stride 1,
+    # cyclic/round-robin layout: stride n_shards), so tile-level
+    # causality bounds come from scalars.
+    max_qpos = q_start + stride * ((t + 1) * block_t - 1)
+    min_kpos = k_start + stride * (i * block_s)
+
+    @pl.when(min_kpos <= max_qpos)
+    def _():
+        k = k_ref[0, 0].astype(jnp.float32)  # [BS, Dh]
+        v = v_ref[0, 0].astype(jnp.float32)  # [BS, Dh]
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_t, block_s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_t, block_s), 1)
+        qpos = q_start + stride * (t * block_t + row)
+        kpos = k_start + stride * (i * block_s + col)
+        causal = kpos <= qpos
+
+        for r in range(rep):
+            q = q_ref[0, 0, r].astype(jnp.float32)  # [BT, Dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BT, BS]
+            s = jnp.where(causal, s, _MASK)
+
+            m_prev = m_ref[r, :, 0:1]
+            l_prev = l_ref[r, :, 0:1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[r] = jnp.broadcast_to(m_next, m_ref.shape[1:])
+            l_ref[r] = jnp.broadcast_to(l_next, l_ref.shape[1:])
+
+            pv = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            acc_ref[r] = acc_ref[r] * alpha + pv
+
+    @pl.when(i == n_s_tiles - 1)
+    def _():
+        o_ref[0, 0] = acc_ref[...]
+        mo_ref[0, 0] = m_ref[...]
+        lo_ref[0, 0] = l_ref[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stride", "block_t", "block_s", "interpret"),
+)
+def flash_attention_stats(
+    q: jax.Array,  # [B, Hkv, rep, T, Dh] (pre-scaled by 1/sqrt(Dh))
+    k_block: jax.Array,  # [B, Hkv, S, Dh]
+    v_block: jax.Array,
+    q_start: jax.Array,  # [B] int32: global position of q[..., 0, :]
+    k_start: jax.Array,  # [B] int32: global position of k_block[..., 0, :]
+    *,
+    stride: int = 1,
+    block_t: int = 256,
+    block_s: int = 256,
+    interpret: bool = False,
+):
+    """Position-parameterized flash attention returning softmax partials.
+
+    The ring-attention prefill step (parallel/ring.py): each shard's
+    query block attends to a visiting KV block whose global positions
+    are `k_start + stride*j` (stride 1 = contiguous blocks, stride
+    n_shards = the cyclic layout CP decode appends into), under the
+    causal mask kpos <= qpos.  Scores never leave VMEM — the jnp
+    fallback materializes [B, H, T, S] per ring step, which defeats
+    long-context CP.
+
+    Returns (o_unnorm f32 [B, Hkv, rep, T, Dh], m f32
+    [B, Hkv, rep, T, 128], l f32 [B, Hkv, rep, T, 128]); lane columns
+    of m/l are replicated — consume [..., 0:1].  o = o_unnorm / l after
+    the cross-shard merge.  Fully-masked rows carry m == _MASK (finite)
+    and l == 0 or the all-ones pollution row; both merge to zero
+    against any real partial (see _kernel_stats init comment).
+    """
+    B, Hkv, rep, T, Dh = q.shape
+    S = k_block.shape[2]
+    bt = min(block_t, T)
+    while T % bt:
+        bt //= 2
+    bs = min(block_s, S)
+    while S % bs:
+        bs //= 2
+    n_s = S // bs
+
+    starts = jnp.stack(
+        [q_start.astype(jnp.int32), k_start.astype(jnp.int32)], axis=1
+    )  # [B, 2]
+    grid = (B, Hkv, T // bt, n_s)
+    kernel = functools.partial(
+        _kernel_stats, stride=stride, block_t=bt, block_s=bs,
+        n_s_tiles=n_s, rep=rep,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, rep, bt, Dh), lambda b, h, t, i, *_: (b, h, 0, t, 0)
+                ),
+                pl.BlockSpec((1, 1, bs, Dh), lambda b, h, t, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bs, Dh), lambda b, h, t, i, *_: (b, h, i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, rep, bt, Dh), lambda b, h, t, i, *_: (b, h, 0, t, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, rep, bt, 128), lambda b, h, t, i, *_: (b, h, 0, t, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, rep, bt, 128), lambda b, h, t, i, *_: (b, h, 0, t, 0)
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((rep, bt, 128), jnp.float32),
+                pltpu.VMEM((rep, bt, 128), jnp.float32),
+                pltpu.VMEM((rep, bt, Dh), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, rep, T, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, rep, T, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, rep, T, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(starts, q, k_block, v_block)
+
+
 def attend_prefill(
     q: jax.Array,  # [B, T, H, Dh]
     k_cache: jax.Array,

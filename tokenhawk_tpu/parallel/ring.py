@@ -91,6 +91,43 @@ def ring_attention(
             return shard + jnp.arange(T) * n_shards
         return shard * T + jnp.arange(T)
 
+    from tokenhawk_tpu.ops.dispatch import pallas_mode
+
+    mode = pallas_mode()
+    use_kernel = mode is not None and Dh % 128 == 0 and T % 8 == 0
+    Hkv = k_local.shape[1]
+    rep = H // Hkv
+    stride = n_shards if layout == "cyclic" else 1
+
+    def step_stats(src, k_blk, v_blk):
+        """One ring step's softmax partials (o_unnorm, m, l)."""
+        if use_kernel:
+            # Flash path: scores stay in VMEM — the jnp fallback
+            # materializes [B, H, T, T] per step, which defeats
+            # long-context CP (the whole point of the ring).
+            from tokenhawk_tpu.ops.pallas.flash_attention import (
+                flash_attention_stats,
+            )
+
+            q_start = idx if layout == "cyclic" else idx * T
+            k_start = src if layout == "cyclic" else src * T
+            ob, mb, lb = flash_attention_stats(
+                q.reshape(B, Hkv, rep, T, Dh), k_blk, v_blk,
+                jnp.broadcast_to(q_start, (B,)),
+                jnp.broadcast_to(k_start, (B,)),
+                stride=stride, interpret=(mode == "interpret"),
+            )
+            return (
+                ob.reshape(B, H, T, Dh),
+                mb[..., 0:1].reshape(B, H, T, 1),
+                lb[..., 0:1].reshape(B, H, T, 1),
+            )
+        kpos = pos_of(src)  # [T]
+        mask = kpos[None, None, :] <= qpos[None, :, None]  # [1, T, T]
+        return _block_attend_stats(
+            q, k_blk, v_blk, jnp.broadcast_to(mask, (B, T, T))
+        )
+
     qpos = pos_of(idx)  # [T]
     o = jnp.zeros((B, H, T, Dh), jnp.float32)
     m = jnp.full((B, H, T, 1), -jnp.inf, jnp.float32)
@@ -100,10 +137,7 @@ def ring_attention(
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     for step in range(n_shards):
         src = (idx - step) % n_shards  # owner of the visiting KV block
-        kpos = pos_of(src)  # [T]
-        mask = kpos[None, None, :] <= qpos[None, :, None]  # [1, T, T]
-        mask = jnp.broadcast_to(mask, (B, T, T))
-        o_b, m_b, l_b = _block_attend_stats(q, k_blk, v_blk, mask)
+        o_b, m_b, l_b = step_stats(src, k_blk, v_blk)
         o, m, l = _merge_stats(o, m, l, o_b, m_b, l_b)
         if step < n_shards - 1:
             k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
