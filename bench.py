@@ -215,6 +215,10 @@ def main(argv=None) -> int:
     from tokenhawk_tpu.ops.qweight import maybe_i4_params
 
     params = maybe_i4_params(params)  # int4-native q4 layout on TPU
+    if args.unroll:
+        from tokenhawk_tpu.models.llama import norms_2d
+
+        params = norms_2d(params)  # [1, D] gains: no in-loop relayout
     params = jax.block_until_ready(params)
     print(f"synth {args.model} {args.quant} params ready in "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)

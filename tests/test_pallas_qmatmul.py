@@ -77,3 +77,46 @@ def test_xla_fallback_matches_pallas(rng):
     a = np.asarray(_matmul_quant(x, qw))
     b = np.asarray(q4_matmul(x, qw.qs, qw.scales, qw.scales_hi, interpret=True))
     np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("kind", ["q8_0", "q4_0", "q4_0_i4"])
+@pytest.mark.parametrize("B", [1, 16])
+def test_fused_norm_matches_separate(rng, kind, B):
+    """quant_matmul(x, qw, gain) == rms_norm(x, gain) @ dequant(qw).
+
+    The in-kernel RMSNorm skips the intermediate bf16 rounding the
+    separate form pays, so compare against the f32 norm reference.
+    """
+    from tokenhawk_tpu.ops.norms import rms_norm
+    from tokenhawk_tpu.ops.qweight import q4_packed_to_i4
+
+    K, N = 256, 384
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    x = rng.standard_normal((B, K)).astype(np.float32)
+    gain = (1.0 + 0.1 * rng.standard_normal(K)).astype(np.float32)
+    qw = quantize_array(w, "q4_0" if kind == "q4_0_i4" else kind)
+    if kind == "q4_0_i4":
+        qw = q4_packed_to_i4(qw)
+    got = np.asarray(quant_matmul(
+        jnp.asarray(x), qw, jnp.asarray(gain), interpret=True))
+    xn = np.asarray(rms_norm(jnp.asarray(x), jnp.asarray(gain)))
+    want = xn @ np.asarray(qw.dequantize())
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+def test_fused_norm_k_tiled_fallback(rng):
+    """K larger than one tile falls back to the outside norm (still
+    correct)."""
+    from tokenhawk_tpu.ops.norms import rms_norm
+
+    B, K, N = 8, 512, 128
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    x = rng.standard_normal((B, K)).astype(np.float32)
+    gain = np.ones(K, np.float32)
+    qw = quantize_array(w, "q8_0")
+    got = np.asarray(q8_matmul(
+        jnp.asarray(x), qw.qs, qw.scales, jnp.asarray(gain),
+        block_k=256, interpret=True))
+    xn = np.asarray(rms_norm(jnp.asarray(x), jnp.asarray(gain)))
+    want = xn @ np.asarray(qw.dequantize())
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)

@@ -37,7 +37,6 @@ from tokenhawk_tpu.ops import (
     attend_cache,
     from_quantized_tensor,
     matmul,
-    rms_norm,
     rope_cos_sin,
     update_kv_cache,
 )
@@ -190,17 +189,23 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, lcache, cos, sin, offse
     B, T, D = x.shape
     H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
 
-    h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
+    # attn_norm fuses into the (quantized) matmul kernel; the separate
+    # wq/wk/wv form recomputes the row statistics per matmul in-kernel
+    # (trivial VPU work vs a standalone norm's reduce+convert+copy).
     Dq, Dkv = H * Dh, Hkv * Dh
     if lp.wqkv is not None:
-        qkv = matmul(h, lp.wqkv)  # [B, T, Dq + 2*Dkv]
+        qkv = matmul(x, lp.wqkv, lp.attn_norm,
+                     eps=cfg.rms_norm_eps)  # [B, T, Dq + 2*Dkv]
         q = qkv[..., :Dq].reshape(B, T, H, Dh)
         k = qkv[..., Dq : Dq + Dkv].reshape(B, T, Hkv, Dh)
         v = qkv[..., Dq + Dkv :].reshape(B, T, Hkv, Dh)
     else:
-        q = matmul(h, lp.wq).reshape(B, T, H, Dh)
-        k = matmul(h, lp.wk).reshape(B, T, Hkv, Dh)
-        v = matmul(h, lp.wv).reshape(B, T, Hkv, Dh)
+        q = matmul(x, lp.wq, lp.attn_norm,
+                   eps=cfg.rms_norm_eps).reshape(B, T, H, Dh)
+        k = matmul(x, lp.wk, lp.attn_norm,
+                   eps=cfg.rms_norm_eps).reshape(B, T, Hkv, Dh)
+        v = matmul(x, lp.wv, lp.attn_norm,
+                   eps=cfg.rms_norm_eps).reshape(B, T, Hkv, Dh)
     q = apply_rope(q, cos, sin, cfg.rope_style)
     k = apply_rope(k, cos, sin, cfg.rope_style)
 
@@ -209,15 +214,15 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, lcache, cos, sin, offse
                                      prefer_append=quantized)
     x = x + matmul(ctx.reshape(B, T, D), lp.wo)
 
-    h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)
     F = cfg.n_ff
     if lp.w13 is not None:
-        gate_up = matmul(h2, lp.w13)  # [B, T, 2F]
+        gate_up = matmul(x, lp.w13, lp.ffn_norm,
+                         eps=cfg.rms_norm_eps)  # [B, T, 2F]
         g = gate_up[..., :F]
         u = gate_up[..., F:]
     else:
-        g = matmul(h2, lp.w1)
-        u = matmul(h2, lp.w3)
+        g = matmul(x, lp.w1, lp.ffn_norm, eps=cfg.rms_norm_eps)
+        u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
     gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
     x = x + matmul(gate * u, lp.w2)
     return x, lcache
@@ -327,6 +332,32 @@ def forward(
     return x, KVCache(*new)
 
 
+def norms_2d(params: LlamaParams) -> LlamaParams:
+    """Reshape the norm gains [D] -> [1, D] once at load time.
+
+    The fused-norm matmul kernels consume the gain as a [1, K] VMEM
+    tile; reshaping a 1-D [D] array re-tiles it (T(1024) -> T(8,128)),
+    and XLA does not hoist that relayout out of the decode loop — it
+    measured 0.037 ms/tok as 65 per-token reshape ops at 7B.  [1, D]
+    gains broadcast identically everywhere else (rms_norm fallback,
+    logits)."""
+    if not isinstance(params.layers, tuple):
+        raise ValueError("norms_2d expects unrolled (tuple) layers")
+
+    def fix(lp: LayerParams) -> LayerParams:
+        return dataclasses.replace(
+            lp,
+            attn_norm=lp.attn_norm.reshape(1, -1),
+            ffn_norm=lp.ffn_norm.reshape(1, -1),
+        )
+
+    return dataclasses.replace(
+        params,
+        layers=tuple(fix(lp) for lp in params.layers),
+        norm=params.norm.reshape(1, -1),
+    )
+
+
 def unstack_params(params: LlamaParams) -> LlamaParams:
     """Stacked [L, ...] layer weights -> tuple of per-layer LayerParams.
 
@@ -392,17 +423,19 @@ def forward_paged_decode(
 
     def body(x, layer_inputs):
         lp, lcache = layer_inputs[0], layer_inputs[1:]
-        h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
         if lp.wqkv is not None:
-            qkv = matmul(h, lp.wqkv)
+            qkv = matmul(x, lp.wqkv, lp.attn_norm, eps=cfg.rms_norm_eps)
             Dq, Dkv = H * Dh, Hkv * Dh
             q = qkv[..., :Dq].reshape(B, 1, H, Dh)
             k = qkv[..., Dq : Dq + Dkv].reshape(B, 1, Hkv, Dh)
             v = qkv[..., Dq + Dkv :].reshape(B, 1, Hkv, Dh)
         else:
-            q = matmul(h, lp.wq).reshape(B, 1, H, Dh)
-            k = matmul(h, lp.wk).reshape(B, 1, Hkv, Dh)
-            v = matmul(h, lp.wv).reshape(B, 1, Hkv, Dh)
+            q = matmul(x, lp.wq, lp.attn_norm,
+                       eps=cfg.rms_norm_eps).reshape(B, 1, H, Dh)
+            k = matmul(x, lp.wk, lp.attn_norm,
+                       eps=cfg.rms_norm_eps).reshape(B, 1, Hkv, Dh)
+            v = matmul(x, lp.wv, lp.attn_norm,
+                       eps=cfg.rms_norm_eps).reshape(B, 1, Hkv, Dh)
         q = apply_rope(q, cos, sin, cfg.rope_style)
         k = apply_rope(k, cos, sin, cfg.rope_style)
 
@@ -423,13 +456,13 @@ def forward_paged_decode(
             lcache = (k_l, v_l)
         x = x + matmul(ctx.reshape(B, 1, D), lp.wo)
 
-        h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)
         F = cfg.n_ff
         if lp.w13 is not None:
-            gate_up = matmul(h2, lp.w13)
+            gate_up = matmul(x, lp.w13, lp.ffn_norm, eps=cfg.rms_norm_eps)
             g, u = gate_up[..., :F], gate_up[..., F:]
         else:
-            g, u = matmul(h2, lp.w1), matmul(h2, lp.w3)
+            g = matmul(x, lp.w1, lp.ffn_norm, eps=cfg.rms_norm_eps)
+            u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
         gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
         x = x + matmul(gate * u, lp.w2)
         return x, lcache
@@ -471,17 +504,19 @@ def forward_paged_prefill(
 
     def body(x, layer_inputs):
         lp, lcache = layer_inputs[0], layer_inputs[1:]
-        h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
         Dq, Dkv = H * Dh, Hkv * Dh
         if lp.wqkv is not None:
-            qkv = matmul(h, lp.wqkv)
+            qkv = matmul(x, lp.wqkv, lp.attn_norm, eps=cfg.rms_norm_eps)
             q = qkv[..., :Dq].reshape(B, T, H, Dh)
             k = qkv[..., Dq : Dq + Dkv].reshape(B, T, Hkv, Dh)
             v = qkv[..., Dq + Dkv :].reshape(B, T, Hkv, Dh)
         else:
-            q = matmul(h, lp.wq).reshape(B, T, H, Dh)
-            k = matmul(h, lp.wk).reshape(B, T, Hkv, Dh)
-            v = matmul(h, lp.wv).reshape(B, T, Hkv, Dh)
+            q = matmul(x, lp.wq, lp.attn_norm,
+                       eps=cfg.rms_norm_eps).reshape(B, T, H, Dh)
+            k = matmul(x, lp.wk, lp.attn_norm,
+                       eps=cfg.rms_norm_eps).reshape(B, T, Hkv, Dh)
+            v = matmul(x, lp.wv, lp.attn_norm,
+                       eps=cfg.rms_norm_eps).reshape(B, T, Hkv, Dh)
         q = apply_rope(q, cos, sin, cfg.rope_style)
         k = apply_rope(k, cos, sin, cfg.rope_style)
 
@@ -502,13 +537,13 @@ def forward_paged_prefill(
             lcache = (k_l, v_l)
         x = x + matmul(ctx.reshape(B, T, H * Dh), lp.wo)
 
-        h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)
         F = cfg.n_ff
         if lp.w13 is not None:
-            gu = matmul(h2, lp.w13)
+            gu = matmul(x, lp.w13, lp.ffn_norm, eps=cfg.rms_norm_eps)
             g, u = gu[..., :F], gu[..., F:]
         else:
-            g, u = matmul(h2, lp.w1), matmul(h2, lp.w3)
+            g = matmul(x, lp.w1, lp.ffn_norm, eps=cfg.rms_norm_eps)
+            u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
         gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
         x = x + matmul(gate * u, lp.w2)
         return x, lcache
@@ -521,8 +556,8 @@ def logits_from_hidden(
     cfg: LlamaConfig, params: LlamaParams, hidden: jax.Array
 ) -> jax.Array:
     """Final RMSNorm + output projection -> f32 logits [..., V]."""
-    h = rms_norm(hidden, params.norm, cfg.rms_norm_eps)
-    return matmul(h, params.output, accum_dtype=jnp.float32).astype(jnp.float32)
+    return matmul(hidden, params.output, params.norm, eps=cfg.rms_norm_eps,
+                  accum_dtype=jnp.float32).astype(jnp.float32)
 
 
 def fuse_params(params: LlamaParams) -> LlamaParams:

@@ -16,8 +16,15 @@ import jax.numpy as jnp
 from tokenhawk_tpu.ops.qweight import ArrayOrQ, QWeight
 
 
-def matmul(x: jax.Array, w: ArrayOrQ, *, accum_dtype=jnp.float32) -> jax.Array:
-    """x [..., K] @ w [K, N] -> [..., N] in x.dtype, f32 accumulation."""
+def matmul(x: jax.Array, w: ArrayOrQ, norm_gain: jax.Array | None = None,
+           *, eps: float = 1e-6, accum_dtype=jnp.float32) -> jax.Array:
+    """x [..., K] @ w [K, N] -> [..., N] in x.dtype, f32 accumulation.
+
+    With `norm_gain`, computes rms_norm(x, norm_gain) @ w; on the Pallas
+    quantized path the norm fuses into the kernel (the x tile is already
+    resident in VMEM — the standalone norm costs a reduce + convert +
+    staging copy per call on the decode hot path).
+    """
     if isinstance(w, QWeight):
         from tokenhawk_tpu.ops.dispatch import pallas_mode
 
@@ -25,8 +32,17 @@ def matmul(x: jax.Array, w: ArrayOrQ, *, accum_dtype=jnp.float32) -> jax.Array:
         if mode is not None and w.kind in ("q8_0", "q4_0", "q4_0_i4"):
             from tokenhawk_tpu.ops.pallas.qmatmul import quant_matmul
 
-            return quant_matmul(x, w, interpret=(mode == "interpret"))
+            return quant_matmul(x, w, norm_gain, eps=eps,
+                                interpret=(mode == "interpret"))
+        if norm_gain is not None:
+            from tokenhawk_tpu.ops.norms import rms_norm
+
+            x = rms_norm(x, norm_gain, eps)
         return _matmul_quant(x, w, accum_dtype=accum_dtype)
+    if norm_gain is not None:
+        from tokenhawk_tpu.ops.norms import rms_norm
+
+        x = rms_norm(x, norm_gain, eps)
     return jnp.dot(x, w.astype(x.dtype), preferred_element_type=accum_dtype).astype(
         x.dtype
     )

@@ -69,7 +69,9 @@ def _apply_scales(w, s, group=GROUP):
 
 def _qdot(x, w, acc_ref):
     """acc += x @ w with the dequantized tile in f32 or bf16."""
-    f32 = DOT_F32 == "1" or (DOT_F32 == "auto" and x.shape[0] <= 8)
+    f32 = x.dtype == jnp.float32 or DOT_F32 == "1" or (
+        DOT_F32 == "auto" and x.shape[0] <= 8
+    )
     if f32:
         acc_ref[...] += jax.lax.dot_general(
             x.astype(jnp.float32), w, (((1,), (0,)), ((), ())),
@@ -79,6 +81,27 @@ def _qdot(x, w, acc_ref):
         acc_ref[...] += jnp.dot(
             x, w.astype(x.dtype), preferred_element_type=jnp.float32
         )
+
+
+def _norm_rows(xf, sq_mean, gain_f32, eps, x_dtype):
+    """Fused RMSNorm: xf [bb, bk] f32, gain [1, bk] -> normed rows.
+
+    The norm that precedes every quantized matmul in the model
+    (attn_norm -> wqkv, ffn_norm -> w13, final norm -> logits) runs
+    in-kernel on the already-resident x tile: outside the kernel it
+    costs a reduce fusion + a bf16->f32 convert + an S(1) staging copy
+    of the hidden vector per call (trace: ~0.13 ms/tok at 7B decode).
+    Only valid on whole-K tiles (the row statistics need the full row);
+    the wrappers fall back to the XLA norm when K tiles.
+
+    Returns rows in the dtype `_qdot` wants (f32 at decode row counts,
+    the activation dtype at prefill row counts) so the dot-path choice
+    is unchanged from the standalone-norm form.
+    """
+    inv = jax.lax.rsqrt(sq_mean + eps)  # [bb, 1]
+    xn = xf * inv * gain_f32
+    f32 = DOT_F32 == "1" or (DOT_F32 == "auto" and xf.shape[0] <= 8)
+    return xn if f32 else xn.astype(x_dtype)
 
 
 # In-kernel K sub-chunking bounds the live f32 dequant intermediate
@@ -105,14 +128,23 @@ def _pick_sub(bk: int, target: int) -> int:
     return best if best is not None and best >= 1024 else target
 
 
-def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
+def _q8_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, fuse_norm=False,
+               eps=1e-6):
     k = pl.program_id(2)
+    if fuse_norm:
+        g_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
+    if fuse_norm:  # fused RMSNorm (whole-K tiles only)
+        xf = x.astype(jnp.float32)
+        x = _norm_rows(xf, jnp.mean(xf * xf, axis=1, keepdims=True),
+                       g_ref[...].astype(jnp.float32), eps, x_ref.dtype)
     bk = qs_ref.shape[0]
     step = _pick_sub(bk, Q8_SUB)
     for j in range(0, bk, step):
@@ -128,10 +160,14 @@ def _q8_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
 
 
 def _q4_kernel(
-    x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
-    *, n_k_tiles, biasdot,
+    x_lo_ref, x_hi_ref, qs_ref, s_lo_ref, s_hi_ref, *rest,
+    n_k_tiles, biasdot, fuse_norm=False, eps=1e-6,
 ):
     k = pl.program_id(2)
+    if fuse_norm:
+        g_lo_ref, g_hi_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
 
     @pl.when(k == 0)
     def _():
@@ -141,6 +177,16 @@ def _q4_kernel(
     # casts; widen to int32 for the unpack arithmetic, then convert.
     x_lo = x_lo_ref[...]
     x_hi = x_hi_ref[...]
+    if fuse_norm:  # fused RMSNorm over the full row (= both halves)
+        xf_lo = x_lo.astype(jnp.float32)
+        xf_hi = x_hi.astype(jnp.float32)
+        sq = (jnp.sum(xf_lo * xf_lo, axis=1, keepdims=True)
+              + jnp.sum(xf_hi * xf_hi, axis=1, keepdims=True)) / (
+                  2 * x_lo.shape[1])
+        x_lo = _norm_rows(xf_lo, sq, g_lo_ref[...].astype(jnp.float32), eps,
+                          x_lo_ref.dtype)
+        x_hi = _norm_rows(xf_hi, sq, g_hi_ref[...].astype(jnp.float32), eps,
+                          x_hi_ref.dtype)
 
     if biasdot:
         # Offset-binary nibbles used directly (value+8 in [0,15]); the
@@ -182,19 +228,28 @@ def _q4_kernel(
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _q4i4_kernel(x_ref, qs_ref, s_ref, o_ref, acc_ref, *, n_k_tiles):
+def _q4i4_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, fuse_norm=False,
+                 eps=1e-6):
     """int4-native q4_0: qs is a packed int4 [K, N] ref in logical row
     order (value-8 fits int4's [-8, 7] exactly, so the offset vanishes at
     load time).  Mosaic's hardware int4->f32 convert replaces the whole
     widen/mask/shift/sub unpack chain: ~2 VPU ops per element (convert +
     scale multiply) vs ~4.5 for the byte-packed kernel."""
     k = pl.program_id(2)
+    if fuse_norm:
+        g_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
+    if fuse_norm:
+        xf = x.astype(jnp.float32)
+        x = _norm_rows(xf, jnp.mean(xf * xf, axis=1, keepdims=True),
+                       g_ref[...].astype(jnp.float32), eps, x_ref.dtype)
     bk = qs_ref.shape[0]
     step = _pick_sub(bk, Q8_SUB)
     for j in range(0, bk, step):
@@ -238,14 +293,16 @@ def _pick_block_k(dim: int, target: int, multiple: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "eps", "interpret"))
 def q8_matmul(
     x: jax.Array,  # [B, K]
     qs: jax.Array,  # int8 [K, N]
     scales: jax.Array,  # [K//32, N]
+    norm_gain: jax.Array | None = None,  # [K]: fuse rms_norm(x)*gain
     *,
     block_n: int = BLOCK_N,
     block_k: int = BLOCK_K,
+    eps: float = 1e-6,
     interpret: bool = False,
 ) -> jax.Array:
     B, K = x.shape
@@ -257,16 +314,29 @@ def q8_matmul(
     n_k_tiles = K // bk
     sg = bk // GROUP
 
+    fuse = norm_gain is not None and n_k_tiles == 1
+    if norm_gain is not None and not fuse:
+        # K tiles: the kernel can't see the whole row; normalize outside.
+        from tokenhawk_tpu.ops.norms import rms_norm
+
+        x = rms_norm(x, norm_gain, eps)
+
     grid = (B // bb, N // bn, n_k_tiles)
-    kernel = functools.partial(_q8_kernel, n_k_tiles=n_k_tiles)
+    kernel = functools.partial(_q8_kernel, n_k_tiles=n_k_tiles,
+                               fuse_norm=fuse, eps=eps)
+    in_specs = [
+        pl.BlockSpec((bb, bk), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
+    ]
+    operands = [x, qs, scales]
+    if fuse:
+        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, k: (0, k)))
+        operands.append(norm_gain.reshape(1, K))
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bb, bk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
@@ -279,18 +349,20 @@ def q8_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, qs, scales)
+    )(*operands)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "eps", "interpret"))
 def q4_matmul(
     x: jax.Array,  # [B, K]
     qs_packed: jax.Array,  # uint8 [K//2, N]
     scales_lo: jax.Array,  # [K//64, N] low-half group scales
     scales_hi: jax.Array,  # [K//64, N] high-half group scales
+    norm_gain: jax.Array | None = None,  # [K]: fuse rms_norm(x)*gain
     *,
     block_n: int = BLOCK_N,
     block_k: int = BLOCK_KP,  # packed rows per tile
+    eps: float = 1e-6,
     interpret: bool = False,
 ) -> jax.Array:
     B, K = x.shape
@@ -302,21 +374,34 @@ def q4_matmul(
     n_k_tiles = KP // bkp
     sg = bkp // GROUP
 
+    fuse = norm_gain is not None and n_k_tiles == 1
+    if norm_gain is not None and not fuse:
+        from tokenhawk_tpu.ops.norms import rms_norm
+
+        x = rms_norm(x, norm_gain, eps)
+
     grid = (B // bb, N // bn, n_k_tiles)
     kernel = functools.partial(_q4_kernel, n_k_tiles=n_k_tiles,
-                               biasdot=Q4_BIASDOT)
+                               biasdot=Q4_BIASDOT, fuse_norm=fuse, eps=eps)
+    in_specs = [
+        # x low half rows [k*bkp, k*bkp+bkp)
+        pl.BlockSpec((bb, bkp), lambda i, j, k: (i, k)),
+        # x high half rows [K//2 + k*bkp, ...)
+        pl.BlockSpec((bb, bkp), lambda i, j, k, _n=n_k_tiles: (i, k + _n)),
+        pl.BlockSpec((bkp, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
+    ]
+    operands = [x, x, qs_packed, scales_lo, scales_hi]
+    if fuse:
+        g2 = norm_gain.reshape(2, KP)  # row 0 = low half, row 1 = high
+        in_specs.append(pl.BlockSpec((1, bkp), lambda i, j, k: (0, k)))
+        in_specs.append(pl.BlockSpec((1, bkp), lambda i, j, k: (1, k)))
+        operands.extend([g2, g2])
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            # x low half rows [k*bkp, k*bkp+bkp)
-            pl.BlockSpec((bb, bkp), lambda i, j, k: (i, k)),
-            # x high half rows [K//2 + k*bkp, ...)
-            pl.BlockSpec((bb, bkp), lambda i, j, k, _n=n_k_tiles: (i, k + _n)),
-            pl.BlockSpec((bkp, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
@@ -329,17 +414,19 @@ def q4_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, x, qs_packed, scales_lo, scales_hi)
+    )(*operands)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "eps", "interpret"))
 def q4_matmul_i4(
     x: jax.Array,  # [B, K]
     qs: jax.Array,  # int4 [K, N], logical rows (value - 8)
     scales: jax.Array,  # [K//32, N]
+    norm_gain: jax.Array | None = None,  # [K]: fuse rms_norm(x)*gain
     *,
     block_n: int = BLOCK_N,
     block_k: int = BLOCK_K,
+    eps: float = 1e-6,
     interpret: bool = False,
 ) -> jax.Array:
     B, K = x.shape
@@ -351,16 +438,28 @@ def q4_matmul_i4(
     n_k_tiles = K // bk
     sg = bk // GROUP
 
+    fuse = norm_gain is not None and n_k_tiles == 1
+    if norm_gain is not None and not fuse:
+        from tokenhawk_tpu.ops.norms import rms_norm
+
+        x = rms_norm(x, norm_gain, eps)
+
     grid = (B // bb, N // bn, n_k_tiles)
-    kernel = functools.partial(_q4i4_kernel, n_k_tiles=n_k_tiles)
+    kernel = functools.partial(_q4i4_kernel, n_k_tiles=n_k_tiles,
+                               fuse_norm=fuse, eps=eps)
+    in_specs = [
+        pl.BlockSpec((bb, bk), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
+    ]
+    operands = [x, qs, scales]
+    if fuse:
+        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, k: (0, k)))
+        operands.append(norm_gain.reshape(1, K))
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bb, bk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
@@ -374,20 +473,24 @@ def q4_matmul_i4(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, qs, scales)
+    )(*operands)
 
 
 def quant_matmul(
     x: jax.Array,
     qw,
+    norm_gain: jax.Array | None = None,
     *,
+    eps: float = 1e-6,
     interpret: bool = False,
 ) -> jax.Array:
     """Dispatch by QWeight kind. x: [..., K] -> [..., N].
 
     `qw` is an ops.qweight.QWeight in device layout (q4_0 payload packed).
     Leading dims of x are flattened into B and padded to the f32 sublane
-    count (8).
+    count (8).  With `norm_gain`, rms_norm(x)*gain fuses into the kernel
+    (zero-padded rows normalize to zero: mean of squares 0 -> rsqrt(eps)
+    * 0).
     """
     lead = x.shape[:-1]
     K = x.shape[-1]
@@ -397,11 +500,14 @@ def quant_matmul(
     if Bp != B:
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
     if qw.kind == "q8_0":
-        y = q8_matmul(xb, qw.qs, qw.scales, interpret=interpret)
+        y = q8_matmul(xb, qw.qs, qw.scales, norm_gain, eps=eps,
+                      interpret=interpret)
     elif qw.kind == "q4_0_i4":
-        y = q4_matmul_i4(xb, qw.qs, qw.scales, interpret=interpret)
+        y = q4_matmul_i4(xb, qw.qs, qw.scales, norm_gain, eps=eps,
+                         interpret=interpret)
     elif qw.kind == "q4_0":
-        y = q4_matmul(xb, qw.qs, qw.scales, qw.scales_hi, interpret=interpret)
+        y = q4_matmul(xb, qw.qs, qw.scales, qw.scales_hi, norm_gain,
+                      eps=eps, interpret=interpret)
     else:
         raise NotImplementedError(f"pallas path for {qw.kind}")
     if Bp != B:

@@ -162,18 +162,21 @@ def _layer_forward_tp(cfg: LlamaConfig, tp: int, x, lp: LayerParams, kc, vc,
     Dh = cfg.head_dim
     Dql, Dkvl = Hl * Dh, Hkvl * Dh
 
-    h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
     if lp.wqkv is not None:
         # Fused projection: the shard was interleaved as [wq_s|wk_s|wv_s]
         # (fuse_params_tp), so the local split uses local widths.
-        qkv = matmul(h, lp.wqkv)  # [B, T, (Dq + 2 Dkv) / tp]
+        qkv = matmul(x, lp.wqkv, lp.attn_norm,
+                     eps=cfg.rms_norm_eps)  # [B, T, (Dq + 2 Dkv) / tp]
         q = qkv[..., :Dql].reshape(B, T, Hl, Dh)
         k = qkv[..., Dql : Dql + Dkvl].reshape(B, T, Hkvl, Dh)
         v = qkv[..., Dql + Dkvl :].reshape(B, T, Hkvl, Dh)
     else:
-        q = matmul(h, lp.wq).reshape(B, T, Hl, Dh)
-        k = matmul(h, lp.wk).reshape(B, T, Hkvl, Dh)
-        v = matmul(h, lp.wv).reshape(B, T, Hkvl, Dh)
+        q = matmul(x, lp.wq, lp.attn_norm,
+                   eps=cfg.rms_norm_eps).reshape(B, T, Hl, Dh)
+        k = matmul(x, lp.wk, lp.attn_norm,
+                   eps=cfg.rms_norm_eps).reshape(B, T, Hkvl, Dh)
+        v = matmul(x, lp.wv, lp.attn_norm,
+                   eps=cfg.rms_norm_eps).reshape(B, T, Hkvl, Dh)
     q = apply_rope(q, cos, sin, cfg.rope_style)
     k = apply_rope(k, cos, sin, cfg.rope_style)
 
@@ -182,13 +185,14 @@ def _layer_forward_tp(cfg: LlamaConfig, tp: int, x, lp: LayerParams, kc, vc,
     attn = matmul(ctx.reshape(B, T, Dql), lp.wo)  # row-parallel partial
     x = x + jax.lax.psum(attn, MODEL_AXIS)
 
-    h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)
     if lp.w13 is not None:
         Fl = cfg.n_ff // tp
-        gate_up = matmul(h2, lp.w13)  # [B, T, 2F/tp] as [w1_s|w3_s]
+        gate_up = matmul(x, lp.w13, lp.ffn_norm,
+                         eps=cfg.rms_norm_eps)  # [B, T, 2F/tp] as [w1_s|w3_s]
         g, u = gate_up[..., :Fl], gate_up[..., Fl:]
     else:
-        g, u = matmul(h2, lp.w1), matmul(h2, lp.w3)
+        g = matmul(x, lp.w1, lp.ffn_norm, eps=cfg.rms_norm_eps)
+        u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
     gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
     ffn = matmul(gate * u, lp.w2)  # row-parallel partial
     x = x + jax.lax.psum(ffn, MODEL_AXIS)
@@ -233,8 +237,9 @@ def _forward_tp(cfg: LlamaConfig, tp: int, params: LlamaParams, tokens, cache,
 
 
 def _logits_tp(cfg, params, hidden):
-    h = rms_norm(hidden, params.norm, cfg.rms_norm_eps)
-    logits_local = matmul(h, params.output, accum_dtype=jnp.float32).astype(
+    logits_local = matmul(hidden, params.output, params.norm,
+                          eps=cfg.rms_norm_eps,
+                          accum_dtype=jnp.float32).astype(
         jnp.float32
     )  # [..., V/tp]
     return jax.lax.all_gather(logits_local, MODEL_AXIS, axis=-1, tiled=True)

@@ -145,7 +145,11 @@ def _load_model_once(
     params = params_from_ggml(cfg, tensors, dtype=dtype, row_parallel_shards=tp,
                               scale_dtype=scale_dtype)
     if mesh is None:
-        from tokenhawk_tpu.models.llama import fuse_params, unstack_params
+        from tokenhawk_tpu.models.llama import (
+            fuse_params,
+            norms_2d,
+            unstack_params,
+        )
         from tokenhawk_tpu.ops.qweight import maybe_i4_params
 
         # Single chip: fused wqkv/w13 + unrolled per-layer buffers (no
@@ -153,7 +157,7 @@ def _load_model_once(
         # +17% decode at 2048 ctx, see BENCH_NOTES.md).  q4_0 weights
         # then convert to the int4-native layout on TPU (657 vs 450 GB/s
         # decode weight stream; ops/qweight.py).
-        params = maybe_i4_params(unstack_params(fuse_params(params)))
+        params = norms_2d(maybe_i4_params(unstack_params(fuse_params(params))))
     if mesh is not None:
         if parallel == "tp":
             from tokenhawk_tpu.models.llama import unstack_params
