@@ -160,6 +160,9 @@ def main(argv=None) -> int:
                    help="ttft: time prefill + first token instead of decode")
     p.add_argument("--kv", choices=["bf16", "int8"], default="bf16",
                    help="KV cache dtype (int8 halves KV traffic at long ctx)")
+    p.add_argument("--rope", choices=["half", "interleaved"], default="half",
+                   help="rope style; production loads permute wq/wk to "
+                        "'half' (rope_half_params), so that is the default")
     args = p.parse_args(argv)
 
     # Each timing trial decodes up to (tokens//chunk + 1) chunks past the
@@ -198,6 +201,10 @@ def main(argv=None) -> int:
             n_vocab=32000, n_embd=2048, n_head=16, n_layer=16, n_ctx=args.ctx,
             n_ff=5504,
         )
+    if args.rope != cfg.rope_style:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, rope_style=args.rope)
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)

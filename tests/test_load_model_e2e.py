@@ -52,10 +52,11 @@ def test_load_f32_and_generate(tmp_path):
 
 
 @pytest.mark.parametrize("kind", [GGMLType.Q8_0, GGMLType.Q4_0])
-def test_native_fast_path_matches_generic(tmp_path, kind):
+def test_native_fast_path_matches_generic(tmp_path, kind, monkeypatch):
     """load_model's native one-pass decode == generic numpy conversion."""
-    import jax.numpy as jnp2
-
+    # Byte-exact payload comparison: disable the rope-half column
+    # permutation (covered by test_rope_half_permutation_equivalence).
+    monkeypatch.setenv("THAWK_ROPE_HALF", "0")
     path, tensors = _write_model(tmp_path, kind)
     cfg, params_fast, _ = load_model(str(path), n_ctx=64, dtype=jnp.float32,
                                      scale_dtype=jnp.float32,

@@ -138,3 +138,43 @@ def test_init_params_shapes():
     assert params.layers.wq.shape == (CFG.n_layer, CFG.n_embd, CFG.n_embd)
     assert params.layers.w2.shape == (CFG.n_layer, CFG.n_ff, CFG.n_embd)
     assert params.output.shape == (CFG.n_embd, CFG.n_vocab)
+
+
+def test_rope_half_permutation_equivalence(rng):
+    """rope_half_params + style='half' == original interleaved forward.
+
+    The loader applies this permutation at load time (runtime/loader.py)
+    so the per-step RoPE avoids even/odd lane deinterleaves; attention
+    is invariant to the fixed head-dim permutation of q and k.
+    """
+    import dataclasses
+
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers import make_ggml_weights
+
+    from tokenhawk_tpu.models.llama import (
+        KVCache,
+        forward,
+        params_from_ggml,
+        rope_half_params,
+    )
+
+    cfg = LlamaConfig.tiny(n_vocab=96, n_embd=64, n_head=4, n_layer=2,
+                           n_ff=128, n_ctx=32)
+    params = params_from_ggml(cfg, make_ggml_weights(cfg, rng), dtype=jnp.float32)
+    cfg2, params2 = rope_half_params(cfg, params)
+    assert cfg2.rope_style == "half"
+
+    tokens = jnp.asarray(rng.integers(3, 96, (2, 8)), jnp.int32)
+    offsets = jnp.zeros((2,), jnp.int32)
+    h1, c1 = forward(cfg, params, tokens, KVCache.create(cfg, 2, 32, jnp.float32), offsets)
+    h2, c2 = forward(cfg2, params2, tokens, KVCache.create(cfg, 2, 32, jnp.float32), offsets)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=2e-5, rtol=1e-4)
+
+    # decode step equivalence on top of the prefilled caches
+    last = jnp.asarray([[5], [7]], jnp.int32)
+    off = jnp.full((2,), 8, jnp.int32)
+    d1, _ = forward(cfg, params, last, c1, off)
+    d2, _ = forward(cfg2, params2, last, c2, off)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-5, rtol=1e-4)

@@ -332,6 +332,56 @@ def forward(
     return x, KVCache(*new)
 
 
+def rope_half_params(cfg: LlamaConfig, params: LlamaParams):
+    """Load-time column permutation: interleaved RoPE -> "half" RoPE.
+
+    The reference rotates (x[2i], x[2i+1]) pairs
+    (/root/reference/th.cpp:1457-1492); computing that directly needs
+    even/odd lane deinterleaves that Mosaic/XLA lower to layout shuffles
+    on every q/k per step.  Permuting each head's wq/wk OUTPUT columns
+    once at load time (new j = old 2j for j < Dh/2, new Dh/2+j = old
+    2j+1) makes the cheap contiguous-halves "half" rotation compute the
+    exact same values on the permuted axis; attention is invariant to a
+    fixed permutation of the head dim applied to both q and k (the KV
+    cache simply stores permuted keys), and v/wo are untouched.
+
+    Apply BEFORE fuse_params/sharding; returns (cfg', params') with
+    cfg'.rope_style == "half".
+    """
+    if cfg.rope_style != "interleaved":
+        return cfg, params
+    if params.layers.wqkv is not None:
+        raise ValueError("rope_half_params must run before fuse_params")
+    Dh = cfg.head_dim
+    half = Dh // 2
+    within = np.empty(Dh, np.int64)
+    within[:half] = np.arange(half) * 2
+    within[half:] = np.arange(half) * 2 + 1
+
+    def permute_cols(w, n_heads):
+        perm = (np.arange(n_heads)[:, None] * Dh + within[None, :]).reshape(-1)
+
+        def take(a):
+            return None if a is None else jnp.take(a, perm, axis=-1)
+
+        if isinstance(w, QWeight):
+            return dataclasses.replace(
+                w, qs=take(w.qs), scales=take(w.scales), mins=take(w.mins),
+                scales_hi=take(w.scales_hi),
+            )
+        return take(w)
+
+    layers = dataclasses.replace(
+        params.layers,
+        wq=permute_cols(params.layers.wq, cfg.n_head),
+        wk=permute_cols(params.layers.wk, cfg.n_kv_head),
+    )
+    return (
+        dataclasses.replace(cfg, rope_style="half"),
+        dataclasses.replace(params, layers=layers),
+    )
+
+
 def norms_2d(params: LlamaParams) -> LlamaParams:
     """Reshape the norm gains [D] -> [1, D] once at load time.
 

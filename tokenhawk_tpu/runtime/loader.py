@@ -144,6 +144,13 @@ def _load_model_once(
 
     params = params_from_ggml(cfg, tensors, dtype=dtype, row_parallel_shards=tp,
                               scale_dtype=scale_dtype)
+    if _os.environ.get("THAWK_ROPE_HALF", "1") == "1":
+        from tokenhawk_tpu.models.llama import rope_half_params
+
+        # Load-time wq/wk column permutation: the reference's interleaved
+        # RoPE becomes the layout-friendly "half" rotation (no per-step
+        # even/odd lane shuffles); outputs are numerically identical.
+        cfg, params = rope_half_params(cfg, params)
     if mesh is None:
         from tokenhawk_tpu.models.llama import (
             fuse_params,
