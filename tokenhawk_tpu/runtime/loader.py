@@ -34,10 +34,18 @@ def config_from_hparams(hp, n_ctx: int = 2048, **overrides) -> LlamaConfig:
 
 def _fast_device_tensor(f: GGMLFile, name: str, scale_dtype=jnp.float32):
     """One-pass native decode of q8_0/q4_0 records straight into the
-    device layout (transposed, q4 nibble-packed); None if not applicable."""
+    device layout (transposed, q4 nibble-packed); None if not applicable.
+
+    ggjt v1 block layout only (f32 scales, even/odd nibble interleave);
+    GGUF blocks (f16 scales, half-packed nibbles) take the generic path.
+    """
     from tokenhawk_tpu.ggml.format import GGMLType
     from tokenhawk_tpu.ggml import native
 
+    from tokenhawk_tpu.ggml.gguf import GGUFFile
+
+    if isinstance(f, GGUFFile):
+        return None
     rec = f.tensors[name]
     if len(rec.shape) != 2 or rec.ggml_type not in (GGMLType.Q8_0, GGMLType.Q4_0):
         return None
@@ -113,7 +121,13 @@ def _load_model_once(
 
         f = ChunkedReader(path)
     else:
-        f = GGMLFile(path)
+        from tokenhawk_tpu.ggml.gguf import GGUFFile, is_gguf
+
+        # Magic sniff: ggjt v1 (the reference's only format) or GGUF
+        # (what llama.cpp has shipped since mid-2023) — same loader.
+        f = GGUFFile(path) if is_gguf(path) else GGMLFile(path)
+        for k, v in getattr(f, "config_overrides", {}).items():
+            config_overrides.setdefault(k, v)
     # n_ff is not in the header; read it off the actual w1 tensor rather
     # than trusting the LLaMA-1 n_mult derivation (robust to any model).
     w1 = f.tensors.get("layers.0.feed_forward.w1.weight")
