@@ -38,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tokenhawk_tpu.config import LlamaConfig, SamplingConfig
 from tokenhawk_tpu.models.llama import LayerParams, LlamaParams
-from tokenhawk_tpu.ops import apply_rope, matmul, rms_norm, rope_cos_sin
+from tokenhawk_tpu.ops import apply_rope, matmul, rope_cos_sin
 from tokenhawk_tpu.parallel.mesh import CTX_AXIS, DATA_AXIS
 from tokenhawk_tpu.parallel.ring import decode_attend_cp, ring_attention
 from tokenhawk_tpu.parallel.tp import shard_map
@@ -81,29 +81,32 @@ def _shard_count(length, idx, ncp):
 # ---------------------------------------------------------------------------
 
 
-def _qkv(cfg, lp: LayerParams, h, B, T):
+def _qkv(cfg, lp: LayerParams, x, B, T):
+    # attn_norm fuses into the (quantized) matmul (ops/linear.py).
     H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
     Dq, Dkv = H * Dh, Hkv * Dh
+    eps = cfg.rms_norm_eps
     if lp.wqkv is not None:
-        qkv = matmul(h, lp.wqkv)
+        qkv = matmul(x, lp.wqkv, lp.attn_norm, eps=eps)
         q = qkv[..., :Dq].reshape(B, T, H, Dh)
         k = qkv[..., Dq : Dq + Dkv].reshape(B, T, Hkv, Dh)
         v = qkv[..., Dq + Dkv :].reshape(B, T, Hkv, Dh)
     else:
-        q = matmul(h, lp.wq).reshape(B, T, H, Dh)
-        k = matmul(h, lp.wk).reshape(B, T, Hkv, Dh)
-        v = matmul(h, lp.wv).reshape(B, T, Hkv, Dh)
+        q = matmul(x, lp.wq, lp.attn_norm, eps=eps).reshape(B, T, H, Dh)
+        k = matmul(x, lp.wk, lp.attn_norm, eps=eps).reshape(B, T, Hkv, Dh)
+        v = matmul(x, lp.wv, lp.attn_norm, eps=eps).reshape(B, T, Hkv, Dh)
     return q, k, v
 
 
 def _ffn(cfg, lp: LayerParams, x):
-    h2 = rms_norm(x, lp.ffn_norm, cfg.rms_norm_eps)
     F = cfg.n_ff
+    eps = cfg.rms_norm_eps
     if lp.w13 is not None:
-        gu = matmul(h2, lp.w13)
+        gu = matmul(x, lp.w13, lp.ffn_norm, eps=eps)
         g, u = gu[..., :F], gu[..., F:]
     else:
-        g, u = matmul(h2, lp.w1), matmul(h2, lp.w3)
+        g = matmul(x, lp.w1, lp.ffn_norm, eps=eps)
+        u = matmul(x, lp.w3, lp.ffn_norm, eps=eps)
     gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
     return x + matmul(gate * u, lp.w2)
 
@@ -112,8 +115,7 @@ def _prefill_layer_cp(cfg, ncp, x, lp, kc, vc, cos, sin):
     """One layer over this shard's cyclic query slice; cache write is a
     pure local dus at slots [0, T_loc)."""
     B, T_loc, D = x.shape
-    h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
-    q, k, v = _qkv(cfg, lp, h, B, T_loc)
+    q, k, v = _qkv(cfg, lp, x, B, T_loc)
     q = apply_rope(q, cos, sin, cfg.rope_style)
     k = apply_rope(k, cos, sin, cfg.rope_style)
 
@@ -136,8 +138,7 @@ def _decode_layer_cp(cfg, ncp, x, lp, kc, vc, cos, sin, offsets):
     B, _, D = x.shape
     Hkv, Dh = cfg.n_kv_head, cfg.head_dim
     idx = jax.lax.axis_index(CTX_AXIS)
-    h = rms_norm(x, lp.attn_norm, cfg.rms_norm_eps)
-    q, k, v = _qkv(cfg, lp, h, B, 1)
+    q, k, v = _qkv(cfg, lp, x, B, 1)
     q = apply_rope(q, cos, sin, cfg.rope_style)
     k = apply_rope(k, cos, sin, cfg.rope_style)
 
