@@ -189,3 +189,28 @@ def test_tied_embeddings_alias(tmp_path):
         np.asarray(f.load_tensor("output.weight")),
         tensors["tok_embeddings.weight"])
     f.close()
+
+
+def test_load_model_gguf_gqa(tmp_path):
+    """GQA metadata (head_count_kv < head_count) flows through
+    config_overrides into a working engine — the llama-2-70B-class
+    shape every real GGUF GQA file carries."""
+    from tokenhawk_tpu.runtime.engine import Engine
+
+    gcfg = LlamaConfig.tiny(n_vocab=300, n_embd=128, n_head=4, n_layer=2,
+                            n_ff=256, n_kv_head=2)
+    rng = np.random.default_rng(11)
+    tensors = make_ggml_weights(gcfg, rng)
+    md = _metadata(gcfg.n_vocab)
+    md["llama.attention.head_count_kv"] = 2
+    out = {_to_gguf_name(n): v for n, v in tensors.items()}
+    path = tmp_path / "gqa.gguf"
+    write_gguf(path, md, out)
+
+    cfg, params, tok = load_model(str(path), n_ctx=64, dtype=jnp.float32)
+    assert cfg.n_kv_head == 2 and cfg.n_head == 4
+    eng = Engine(cfg, params, tokenizer=tok,
+                 sampling=SamplingConfig(temperature=0.0),
+                 cache_dtype=jnp.float32, decode_chunk=4)
+    res = eng.generate("hello", max_new_tokens=4)
+    assert len(res.tokens) <= 4
