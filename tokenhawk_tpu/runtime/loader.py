@@ -133,6 +133,12 @@ def _load_model_once(
     w1 = f.tensors.get("layers.0.feed_forward.w1.weight")
     if w1 is not None:
         config_overrides.setdefault("n_ff", w1.shape[0])
+    # GQA is invisible in the ggjt header too: infer n_kv_head from the
+    # wk projection's row count (n_kv_head * head_dim rows).
+    wk = f.tensors.get("layers.0.attention.wk.weight")
+    if wk is not None and f.hparams.n_embd and f.hparams.n_head:
+        head_dim = f.hparams.n_embd // f.hparams.n_head
+        config_overrides.setdefault("n_kv_head", wk.shape[0] // head_dim)
     cfg = config_from_hparams(f.hparams, n_ctx=n_ctx, **config_overrides)
     tokenizer = Tokenizer.from_vocab(f.vocab)
 

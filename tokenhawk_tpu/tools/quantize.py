@@ -1,6 +1,6 @@
-"""Model quantization tool: GGML f16/f32 -> Q8_0 / Q4_0 / Q4_1.
+"""Model quantization tool: GGML/GGUF f16/f32 -> Q8_0 / Q4_0 / Q4_1 (ggjt).
 
-    python -m tokenhawk_tpu.tools.quantize in-f16.bin out-q4_0.bin q4_0
+    python -m tokenhawk_tpu.tools.quantize in-f16.{bin,gguf} out-q4_0.bin q4_0
 
 The reference has no conversion tooling (it rejects quantized files,
 /root/reference/th-llama-loader.cpp:157-160); this supplies the
@@ -45,7 +45,9 @@ def _encode(dense: np.ndarray, kind: GGMLType) -> bytes:
 
 def quantize_file(src_path: str, dst_path: str, kind: GGMLType,
                   verbose: bool = True) -> dict:
-    src = GGMLFile(src_path)
+    from tokenhawk_tpu.ggml.gguf import GGUFFile, is_gguf
+
+    src = GGUFFile(src_path) if is_gguf(src_path) else GGMLFile(src_path)
     hp = src.hparams
     n_quantized = 0
     in_bytes = out_bytes = 0
