@@ -3,12 +3,12 @@
 No LLaMA weights exist in this build environment, so the perplexity
 gates of BASELINE.json (f16 matches the reference model; Q8_0/Q4_0
 within llama.cpp's published deltas) cannot be exercised here.  This
-script is the committed procedure: anyone with a GGML f16 LLaMA file
-and a text corpus runs it once and gets a pass/fail verdict.
+script is the committed procedure: anyone with a GGML or GGUF f16
+LLaMA file and a text corpus runs it once and gets a pass/fail verdict.
 
 Usage:
     python -m tokenhawk_tpu.tools.validate_real_model \
-        --model ggml-model-f16.bin --text wiki.test.raw \
+        --model model-f16.{bin,gguf} --text wiki.test.raw \
         [--quant q8_0 q4_0] [--window 512] [--max-windows 20]
 
 What it does:
