@@ -72,3 +72,45 @@ def test_page_accounting(params):
     assert 1 <= used <= 3
     sched.run()
     assert sched.alloc.n_free == 10 - 1
+
+
+def test_chunked_prefill_matches_single_shot(params):
+    """A long prompt admitted in page-aligned chunks decodes the same
+    greedy continuation as single-shot admission."""
+    rng = np.random.default_rng(21)
+    long_prompt = [1] + rng.integers(3, 500, 40).tolist()  # 41 tokens
+    short = [1, 5, 9]
+    _, want = _paged(params, [long_prompt, short], 6)
+    _, got = _paged(params, [long_prompt, short], 6, prefill_chunk=16)
+    assert got == want
+
+
+def test_chunked_prefill_interleaves_decode(params):
+    """While a long prompt is chunk-prefilling, an already-active slot
+    keeps emitting tokens (the stall-bounding property)."""
+    rng = np.random.default_rng(22)
+    long_prompt = [1] + rng.integers(3, 500, 40).tolist()
+    s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=2,
+                       cache_dtype=jnp.float32, decode_chunk=2,
+                       page_size=16, prefill_chunk=16)
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    r_short = Request(prompt=[1, 5, 9], max_new_tokens=32)
+    s.submit(r_short)
+    s.step()  # short admits + decodes
+    emitted_before = len(r_short.output)
+    r_long = Request(prompt=long_prompt, max_new_tokens=4)
+    s.submit(r_long)
+    s.step()  # long claims its slot, first chunk only; short still decodes
+    assert s.chunking[1] is not None or s.chunking[0] is not None
+    assert len(r_short.output) > emitted_before
+    while s.has_work:
+        s.step()
+    assert r_long.finish_reason in ("length", "eos")
+    assert len(r_long.output) > 0
+
+
+def test_chunked_prefill_page_size_validation(params):
+    with pytest.raises(ValueError):
+        PagedScheduler(CFG, params, max_batch=1, page_size=16,
+                       prefill_chunk=20)

@@ -602,6 +602,92 @@ def forward_paged_prefill(
     return x, type(cache)(*new)
 
 
+def forward_paged_prefill_cont(
+    cfg: LlamaConfig,
+    params: LlamaParams,
+    tokens: jax.Array,  # [B, C] int32 (one chunk of a long prompt)
+    cache,  # runtime.paged.PagedKVCache (bf16 pages)
+    page_table: jax.Array,  # [B, max_pages]
+    start: jax.Array,  # [B] int32 position of tokens[:, 0] (page-aligned)
+    n_new: jax.Array,  # [B] valid tokens in this chunk
+):
+    """Chunked-prefill continuation: one prompt chunk attends to the
+    slot's already-written pages plus itself (causal), and its KV pages
+    out in place.  `start` must be page-aligned (the scheduler admits in
+    page-multiple chunks), so writes are whole-page DMAs.
+
+    Attention uses the gathered-page XLA path: every chunk re-reads the
+    history pages once, which costs the same KV traffic as ~1 decode
+    step per chunk — the price of not stalling concurrent decodes for a
+    whole long-prompt prefill.  Returns (hidden [B, C, D], new cache).
+    """
+    from tokenhawk_tpu.runtime.paged import (
+        gather_kv,
+        paginate_fragment_layer_at,
+    )
+
+    B, C = tokens.shape
+    H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    x = params.tok_embd[tokens].astype(params.tok_embd.dtype)
+    positions = start[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
+    # Rows beyond n_new are padding; park them before the chunk so they
+    # can't unmask history they shouldn't see (their outputs are unused).
+    positions = jnp.where(
+        jnp.arange(C)[None, :] < n_new[:, None], positions, 0
+    )
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    ps = cache.page_size
+    start_page = start // ps
+
+    def body(x, layer_inputs):
+        lp, (k_l, v_l) = layer_inputs[0], layer_inputs[1:]
+        Dq, Dkv = H * Dh, Hkv * Dh
+        if lp.wqkv is not None:
+            qkv = matmul(x, lp.wqkv, lp.attn_norm, eps=cfg.rms_norm_eps)
+            q = qkv[..., :Dq].reshape(B, C, H, Dh)
+            k = qkv[..., Dq : Dq + Dkv].reshape(B, C, Hkv, Dh)
+            v = qkv[..., Dq + Dkv :].reshape(B, C, Hkv, Dh)
+        else:
+            q = matmul(x, lp.wq, lp.attn_norm,
+                       eps=cfg.rms_norm_eps).reshape(B, C, H, Dh)
+            k = matmul(x, lp.wk, lp.attn_norm,
+                       eps=cfg.rms_norm_eps).reshape(B, C, Hkv, Dh)
+            v = matmul(x, lp.wv, lp.attn_norm,
+                       eps=cfg.rms_norm_eps).reshape(B, C, Hkv, Dh)
+        q = apply_rope(q, cos, sin, cfg.rope_style)
+        k = apply_rope(k, cos, sin, cfg.rope_style)
+
+        k_b = jnp.swapaxes(k, 1, 2)  # [B, Hkv, C, Dh]
+        v_b = jnp.swapaxes(v, 1, 2)
+        k_l = paginate_fragment_layer_at(k_l, k_b, page_table, start_page)
+        v_l = paginate_fragment_layer_at(v_l, v_b, page_table, start_page)
+        # Gather history + self from the pages (slot p*ps+i holds global
+        # position p*ps+i, so the causal mask in attend_cache is exact;
+        # trash/garbage pages sit at positions > every query and mask out).
+        kg = jnp.swapaxes(k_l[:, page_table], 0, 1)
+        vg = jnp.swapaxes(v_l[:, page_table], 0, 1)
+        mp = page_table.shape[1]
+        ctx = attend_cache(
+            q, kg.reshape(B, Hkv, mp * ps, Dh),
+            vg.reshape(B, Hkv, mp * ps, Dh), positions,
+        )
+        x = x + matmul(ctx.reshape(B, C, H * Dh), lp.wo)
+
+        F = cfg.n_ff
+        if lp.w13 is not None:
+            gu = matmul(x, lp.w13, lp.ffn_norm, eps=cfg.rms_norm_eps)
+            g, u = gu[..., :F], gu[..., F:]
+        else:
+            g = matmul(x, lp.w1, lp.ffn_norm, eps=cfg.rms_norm_eps)
+            u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
+        gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+        x = x + matmul(gate * u, lp.w2)
+        return x, (k_l, v_l)
+
+    x, new = jax.lax.scan(body, x, (params.layers, *cache))
+    return x, type(cache)(*new)
+
+
 def logits_from_hidden(
     cfg: LlamaConfig, params: LlamaParams, hidden: jax.Array
 ) -> jax.Array:

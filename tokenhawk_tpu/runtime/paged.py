@@ -131,6 +131,36 @@ def paginate_fragment_layer(
     return pages
 
 
+def paginate_fragment_layer_at(
+    pages: jax.Array,  # [Hkv, n_pages, ps, Dh]
+    frag: jax.Array,  # [B, Hkv, C, Dh] head-major dense fragment
+    page_table: jax.Array,  # [B, max_pages]
+    start_page: jax.Array,  # [B] int32: logical page of frag's first row
+) -> jax.Array:
+    """paginate_fragment_layer at a page-aligned offset (chunked prefill:
+    chunk c of a long prompt lands at pages [c*C/ps, ...))."""
+    B, Hkv, C, Dh = frag.shape
+    ps = pages.shape[2]
+    n_frag_pages = -(-C // ps)
+    for p in range(n_frag_pages):
+        chunk = frag[:, :, p * ps : (p + 1) * ps, :]
+        pad = ps - chunk.shape[2]
+        if pad:
+            chunk = jnp.pad(chunk, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        page = jnp.take_along_axis(
+            page_table, (start_page + p)[:, None], axis=1)[:, 0]
+
+        def write(b, pages):
+            return jax.lax.dynamic_update_slice(
+                pages,
+                chunk[b].astype(pages.dtype)[:, None, :, :],
+                (0, page[b], 0, 0),
+            )
+
+        pages = jax.lax.fori_loop(0, B, write, pages)
+    return pages
+
+
 def attend_paged_layer(
     q: jax.Array,  # [B, 1, H, Dh]
     k_pages_l: jax.Array,  # [Hkv, n_pages, ps, Dh]

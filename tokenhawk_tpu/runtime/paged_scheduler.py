@@ -114,6 +114,24 @@ def make_paged_prefill_fn(cfg: LlamaConfig):
     return prefill
 
 
+def make_paged_prefill_cont_fn(cfg: LlamaConfig, chunk: int):
+    """Chunked-prefill step: one C-token chunk of one prompt attends to
+    the slot's pages so far and writes its own KV in place
+    (models/llama.forward_paged_prefill_cont)."""
+    from tokenhawk_tpu.models.llama import forward_paged_prefill_cont
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def prefill_cont(params, cache, tokens, table_row, start, n_new):
+        h, cache = forward_paged_prefill_cont(
+            cfg, params, tokens, cache, table_row, start, n_new)
+        idx = jnp.clip(n_new - 1, 0, tokens.shape[1] - 1)
+        h_last = jnp.take_along_axis(h, idx[:, None, None], axis=1)[:, 0]
+        logits = logits_from_hidden(cfg, params, h_last)
+        return cache, logits
+
+    return prefill_cont
+
+
 class PagedScheduler:
     def __init__(
         self,
@@ -127,7 +145,14 @@ class PagedScheduler:
         cache_dtype=jnp.bfloat16,
         decode_chunk: int = 8,
         eos_id: int = EOS_ID,
+        prefill_chunk: Optional[int] = None,
     ):
+        """prefill_chunk: admit prompts longer than this in page-aligned
+        chunks interleaved with decode steps, so one long prompt never
+        stalls the other slots' token streams for a full prefill (the
+        "chunked prefill" serving discipline).  Must be a multiple of
+        page_size; bf16 pages only (int8 admission stays single-shot).
+        None = classic single-shot admission."""
         self.cfg = cfg
         self.params = params
         self.sampling = sampling
@@ -157,6 +182,15 @@ class PagedScheduler:
 
         self._prefill = make_paged_prefill_fn(cfg)
         self._decode = make_paged_decode_fn_dynamic(cfg, decode_chunk, eos_id)
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk is not None:
+            if prefill_chunk % page_size:
+                raise ValueError("prefill_chunk must be a page_size multiple")
+            if cache_dtype == "int8":
+                raise ValueError("chunked prefill requires bf16 pages")
+            self._prefill_cont = make_paged_prefill_cont_fn(cfg, prefill_chunk)
+        # Mid-admission long prompts: slot -> (request, tokens prefilled).
+        self.chunking: List[Optional[tuple]] = [None] * self.B
 
         n_ring = max(sampling.repeat_last_n, 1)
         self.n_ring = n_ring
@@ -201,8 +235,13 @@ class PagedScheduler:
         return sum(s is not None for s in self.slots)
 
     @property
+    def n_chunking(self) -> int:
+        return sum(c is not None for c in self.chunking)
+
+    @property
     def has_work(self) -> bool:
-        return self.n_active > 0 or len(self.pending) > 0
+        return (self.n_active > 0 or self.n_chunking > 0
+                or len(self.pending) > 0)
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -227,6 +266,15 @@ class PagedScheduler:
     def _admit_one(self, slot: int, req: Request) -> bool:
         cfg = self.cfg
         prompt = req.prompt
+        if (self.prefill_chunk is not None
+                and len(prompt) > self.prefill_chunk):
+            # Long prompt: claim the slot and prefill chunk-by-chunk
+            # across subsequent step()s instead of stalling everyone now.
+            if not self._ensure_pages(slot, min(len(prompt),
+                                                self.prefill_chunk)):
+                return False
+            self.chunking[slot] = (req, 0)
+            return True
         Tb = _bucket(len(prompt), self.buckets)
         if not self._ensure_pages(slot, Tb):
             return False  # not enough pages right now
@@ -238,7 +286,44 @@ class PagedScheduler:
             jnp.asarray([len(prompt)], jnp.int32),
             jnp.asarray(self.table[slot : slot + 1]),
         )
+        self._activate(slot, req, logits)
+        return True
 
+    def _advance_chunking(self, slot: int):
+        """Prefill the next chunk of a mid-admission prompt; activate the
+        slot when the last chunk lands."""
+        req, pos = self.chunking[slot]
+        prompt = req.prompt
+        C = self.prefill_chunk
+        n_new = min(C, len(prompt) - pos)
+        if not self._ensure_pages(slot, pos + n_new):
+            self.chunking[slot] = None
+            self.alloc.free(self.slot_pages[slot])
+            self.slot_pages[slot] = []
+            self.table[slot, :] = self.trash_page
+            req.finish_reason = "oom_pages"
+            req.done_at = time.perf_counter()
+            self.finished.append(req)
+            if req.on_done:
+                req.on_done(req)
+            return
+        toks = np.zeros((1, C), np.int32)
+        toks[0, :n_new] = prompt[pos : pos + n_new]
+        self.cache, logits = self._prefill_cont(
+            self.params, self.cache, jnp.asarray(toks),
+            jnp.asarray(self.table[slot : slot + 1]),
+            jnp.asarray([pos], jnp.int32),
+            jnp.asarray([n_new], jnp.int32),
+        )
+        pos += n_new
+        if pos >= len(prompt):
+            self.chunking[slot] = None
+            self._activate(slot, req, logits)
+        else:
+            self.chunking[slot] = (req, pos)
+
+    def _activate(self, slot: int, req: Request, logits):
+        prompt = req.prompt
         ring = np.full((self.n_ring,), -1, np.int32)
         m = min(self.n_ring, len(prompt))
         ring[self.n_ring - m :] = prompt[-m:]
@@ -298,10 +383,17 @@ class PagedScheduler:
 
     def step(self):
         for slot in range(self.B):
-            if self.slots[slot] is None and self.pending:
+            if (self.slots[slot] is None and self.chunking[slot] is None
+                    and self.pending):
                 if not self._admit_one(slot, self.pending[0]):
                     break  # page pool exhausted; decode to free capacity
                 self.pending.popleft()
+        # At most ONE prompt chunk per step: the whole point is bounding
+        # how long any single step can stall the live decode streams.
+        for slot in range(self.B):
+            if self.chunking[slot] is not None:
+                self._advance_chunking(slot)
+                break
         if self.n_active == 0:
             return
 
@@ -315,8 +407,17 @@ class PagedScheduler:
 
         if self.n_active == 0:
             return
+        # Decode sees trash-page rows for mid-chunking slots: their done-
+        # masked writes must not land on the pages being prefilled (free
+        # slots already point at trash; a chunking slot's row is live).
+        table = self.table
+        if any(c is not None for c in self.chunking):
+            table = table.copy()
+            for slot, c in enumerate(self.chunking):
+                if c is not None:
+                    table[slot, :] = self.trash_page
         self.cache, toks, self.done, self.counters = self._decode(
-            self.params, self.cache, jnp.asarray(self.table),
+            self.params, self.cache, jnp.asarray(table),
             self.last_tok, jnp.asarray(self.lengths), self.last_n,
             self.done, self.sp, self.counters,
         )
@@ -335,6 +436,41 @@ class PagedScheduler:
                 if not self._deliver(slot, int(t)):
                     break
             self.lengths[slot] += n_emitted
+
+    # -- serving compatibility (serving/server.py drives either
+    #    scheduler through the same surface) ---------------------------
+
+    @property
+    def sessions(self) -> dict:
+        return {}  # multi-turn sessions live in the dense Scheduler
+
+    def reset_session(self, sid: str) -> None:
+        pass  # no session state to clear
+
+    def reset_device_state(self):
+        """Recovery path: rebuild the page pool and slot state from
+        scratch after repeated device-step failures (callers retire the
+        active slots first); the pending queue is untouched."""
+        if self.cache_dtype == "int8":
+            from tokenhawk_tpu.runtime.paged import PagedQuantKVCache
+
+            self.cache = PagedQuantKVCache.create(
+                self.cfg, self.cache.k_pages.shape[2], self.ps)
+        else:
+            self.cache = PagedKVCache.create(
+                self.cfg, self.cache.k_pages.shape[2], self.ps,
+                self.cache_dtype)
+        self.alloc = PageAllocator(self.cache.k_pages.shape[2])
+        self.trash_page = self.alloc.alloc(1)[0]
+        self.table = np.full((self.B, self.max_pages), self.trash_page,
+                             np.int32)
+        self.slot_pages = [[] for _ in range(self.B)]
+        self.lengths = np.zeros((self.B,), np.int32)
+        self.last_tok = jnp.zeros((self.B,), jnp.int32)
+        self.last_n = jnp.full((self.B, self.n_ring), -1, jnp.int32)
+        self.done = jnp.ones((self.B,), bool)
+        self.counters = jnp.zeros((self.B,), jnp.int32)
+        self.chunking = [None] * self.B
 
     def run(self):
         while self.has_work:

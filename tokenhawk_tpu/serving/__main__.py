@@ -35,6 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--seed", type=int, default=780658349)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--paged", action="store_true",
+                   help="paged-KV continuous batching (page pool instead "
+                        "of per-slot dense caches; enables --prefill-chunk)")
+    p.add_argument("--page-size", type=int, default=128)
+    p.add_argument("--prefill-chunk", type=int, default=None,
+                   help="admit long prompts in chunks of this many tokens "
+                        "interleaved with decode (paged only; bounds the "
+                        "stall a long prompt inflicts on live streams)")
+    p.add_argument("--kv", choices=["bf16", "int8"], default="bf16",
+                   help="paged KV dtype (int8 halves page traffic)")
     p.add_argument("--draft-model",
                    help="GGML draft model: speculative continuous batching "
                         "(greedy only; outputs identical to the target)")
@@ -76,13 +86,27 @@ def main(argv=None) -> int:
         draft_cfg, draft_params, _ = load_model(
             args.draft_model, n_ctx=args.n_ctx, dtype=dtype)
 
-    sched = Scheduler(
-        cfg, params, sampling=sampling, max_batch=args.max_batch,
-        max_seq=args.n_ctx, decode_chunk=args.decode_chunk,
-        draft_cfg=draft_cfg, draft_params=draft_params, gamma=args.gamma,
-    )
+    if args.paged:
+        from tokenhawk_tpu.runtime.paged_scheduler import PagedScheduler
+
+        if args.draft_model:
+            parser.error("--draft-model requires the dense scheduler")
+        sched = PagedScheduler(
+            cfg, params, sampling=sampling, max_batch=args.max_batch,
+            max_seq=args.n_ctx, decode_chunk=args.decode_chunk,
+            page_size=args.page_size,
+            cache_dtype="int8" if args.kv == "int8" else dtype,
+            prefill_chunk=args.prefill_chunk,
+        )
+    else:
+        sched = Scheduler(
+            cfg, params, sampling=sampling, max_batch=args.max_batch,
+            max_seq=args.n_ctx, decode_chunk=args.decode_chunk,
+            draft_cfg=draft_cfg, draft_params=draft_params, gamma=args.gamma,
+        )
     httpd = serve(sched, tokenizer, host=args.host, port=args.port,
                   model_info={"model": model_path, "n_ctx": args.n_ctx,
+                              "paged": args.paged,
                               "speculative": bool(args.draft_model)})
     print(f"Serving on http://{args.host}:{args.port}", file=sys.stderr)
     try:
