@@ -1,0 +1,87 @@
+"""Stop sequences: holdback streaming filter + scheduler integration."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tokenhawk_tpu.config import LlamaConfig, SamplingConfig
+from tokenhawk_tpu.models.llama import params_from_ggml
+from tokenhawk_tpu.runtime.scheduler import Request, Scheduler
+
+from helpers import make_ggml_weights
+
+CFG = LlamaConfig.tiny(n_vocab=512, n_ctx=64)
+GREEDY = SamplingConfig(temperature=0.0)
+
+
+def _req(stop, pieces):
+    """Request whose detok maps token i -> pieces[i]."""
+    emitted = []
+    r = Request(prompt=[1], stop=[s.encode() for s in stop],
+                detok=lambda t: pieces[t],
+                on_text=lambda b: emitted.append(b))
+    return r, emitted
+
+
+def test_feed_text_simple_match():
+    r, out = _req(["END"], [b"he", b"llo E", b"ND tail"])
+    assert not r.feed_text(0)
+    assert not r.feed_text(1)  # "E" held back (possible stop prefix)
+    assert r.feed_text(2)  # completes "END": stop, tail suppressed
+    assert b"".join(out) == b"hello "
+
+
+def test_feed_text_false_prefix_flushes():
+    r, out = _req(["END"], [b"E", b"N", b"X", b"!"])
+    r.feed_text(0)
+    r.feed_text(1)
+    assert b"".join(out) == b""  # "EN" held
+    assert not r.feed_text(2)  # "ENX" can't be a stop prefix anymore
+    assert b"".join(out) == b"ENX"
+    r.feed_text(3)
+    assert b"".join(out) == b"ENX!"
+
+
+def test_feed_text_stream_end_flush():
+    r, out = _req(["\n\n"], [b"a\n"])
+    r.feed_text(0)
+    assert b"".join(out) == b"a"  # trailing \n held
+    r.flush_text()
+    assert b"".join(out) == b"a\n"
+
+
+def test_feed_text_multiple_stops():
+    r, out = _req(["</s>", "User:"], [b"ok User", b": more"])
+    assert not r.feed_text(0)
+    assert r.feed_text(1)
+    assert b"".join(out) == b"ok "
+
+
+def test_scheduler_stop_retires_slot():
+    rng = np.random.default_rng(4)
+    params = params_from_ggml(CFG, make_ggml_weights(CFG, rng),
+                              dtype=jnp.float32)
+    s = Scheduler(CFG, params, sampling=GREEDY, max_batch=2,
+                  cache_dtype=jnp.float32, decode_chunk=4)
+    # Free-running greedy to learn the continuation.
+    probe = Request(prompt=[1, 7, 21], max_new_tokens=8)
+    s.submit(probe)
+    while s.has_work:
+        s.step()
+    assert len(probe.output) >= 3
+    stop_tok = probe.output[2]  # stop on the 3rd emitted token's text
+
+    pieces = {t: f"<{t}>".encode() for t in set(probe.output)}
+    emitted = []
+    r = Request(prompt=[1, 7, 21], max_new_tokens=8,
+                stop=[f"<{stop_tok}>".encode()],
+                detok=lambda t: pieces.get(t, str(t).encode()),
+                on_text=lambda b: emitted.append(b))
+    s.submit(r)
+    while s.has_work:
+        s.step()
+    assert r.finish_reason == "stop"
+    assert r.output[:2] == probe.output[:2]
+    text = b"".join(emitted)
+    assert f"<{stop_tok}>".encode() not in text
+    assert text == b"".join(pieces[t] for t in probe.output[:2])

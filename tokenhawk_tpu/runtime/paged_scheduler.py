@@ -224,6 +224,7 @@ class PagedScheduler:
             req.finish_reason = "error:prompt_too_long"
             req.done_at = req.submitted_at
             self.finished.append(req)
+            req.flush_text()
             if req.on_done:
                 req.on_done(req)
             return req.id
@@ -304,6 +305,7 @@ class PagedScheduler:
             req.finish_reason = "oom_pages"
             req.done_at = time.perf_counter()
             self.finished.append(req)
+            req.flush_text()
             if req.on_done:
                 req.on_done(req)
             return
@@ -357,6 +359,9 @@ class PagedScheduler:
         req.output.append(tok)
         if req.on_token:
             req.on_token(tok)
+        if req.feed_text(tok):
+            self._retire(slot, "stop")
+            return False
         if len(req.output) >= req.max_new_tokens:
             self._retire(slot, "length")
             return False
@@ -376,6 +381,7 @@ class PagedScheduler:
         self.table[slot, :] = self.trash_page
         self.lengths[slot] = 0
         self.finished.append(req)
+        req.flush_text()
         if req.on_done:
             req.on_done(req)
 

@@ -53,6 +53,13 @@ class Request:
     session: Optional[str] = None
     on_token: Optional[Callable[[int], None]] = None
     on_done: Optional[Callable[["Request"], None]] = None
+    # Stop sequences (bytes) checked against the decoded text stream.
+    # Requires `detok` (token id -> bytes, supplied by the serving layer).
+    # Matched text is never emitted: the stream holds back any suffix
+    # that could be a stop prefix and flushes it on retirement.
+    stop: Optional[List[bytes]] = None
+    detok: Optional[Callable[[int], bytes]] = None
+    on_text: Optional[Callable[[bytes], None]] = None
     # filled by the scheduler:
     id: int = -1
     output: List[int] = dataclasses.field(default_factory=list)
@@ -61,12 +68,52 @@ class Request:
     done_at: Optional[float] = None
     finish_reason: str = ""
     n_past0: int = 0  # KV tokens already resident when this request started
+    _text_buf: bytes = b""  # holdback buffer for stop-sequence streaming
 
     @property
     def ttft_seconds(self) -> Optional[float]:
         if self.first_token_at is None:
             return None
         return self.first_token_at - self.submitted_at
+
+    def feed_text(self, tok: int) -> bool:
+        """Stream one token's text through the stop-sequence filter.
+
+        Returns True if a stop sequence matched (caller retires the
+        slot).  Emits via on_text; never emits matched stop text, and
+        holds back any tail that could still become a stop prefix."""
+        if self.detok is None or self.on_text is None:
+            return False
+        b = self.detok(tok)
+        if not self.stop:
+            if b:
+                self.on_text(b)
+            return False
+        buf = self._text_buf + b
+        hit = min((i for i in (buf.find(s) for s in self.stop) if i >= 0),
+                  default=-1)
+        if hit >= 0:
+            if hit and self.on_text:
+                self.on_text(buf[:hit])
+            self._text_buf = b""
+            return True
+        # Longest suffix of buf that is a proper prefix of some stop.
+        hold = 0
+        for s in self.stop:
+            for n in range(min(len(s) - 1, len(buf)), 0, -1):
+                if buf.endswith(s[:n]):
+                    hold = max(hold, n)
+                    break
+        if len(buf) > hold:
+            self.on_text(buf[: len(buf) - hold])
+        self._text_buf = buf[len(buf) - hold :] if hold else b""
+        return False
+
+    def flush_text(self):
+        """Emit any held-back text (stream ended without a stop match)."""
+        if self._text_buf and self.on_text:
+            self.on_text(self._text_buf)
+        self._text_buf = b""
 
 
 @dataclasses.dataclass
@@ -269,6 +316,7 @@ class Scheduler:
         req.finish_reason = reason
         req.done_at = time.perf_counter()
         self.finished.append(req)
+        req.flush_text()
         if req.on_done:
             req.on_done(req)
         return req.id
@@ -470,6 +518,9 @@ class Scheduler:
         req.output.append(tok)
         if req.on_token:
             req.on_token(tok)
+        if req.feed_text(tok):
+            self._retire(slot, "stop")
+            return False
         if len(req.output) >= req.max_new_tokens:
             self._retire(slot, "length")
             return False
@@ -510,6 +561,7 @@ class Scheduler:
             sess.last_used = time.perf_counter()
             self.pinned[slot] = req.session
         self.finished.append(req)
+        req.flush_text()
         if req.on_done:
             req.on_done(req)
 

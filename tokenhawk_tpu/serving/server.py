@@ -10,7 +10,7 @@ share the TPU.
 Endpoints:
   GET  /            chat UI (static HTML/JS, serving/web/)
   GET  /health      JSON liveness + model info
-  POST /generate    {"prompt": str, "max_tokens": int, ...}
+  POST /generate    {"prompt": str, "max_tokens": int, "stop": [str], ...}
                     -> text/event-stream of {"token": str} events
 """
 
@@ -88,7 +88,8 @@ class ServingLoop:
         self._thread.join(timeout=10)
 
     def submit_text(self, prompt: str, max_tokens: int = 256,
-                    sampling=None, session: Optional[str] = None) -> "queue.Queue":
+                    sampling=None, session: Optional[str] = None,
+                    stop=None) -> "queue.Queue":
         """Returns a queue yielding decoded-token strings, then
         ("__done__", finish_reason) and _SENTINEL.
 
@@ -109,8 +110,8 @@ class ServingLoop:
         )
         ids = self.tokenizer.encode_prompt(prompt, add_bos=not is_continuation)
 
-        def on_token(tid: int):
-            out.put(self.tokenizer.decode_token_bytes(tid).decode("utf-8", "replace"))
+        def on_text(b: bytes):
+            out.put(b.decode("utf-8", "replace"))
 
         def on_done(req: Request):
             self.stats["completed"] += 1
@@ -119,7 +120,9 @@ class ServingLoop:
 
         req = Request(prompt=ids, max_new_tokens=max_tokens,
                       sampling=sampling, session=session,
-                      on_token=on_token, on_done=on_done)
+                      stop=[x.encode("utf-8") for x in stop] if stop else None,
+                      detok=self.tokenizer.decode_token_bytes,
+                      on_text=on_text, on_done=on_done)
         self._inbox.put(req)
         self._wake.set()
         return out
@@ -213,6 +216,13 @@ def _make_handler(loop: ServingLoop, model_info: dict):
                 session = payload.get("session")
                 if session is not None and not isinstance(session, str):
                     raise ValueError("session must be a string")
+                stop = payload.get("stop")
+                if stop is not None:
+                    if isinstance(stop, str):
+                        stop = [stop]
+                    if (not isinstance(stop, list)
+                            or not all(isinstance(x, str) and x for x in stop)):
+                        raise ValueError("stop must be a string or list")
                 sampling = None
                 keys = ("temperature", "top_k", "top_p", "repeat_penalty",
                         "seed")
@@ -234,7 +244,7 @@ def _make_handler(loop: ServingLoop, model_info: dict):
                 return
 
             out = loop.submit_text(prompt, max_tokens, sampling=sampling,
-                                   session=session)
+                                   session=session, stop=stop)
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
