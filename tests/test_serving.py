@@ -79,3 +79,74 @@ def test_bad_request(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_stop_sequence_over_http(server):
+    req = urllib.request.Request(
+        server + "/generate",
+        data=json.dumps({"prompt": "Hi", "max_tokens": 12,
+                         "stop": ["\x00"]}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    body = urllib.request.urlopen(req, timeout=120).read().decode()
+    assert "event: done" in body
+    # finish is either the stop match or a natural end; never an error
+    assert "finish_reason" in body
+
+
+def test_bad_stop_rejected(server):
+    req = urllib.request.Request(
+        server + "/generate",
+        data=json.dumps({"prompt": "Hi", "stop": [1, 2]}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_cancel_on_client_disconnect():
+    """A dropped SSE consumer frees its slot instead of generating to
+    max_tokens."""
+    import http.client
+    import socket
+    import struct
+    import time
+
+    rng = np.random.default_rng(12)
+    params = params_from_ggml(CFG, make_ggml_weights(CFG, rng),
+                              dtype=jnp.float32)
+    # temperature > 0 so EOS is unlikely to cut generation short
+    sched = Scheduler(CFG, params,
+                      sampling=SamplingConfig(temperature=0.9, seed=5),
+                      max_batch=1, max_seq=64, cache_dtype=jnp.float32,
+                      decode_chunk=2)
+    httpd = serve(sched, byte_fallback_vocab(), host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        c.request("POST", "/generate",
+                  json.dumps({"prompt": "Hi", "max_tokens": 40}),
+                  {"Content-Type": "application/json"})
+        r = c.getresponse()
+        r.read(10)  # stream established
+        sock = r.fp.raw._sock
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                        struct.pack("ii", 1, 0))
+        r.fp.close()
+        sock.close()  # RST: the server's next write fails
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(q.finish_reason == "cancelled" for q in sched.finished):
+                break
+            time.sleep(0.25)
+        cancelled = [q for q in sched.finished
+                     if q.finish_reason == "cancelled"]
+        assert cancelled, [q.finish_reason for q in sched.finished]
+        assert len(cancelled[0].output) < 40
+    finally:
+        httpd.shutdown()
+        httpd.serving_loop.stop()

@@ -85,3 +85,43 @@ def test_scheduler_stop_retires_slot():
     text = b"".join(emitted)
     assert f"<{stop_tok}>".encode() not in text
     assert text == b"".join(pieces[t] for t in probe.output[:2])
+
+
+def test_cancel_pending_and_active():
+    rng = np.random.default_rng(5)
+    params = params_from_ggml(CFG, make_ggml_weights(CFG, rng),
+                              dtype=jnp.float32)
+    s = Scheduler(CFG, params, sampling=GREEDY, max_batch=1,
+                  cache_dtype=jnp.float32, decode_chunk=4)
+    r1 = Request(prompt=[1, 5], max_new_tokens=40)
+    r2 = Request(prompt=[1, 9], max_new_tokens=40)
+    s.submit(r1)
+    s.submit(r2)  # queued behind r1 (max_batch=1)
+    s.step()
+    assert s.cancel(r2)  # still pending
+    assert r2.finish_reason == "cancelled" and r2.done_at is not None
+    assert s.cancel(r1)  # active slot
+    assert r1.finish_reason == "cancelled"
+    assert s.n_active == 0 and not s.pending
+    assert not s.cancel(r1)  # idempotent: already gone
+
+
+def test_cancel_paged_chunking():
+    from tokenhawk_tpu.runtime.paged_scheduler import PagedScheduler
+
+    rng = np.random.default_rng(6)
+    params = params_from_ggml(CFG, make_ggml_weights(CFG, rng),
+                              dtype=jnp.float32)
+    s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=1,
+                       cache_dtype=jnp.float32, decode_chunk=2,
+                       page_size=16, prefill_chunk=16)
+    long_prompt = [1] + rng.integers(3, 500, 40).tolist()
+    r = Request(prompt=long_prompt, max_new_tokens=8)
+    s.submit(r)
+    s.step()  # claims slot, first chunk
+    assert s.n_chunking == 1
+    pool_free_before = s.alloc.n_free
+    assert s.cancel(r)
+    assert r.finish_reason == "cancelled"
+    assert s.n_chunking == 0 and not s.has_work
+    assert s.alloc.n_free > pool_free_before  # pages returned

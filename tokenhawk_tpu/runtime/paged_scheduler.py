@@ -446,6 +446,35 @@ class PagedScheduler:
     # -- serving compatibility (serving/server.py drives either
     #    scheduler through the same surface) ---------------------------
 
+    def cancel(self, req: "Request") -> bool:
+        """Abort a request: drops it from the queue, frees its slot, or
+        abandons a mid-chunking admission (pages returned to the pool)."""
+        if req in self.pending:
+            self.pending.remove(req)
+            req.finish_reason = "cancelled"
+            req.done_at = time.perf_counter()
+            self.finished.append(req)
+            if req.on_done:
+                req.on_done(req)
+            return True
+        for slot, c in enumerate(self.chunking):
+            if c is not None and c[0] is req:
+                self.chunking[slot] = None
+                self.alloc.free(self.slot_pages[slot])
+                self.slot_pages[slot] = []
+                self.table[slot, :] = self.trash_page
+                req.finish_reason = "cancelled"
+                req.done_at = time.perf_counter()
+                self.finished.append(req)
+                if req.on_done:
+                    req.on_done(req)
+                return True
+        for slot, r in enumerate(self.slots):
+            if r is req:
+                self._retire(slot, "cancelled")
+                return True
+        return False
+
     @property
     def sessions(self) -> dict:
         return {}  # multi-turn sessions live in the dense Scheduler

@@ -565,6 +565,24 @@ class Scheduler:
         if req.on_done:
             req.on_done(req)
 
+    def cancel(self, req: "Request") -> bool:
+        """Abort a request (client disconnect): frees its slot or drops
+        it from the queue.  Call from the scheduler thread (the serving
+        loop routes cancels through its inbox)."""
+        if req in self.pending:
+            self.pending.remove(req)
+            req.finish_reason = "cancelled"
+            req.done_at = time.perf_counter()
+            self.finished.append(req)
+            if req.on_done:
+                req.on_done(req)
+            return True
+        for slot, r in enumerate(self.slots):
+            if r is req:
+                self._retire(slot, "cancelled")
+                return True
+        return False
+
     def reset_device_state(self):
         """Recovery path: rebuild every device buffer from scratch.
 

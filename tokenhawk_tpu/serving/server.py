@@ -123,9 +123,16 @@ class ServingLoop:
                       stop=[x.encode("utf-8") for x in stop] if stop else None,
                       detok=self.tokenizer.decode_token_bytes,
                       on_text=on_text, on_done=on_done)
+        out.request = req  # handle for cancel-on-disconnect
         self._inbox.put(req)
         self._wake.set()
         return out
+
+    def cancel(self, req: Request) -> None:
+        """Abort a request from any thread (routed via the inbox so all
+        scheduler state changes happen on the loop thread)."""
+        self._inbox.put(("cancel", req))
+        self._wake.set()
 
     def _run(self):
         while not self._stop:
@@ -141,6 +148,8 @@ class ServingLoop:
                     out.put("LLM context reset.")
                     out.put(("__done__", "reset"))
                     out.put(_SENTINEL)
+                elif isinstance(item, tuple) and item[0] == "cancel":
+                    self.scheduler.cancel(item[1])
                 else:
                     self.stats["requests"] += 1
                     self.scheduler.submit(item)
@@ -264,8 +273,12 @@ def _make_handler(loop: ServingLoop, model_info: dict):
                     data = json.dumps({"token": piece})
                     self.wfile.write(f"data: {data}\n\n".encode())
                     self.wfile.flush()
-            except (BrokenPipeError, ConnectionResetError):
-                pass
+            except OSError:
+                # Client went away (EPIPE/ECONNRESET/...): stop burning
+                # tokens on its request.
+                req = getattr(out, "request", None)
+                if req is not None:
+                    loop.cancel(req)
 
     return Handler
 
