@@ -114,3 +114,97 @@ def test_chunked_prefill_page_size_validation(params):
     with pytest.raises(ValueError):
         PagedScheduler(CFG, params, max_batch=1, page_size=16,
                        prefill_chunk=20)
+
+
+def test_prefix_cache_reuses_pages(params):
+    """Second request with the same prompt skips its cached prefix pages
+    and produces identical greedy output (the reused pages ARE the bytes
+    the recomputation would produce)."""
+    rng = np.random.default_rng(31)
+    prompt = [1] + rng.integers(3, 500, 39).tolist()  # 40 tokens, ps=16
+    s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=2,
+                       cache_dtype=jnp.float32, decode_chunk=4,
+                       page_size=16, prefix_cache=True)
+    [r1] = s.generate_many([prompt], max_new_tokens=6)
+    assert s.prefix_hits == 0
+    assert len(s._pc) == 2  # floor((40-1)/16) full pages registered
+    [r2] = s.generate_many([prompt], max_new_tokens=6)
+    assert s.prefix_hits == 2  # both cached pages reused
+    assert r2.output == r1.output
+
+    # without the cache: same outputs (bit-identical semantics)
+    s2 = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=2,
+                        cache_dtype=jnp.float32, decode_chunk=4,
+                        page_size=16)
+    [r3] = s2.generate_many([prompt], max_new_tokens=6)
+    assert r3.output == r1.output
+
+
+def test_prefix_cache_shared_prefix_different_tail(params):
+    rng = np.random.default_rng(32)
+    base = [1] + rng.integers(3, 500, 39).tolist()
+    alt = base[:32] + rng.integers(3, 500, 10).tolist()
+    s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=1,
+                       cache_dtype=jnp.float32, decode_chunk=4,
+                       page_size=16, n_pages=16, prefix_cache=True)
+    [r1] = s.generate_many([base], max_new_tokens=4)
+    [r2] = s.generate_many([alt], max_new_tokens=4)
+    assert s.prefix_hits == 2  # the two full common-prefix pages
+
+    s2 = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=1,
+                        cache_dtype=jnp.float32, decode_chunk=4,
+                        page_size=16, n_pages=16)
+    [w2] = s2.generate_many([alt], max_new_tokens=4)
+    assert r2.output == w2.output
+
+
+def test_prefix_cache_eviction_under_pressure(params):
+    """Idle cached pages evict LRU when the pool runs dry; requests keep
+    admitting."""
+    rng = np.random.default_rng(33)
+    s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=1,
+                       cache_dtype=jnp.float32, decode_chunk=4,
+                       page_size=16, n_pages=10, prefix_cache=True)
+    outs = []
+    for i in range(5):
+        prompt = [1 + i] + rng.integers(3, 500, 39).tolist()
+        [r] = s.generate_many([prompt], max_new_tokens=4)
+        assert r.finish_reason in ("length", "eos"), r.finish_reason
+        outs.append(r.output)
+    # pool is only 10 pages; cached entries must have been evicted
+    assert len(s._pc) < 10
+    assert all(o for o in outs)
+
+
+def test_prefix_cache_with_chunked_prefill(params):
+    rng = np.random.default_rng(34)
+    prompt = [1] + rng.integers(3, 500, 60).tolist()  # 61 tokens
+    kw = dict(sampling=GREEDY, max_batch=1, cache_dtype=jnp.float32,
+              decode_chunk=4, page_size=16, n_pages=16)
+    s0 = PagedScheduler(CFG, params, **kw)
+    [want] = s0.generate_many([prompt], max_new_tokens=6)
+    s = PagedScheduler(CFG, params, prefix_cache=True, prefill_chunk=32,
+                       **kw)
+    [r1] = s.generate_many([prompt], max_new_tokens=6)
+    assert r1.output == want.output
+    [r2] = s.generate_many([prompt], max_new_tokens=6)
+    assert r2.output == want.output
+    assert s.prefix_hits == 3  # floor(60/16) full pages
+
+
+def test_infeasible_request_fails_instead_of_livelock(params):
+    """A request whose page need exceeds anything the pool can ever
+    provide fails with oom_pages rather than spinning step() forever."""
+    s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=1,
+                       cache_dtype=jnp.float32, decode_chunk=4,
+                       page_size=16, n_pages=3)  # 1 trash + 2 free
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    r = Request(prompt=list(range(3, 43)), max_new_tokens=4)  # needs 4 pages
+    s.submit(r)
+    for _ in range(5):
+        if not s.has_work:
+            break
+        s.step()
+    assert not s.has_work
+    assert r.finish_reason == "oom_pages"

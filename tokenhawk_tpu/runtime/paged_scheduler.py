@@ -146,13 +146,21 @@ class PagedScheduler:
         decode_chunk: int = 8,
         eos_id: int = EOS_ID,
         prefill_chunk: Optional[int] = None,
+        prefix_cache: bool = False,
     ):
         """prefill_chunk: admit prompts longer than this in page-aligned
         chunks interleaved with decode steps, so one long prompt never
         stalls the other slots' token streams for a full prefill (the
         "chunked prefill" serving discipline).  Must be a multiple of
         page_size; bf16 pages only (int8 admission stays single-shot).
-        None = classic single-shot admission."""
+        None = classic single-shot admission.
+
+        prefix_cache: automatic cross-request prefix caching — full
+        prompt pages register under a content hash and later prompts
+        sharing the prefix reuse them (refcounted; idle cached pages
+        evict LRU under pool pressure), prefilling only the uncached
+        suffix.  Prompt KV depends only on the prefix tokens, so reuse
+        is bit-identical.  bf16 pages only."""
         self.cfg = cfg
         self.params = params
         self.sampling = sampling
@@ -183,14 +191,29 @@ class PagedScheduler:
         self._prefill = make_paged_prefill_fn(cfg)
         self._decode = make_paged_decode_fn_dynamic(cfg, decode_chunk, eos_id)
         self.prefill_chunk = prefill_chunk
-        if prefill_chunk is not None:
-            if prefill_chunk % page_size:
-                raise ValueError("prefill_chunk must be a page_size multiple")
-            if cache_dtype == "int8":
-                raise ValueError("chunked prefill requires bf16 pages")
-            self._prefill_cont = make_paged_prefill_cont_fn(cfg, prefill_chunk)
+        if prefill_chunk is not None and prefill_chunk % page_size:
+            raise ValueError("prefill_chunk must be a page_size multiple")
+        if (prefill_chunk is not None or prefix_cache) \
+                and cache_dtype == "int8":
+            raise ValueError(
+                "chunked prefill / prefix cache require bf16 pages")
+        if prefill_chunk is not None or prefix_cache:
+            self._prefill_cont = make_paged_prefill_cont_fn(
+                cfg, prefill_chunk or page_size)
         # Mid-admission long prompts: slot -> (request, tokens prefilled).
         self.chunking: List[Optional[tuple]] = [None] * self.B
+
+        # Automatic prefix cache: content-hash -> page id.  page_refs
+        # counts live users; refcount-0 entries stay cached (reusable)
+        # until pool pressure evicts them LRU.
+        self.prefix_cache_enabled = prefix_cache
+        from collections import OrderedDict
+
+        self._pc: "OrderedDict[bytes, int]" = OrderedDict()
+        self.page_refs: dict = {}
+        self.page_key: dict = {}
+        self.slot_shared: List[set] = [set() for _ in range(self.B)]
+        self.prefix_hits = 0  # pages reused across requests (stats)
 
         n_ring = max(sampling.repeat_last_n, 1)
         self.n_ring = n_ring
@@ -248,6 +271,84 @@ class PagedScheduler:
         self._key, k = jax.random.split(self._key)
         return k
 
+    # -- automatic prefix cache ----------------------------------------
+
+    def _prefix_key(self, prompt, n_pages: int) -> bytes:
+        import hashlib
+
+        pre = np.asarray(prompt[: n_pages * self.ps], np.int32)
+        return hashlib.blake2b(pre.tobytes(), digest_size=16).digest()
+
+    def _alloc_pages(self, k: int):
+        """Allocate k pages, evicting idle (refcount-0) cached prefix
+        pages LRU if the pool is dry.  Raises MemoryError if even
+        eviction cannot satisfy."""
+        try:
+            return self.alloc.alloc(k)
+        except MemoryError:
+            for key in list(self._pc):
+                page = self._pc[key]
+                if self.page_refs.get(page, 0) <= 0:
+                    del self._pc[key]
+                    self.page_key.pop(page, None)
+                    self.page_refs.pop(page, None)
+                    self.alloc.free([page])
+                    if self.alloc.n_free >= k:
+                        break
+            return self.alloc.alloc(k)
+
+    def _reuse_prefix(self, slot: int, prompt) -> int:
+        """Point the slot's leading table entries at cached pages shared
+        with earlier prompts.  Returns tokens covered.  Caps at the page
+        before the prompt's last token (at least one suffix token must
+        run to produce the first logits)."""
+        if not self.prefix_cache_enabled:
+            return 0
+        n = 0
+        while (n + 1) * self.ps <= len(prompt) - 1:
+            page = self._pc.get(self._prefix_key(prompt, n + 1))
+            if page is None:
+                break
+            self.table[slot, n] = page
+            self.slot_pages[slot].append(page)
+            self.slot_shared[slot].add(n)
+            self.page_refs[page] = self.page_refs.get(page, 0) + 1
+            self._pc.move_to_end(self._prefix_key(prompt, n + 1))
+            self.prefix_hits += 1
+            n += 1
+        return n * self.ps
+
+    def _register_prompt_pages(self, slot: int, prompt):
+        """Publish this slot's full prompt pages into the prefix cache
+        (first writer wins; a page already cached by another slot leaves
+        ours private)."""
+        if not self.prefix_cache_enabled:
+            return
+        max_reg = (len(prompt) - 1) // self.ps
+        for pidx in range(max_reg):
+            if pidx in self.slot_shared[slot]:
+                continue  # reused: already cached
+            key = self._prefix_key(prompt, pidx + 1)
+            if key in self._pc:
+                continue
+            page = int(self.table[slot, pidx])
+            self._pc[key] = page
+            self.page_key[page] = key
+            self.page_refs[page] = self.page_refs.get(page, 0) + 1
+            self.slot_shared[slot].add(pidx)
+
+    def _release_slot_pages(self, slot: int):
+        """Retirement/cancel: decref shared pages (they stay cached at
+        refcount 0 for reuse), free private ones."""
+        for i, page in enumerate(self.slot_pages[slot]):
+            if i in self.slot_shared[slot]:
+                self.page_refs[page] = self.page_refs.get(page, 1) - 1
+            else:
+                self.alloc.free([page])
+        self.slot_pages[slot] = []
+        self.slot_shared[slot] = set()
+        self.table[slot, :] = self.trash_page
+
     def _ensure_pages(self, slot: int, need_tokens: int) -> bool:
         """Grow slot's page list to cover need_tokens; False if OOM."""
         need = -(-need_tokens // self.ps)
@@ -256,7 +357,7 @@ class PagedScheduler:
             return False
         if need > have:
             try:
-                new = self.alloc.alloc(need - have)
+                new = self._alloc_pages(need - have)
             except MemoryError:
                 return False
             for i, p in enumerate(new):
@@ -265,16 +366,36 @@ class PagedScheduler:
         return True
 
     def _admit_one(self, slot: int, req: Request) -> bool:
-        cfg = self.cfg
         prompt = req.prompt
+        reused = self._reuse_prefix(slot, prompt)  # tokens from the cache
+        remaining = len(prompt) - reused
         if (self.prefill_chunk is not None
-                and len(prompt) > self.prefill_chunk):
+                and remaining > self.prefill_chunk):
             # Long prompt: claim the slot and prefill chunk-by-chunk
             # across subsequent step()s instead of stalling everyone now.
-            if not self._ensure_pages(slot, min(len(prompt),
-                                                self.prefill_chunk)):
+            if not self._ensure_pages(
+                    slot, reused + min(remaining, self.prefill_chunk)):
+                self._release_slot_pages(slot)
                 return False
-            self.chunking[slot] = (req, 0)
+            self.chunking[slot] = (req, reused)
+            return True
+        if reused:
+            # Cached prefix: prefill only the suffix (continuation path,
+            # page-aligned start).
+            Cb = -(-remaining // self.ps) * self.ps
+            if not self._ensure_pages(slot, len(prompt)):
+                self._release_slot_pages(slot)
+                return False
+            toks = np.zeros((1, Cb), np.int32)
+            toks[0, :remaining] = prompt[reused:]
+            self.cache, logits = self._prefill_cont(
+                self.params, self.cache, jnp.asarray(toks),
+                jnp.asarray(self.table[slot : slot + 1]),
+                jnp.asarray([reused], jnp.int32),
+                jnp.asarray([remaining], jnp.int32),
+            )
+            self._register_prompt_pages(slot, prompt)
+            self._activate(slot, req, logits)
             return True
         Tb = _bucket(len(prompt), self.buckets)
         if not self._ensure_pages(slot, Tb):
@@ -287,6 +408,7 @@ class PagedScheduler:
             jnp.asarray([len(prompt)], jnp.int32),
             jnp.asarray(self.table[slot : slot + 1]),
         )
+        self._register_prompt_pages(slot, prompt)
         self._activate(slot, req, logits)
         return True
 
@@ -299,9 +421,7 @@ class PagedScheduler:
         n_new = min(C, len(prompt) - pos)
         if not self._ensure_pages(slot, pos + n_new):
             self.chunking[slot] = None
-            self.alloc.free(self.slot_pages[slot])
-            self.slot_pages[slot] = []
-            self.table[slot, :] = self.trash_page
+            self._release_slot_pages(slot)
             req.finish_reason = "oom_pages"
             req.done_at = time.perf_counter()
             self.finished.append(req)
@@ -320,6 +440,7 @@ class PagedScheduler:
         pos += n_new
         if pos >= len(prompt):
             self.chunking[slot] = None
+            self._register_prompt_pages(slot, prompt)
             self._activate(slot, req, logits)
         else:
             self.chunking[slot] = (req, pos)
@@ -376,9 +497,7 @@ class PagedScheduler:
         req.done_at = time.perf_counter()
         self.slots[slot] = None
         self.done = self.done.at[slot].set(True)
-        self.alloc.free(self.slot_pages[slot])
-        self.slot_pages[slot] = []
-        self.table[slot, :] = self.trash_page
+        self._release_slot_pages(slot)
         self.lengths[slot] = 0
         self.finished.append(req)
         req.flush_text()
@@ -392,8 +511,21 @@ class PagedScheduler:
             if (self.slots[slot] is None and self.chunking[slot] is None
                     and self.pending):
                 if not self._admit_one(slot, self.pending[0]):
+                    if self.n_active == 0 and self.n_chunking == 0:
+                        # Nothing in flight can ever free capacity: the
+                        # request is infeasible for this pool, not merely
+                        # queued.  Fail it instead of spinning forever.
+                        req = self.pending.popleft()
+                        req.finish_reason = "oom_pages"
+                        req.done_at = time.perf_counter()
+                        self.finished.append(req)
+                        req.flush_text()
+                        if req.on_done:
+                            req.on_done(req)
+                        continue
                     break  # page pool exhausted; decode to free capacity
-                self.pending.popleft()
+                else:
+                    self.pending.popleft()
         # At most ONE prompt chunk per step: the whole point is bounding
         # how long any single step can stall the live decode streams.
         for slot in range(self.B):
@@ -460,9 +592,7 @@ class PagedScheduler:
         for slot, c in enumerate(self.chunking):
             if c is not None and c[0] is req:
                 self.chunking[slot] = None
-                self.alloc.free(self.slot_pages[slot])
-                self.slot_pages[slot] = []
-                self.table[slot, :] = self.trash_page
+                self._release_slot_pages(slot)
                 req.finish_reason = "cancelled"
                 req.done_at = time.perf_counter()
                 self.finished.append(req)
@@ -506,6 +636,10 @@ class PagedScheduler:
         self.done = jnp.ones((self.B,), bool)
         self.counters = jnp.zeros((self.B,), jnp.int32)
         self.chunking = [None] * self.B
+        self._pc.clear()
+        self.page_refs.clear()
+        self.page_key.clear()
+        self.slot_shared = [set() for _ in range(self.B)]
 
     def run(self):
         while self.has_work:

@@ -75,6 +75,7 @@ class ServingLoop:
             "uptime_s": round(_time.time() - s.pop("started_at"), 1),
             "active": self.scheduler.n_active,
             "queued": len(self.scheduler.pending),
+            "prefix_cache_hits": getattr(self.scheduler, "prefix_hits", 0),
             **s,
         }
 
