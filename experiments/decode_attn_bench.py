@@ -31,7 +31,7 @@ def main() -> int:
     p.add_argument("--layers", type=int, default=32, help="distinct caches chained")
     p.add_argument("--variant", default="dma")
     p.add_argument("--bs", type=int, default=256, help="kernel block_s")
-    p.add_argument("--hb", type=int, default=8, help="kernel head_block")
+    p.add_argument("--hb", type=int, default=32, help="kernel head_block")
     p.add_argument("--iters", type=int, default=64)
     p.add_argument("--trials", type=int, default=5)
     args = p.parse_args()
@@ -55,7 +55,7 @@ def main() -> int:
         from tokenhawk_tpu.ops.pallas.paged_decode import paged_flash_decode
 
         def fn(q, k_pages, v_pages, table, lengths, block_s=None,
-               head_block=8):
+               head_block=32):
             return paged_flash_decode(q, k_pages, v_pages, table, lengths,
                                       head_block=head_block)
     elif args.variant == "paged_int8":
@@ -64,7 +64,7 @@ def main() -> int:
         )
 
         def fn(q, k_pages, ks, v_pages, vs, table, lengths, block_s=None,
-               head_block=8):
+               head_block=32):
             return paged_flash_decode_int8(q, k_pages, ks, v_pages, vs,
                                            table, lengths,
                                            head_block=head_block)

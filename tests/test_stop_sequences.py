@@ -125,3 +125,12 @@ def test_cancel_paged_chunking():
     assert r.finish_reason == "cancelled"
     assert s.n_chunking == 0 and not s.has_work
     assert s.alloc.n_free > pool_free_before  # pages returned
+
+
+def test_stop_enforced_without_on_text():
+    """Batch callers set stop+detok without a streaming callback; the
+    stop must still retire the request (detection != emission)."""
+    r = Request(prompt=[1], stop=[b"END"],
+                detok=lambda t: {0: b"x EN", 1: b"D y"}[t])
+    assert not r.feed_text(0)
+    assert r.feed_text(1)

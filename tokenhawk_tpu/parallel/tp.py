@@ -36,7 +36,6 @@ from tokenhawk_tpu.ops import (
     apply_rope,
     attend_cache,
     matmul,
-    rms_norm,
     rope_cos_sin,
     update_kv_cache,
 )

@@ -114,7 +114,7 @@ def make_paged_prefill_fn(cfg: LlamaConfig):
     return prefill
 
 
-def make_paged_prefill_cont_fn(cfg: LlamaConfig, chunk: int):
+def make_paged_prefill_cont_fn(cfg: LlamaConfig):
     """Chunked-prefill step: one C-token chunk of one prompt attends to
     the slot's pages so far and writes its own KV in place
     (models/llama.forward_paged_prefill_cont)."""
@@ -198,8 +198,7 @@ class PagedScheduler:
             raise ValueError(
                 "chunked prefill / prefix cache require bf16 pages")
         if prefill_chunk is not None or prefix_cache:
-            self._prefill_cont = make_paged_prefill_cont_fn(
-                cfg, prefill_chunk or page_size)
+            self._prefill_cont = make_paged_prefill_cont_fn(cfg)
         # Mid-admission long prompts: slot -> (request, tokens prefilled).
         self.chunking: List[Optional[tuple]] = [None] * self.B
 
@@ -273,11 +272,19 @@ class PagedScheduler:
 
     # -- automatic prefix cache ----------------------------------------
 
-    def _prefix_key(self, prompt, n_pages: int) -> bytes:
+    def _prefix_keys(self, prompt, n_pages: int):
+        """Content keys for the first n_pages full pages, hashed
+        incrementally (one pass over the prompt, a digest per page —
+        rehashing each growing prefix from scratch is O(pages^2))."""
         import hashlib
 
-        pre = np.asarray(prompt[: n_pages * self.ps], np.int32)
-        return hashlib.blake2b(pre.tobytes(), digest_size=16).digest()
+        h = hashlib.blake2b(digest_size=16)
+        keys = []
+        toks = np.asarray(prompt, np.int32)
+        for p in range(n_pages):
+            h.update(toks[p * self.ps : (p + 1) * self.ps].tobytes())
+            keys.append(h.copy().digest())
+        return keys
 
     def _alloc_pages(self, k: int):
         """Allocate k pages, evicting idle (refcount-0) cached prefix
@@ -297,6 +304,18 @@ class PagedScheduler:
                         break
             return self.alloc.alloc(k)
 
+    def _table_slice(self, slot: int, n_tokens: int):
+        """Table row truncated to a power-of-two page count covering
+        n_tokens: the continuation prefill gathers exactly this many
+        pages per layer, so chunk cost scales with the live history, not
+        max_seq (the full row would gather max_pages*ps positions)."""
+        need = -(-n_tokens // self.ps)
+        n = 1
+        while n < need:
+            n *= 2
+        n = min(n, self.max_pages)
+        return self.table[slot : slot + 1, :n]
+
     def _reuse_prefix(self, slot: int, prompt) -> int:
         """Point the slot's leading table entries at cached pages shared
         with earlier prompts.  Returns tokens covered.  Caps at the page
@@ -304,16 +323,18 @@ class PagedScheduler:
         run to produce the first logits)."""
         if not self.prefix_cache_enabled:
             return 0
+        max_pages = (len(prompt) - 1) // self.ps
+        keys = self._prefix_keys(prompt, max_pages)
         n = 0
-        while (n + 1) * self.ps <= len(prompt) - 1:
-            page = self._pc.get(self._prefix_key(prompt, n + 1))
+        for key in keys:
+            page = self._pc.get(key)
             if page is None:
                 break
             self.table[slot, n] = page
             self.slot_pages[slot].append(page)
             self.slot_shared[slot].add(n)
             self.page_refs[page] = self.page_refs.get(page, 0) + 1
-            self._pc.move_to_end(self._prefix_key(prompt, n + 1))
+            self._pc.move_to_end(key)
             self.prefix_hits += 1
             n += 1
         return n * self.ps
@@ -325,10 +346,11 @@ class PagedScheduler:
         if not self.prefix_cache_enabled:
             return
         max_reg = (len(prompt) - 1) // self.ps
+        keys = self._prefix_keys(prompt, max_reg)
         for pidx in range(max_reg):
             if pidx in self.slot_shared[slot]:
                 continue  # reused: already cached
-            key = self._prefix_key(prompt, pidx + 1)
+            key = keys[pidx]
             if key in self._pc:
                 continue
             page = int(self.table[slot, pidx])
@@ -390,7 +412,7 @@ class PagedScheduler:
             toks[0, :remaining] = prompt[reused:]
             self.cache, logits = self._prefill_cont(
                 self.params, self.cache, jnp.asarray(toks),
-                jnp.asarray(self.table[slot : slot + 1]),
+                jnp.asarray(self._table_slice(slot, len(prompt))),
                 jnp.asarray([reused], jnp.int32),
                 jnp.asarray([remaining], jnp.int32),
             )
@@ -420,6 +442,12 @@ class PagedScheduler:
         C = self.prefill_chunk
         n_new = min(C, len(prompt) - pos)
         if not self._ensure_pages(slot, pos + n_new):
+            # Transient shortage: live slots retiring can free capacity,
+            # so keep the chunking state and retry next step (same
+            # discipline as admission).  Only fail when nothing else in
+            # flight could ever free pages.
+            if self.n_active > 0 or self.n_chunking > 1:
+                return
             self.chunking[slot] = None
             self._release_slot_pages(slot)
             req.finish_reason = "oom_pages"
@@ -433,7 +461,7 @@ class PagedScheduler:
         toks[0, :n_new] = prompt[pos : pos + n_new]
         self.cache, logits = self._prefill_cont(
             self.params, self.cache, jnp.asarray(toks),
-            jnp.asarray(self.table[slot : slot + 1]),
+            jnp.asarray(self._table_slice(slot, pos + n_new)),
             jnp.asarray([pos], jnp.int32),
             jnp.asarray([n_new], jnp.int32),
         )
@@ -578,12 +606,12 @@ class PagedScheduler:
     # -- serving compatibility (serving/server.py drives either
     #    scheduler through the same surface) ---------------------------
 
-    def cancel(self, req: "Request") -> bool:
+    def cancel(self, req: "Request", reason: str = "cancelled") -> bool:
         """Abort a request: drops it from the queue, frees its slot, or
         abandons a mid-chunking admission (pages returned to the pool)."""
         if req in self.pending:
             self.pending.remove(req)
-            req.finish_reason = "cancelled"
+            req.finish_reason = reason
             req.done_at = time.perf_counter()
             self.finished.append(req)
             if req.on_done:
@@ -593,7 +621,7 @@ class PagedScheduler:
             if c is not None and c[0] is req:
                 self.chunking[slot] = None
                 self._release_slot_pages(slot)
-                req.finish_reason = "cancelled"
+                req.finish_reason = reason
                 req.done_at = time.perf_counter()
                 self.finished.append(req)
                 if req.on_done:
@@ -601,7 +629,7 @@ class PagedScheduler:
                 return True
         for slot, r in enumerate(self.slots):
             if r is req:
-                self._retire(slot, "cancelled")
+                self._retire(slot, reason)
                 return True
         return False
 

@@ -82,19 +82,22 @@ class Request:
         Returns True if a stop sequence matched (caller retires the
         slot).  Emits via on_text; never emits matched stop text, and
         holds back any tail that could still become a stop prefix."""
-        if self.detok is None or self.on_text is None:
+        if self.detok is None:
             return False
+
+        def emit(chunk: bytes):
+            if chunk and self.on_text is not None:
+                self.on_text(chunk)
+
         b = self.detok(tok)
         if not self.stop:
-            if b:
-                self.on_text(b)
+            emit(b)
             return False
         buf = self._text_buf + b
         hit = min((i for i in (buf.find(s) for s in self.stop) if i >= 0),
                   default=-1)
         if hit >= 0:
-            if hit and self.on_text:
-                self.on_text(buf[:hit])
+            emit(buf[:hit])
             self._text_buf = b""
             return True
         # Longest suffix of buf that is a proper prefix of some stop.
@@ -104,14 +107,13 @@ class Request:
                 if buf.endswith(s[:n]):
                     hold = max(hold, n)
                     break
-        if len(buf) > hold:
-            self.on_text(buf[: len(buf) - hold])
+        emit(buf[: len(buf) - hold] if hold else buf)
         self._text_buf = buf[len(buf) - hold :] if hold else b""
         return False
 
     def flush_text(self):
         """Emit any held-back text (stream ended without a stop match)."""
-        if self._text_buf and self.on_text:
+        if self._text_buf and self.on_text is not None:
             self.on_text(self._text_buf)
         self._text_buf = b""
 
@@ -565,13 +567,13 @@ class Scheduler:
         if req.on_done:
             req.on_done(req)
 
-    def cancel(self, req: "Request") -> bool:
+    def cancel(self, req: "Request", reason: str = "cancelled") -> bool:
         """Abort a request (client disconnect): frees its slot or drops
         it from the queue.  Call from the scheduler thread (the serving
         loop routes cancels through its inbox)."""
         if req in self.pending:
             self.pending.remove(req)
-            req.finish_reason = "cancelled"
+            req.finish_reason = reason
             req.done_at = time.perf_counter()
             self.finished.append(req)
             if req.on_done:
@@ -579,7 +581,7 @@ class Scheduler:
             return True
         for slot, r in enumerate(self.slots):
             if r is req:
-                self._retire(slot, "cancelled")
+                self._retire(slot, reason)
                 return True
         return False
 

@@ -176,6 +176,12 @@ class ServingLoop:
                 for slot, req in enumerate(self.scheduler.slots):
                     if req is not None:
                         self.scheduler._retire(slot, f"error:{type(e).__name__}")
+                for c in list(getattr(self.scheduler, "chunking", [])):
+                    if c is not None:
+                        # mid-chunking admission: fail it too, or its SSE
+                        # consumer blocks forever after a state rebuild
+                        self.scheduler.cancel(
+                            c[0], f"error:{type(e).__name__}")
                 if self.stats["consecutive_errors"] >= self.RECOVER_AFTER:
                     # Repeated failures: assume poisoned device state and
                     # rebuild it (pending requests survive and re-admit).
