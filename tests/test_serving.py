@@ -150,3 +150,45 @@ def test_cancel_on_client_disconnect():
     finally:
         httpd.shutdown()
         httpd.serving_loop.stop()
+
+
+def test_paged_session_replay_with_prefix_cache():
+    """Multi-turn on the paged scheduler: the serving loop replays the
+    conversation text, and the prefix cache turns the replay into page
+    reuse (second turn's TTFT prefills mostly new tokens)."""
+    from tokenhawk_tpu.runtime.paged_scheduler import PagedScheduler
+
+    rng = np.random.default_rng(14)
+    params = params_from_ggml(CFG, make_ggml_weights(CFG, rng),
+                              dtype=jnp.float32)
+    sched = PagedScheduler(CFG, params,
+                           sampling=SamplingConfig(temperature=0.0),
+                           max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                           decode_chunk=4, page_size=8, n_pages=24,
+                           prefix_cache=True)
+    httpd = serve(sched, byte_fallback_vocab(), host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            return urllib.request.urlopen(req, timeout=240).read().decode()
+
+        b1 = post({"prompt": "hello there friend", "max_tokens": 3,
+                   "session": "s1"})
+        assert "event: done" in b1
+        hits0 = sched.prefix_hits
+        b2 = post({"prompt": " and more", "max_tokens": 3, "session": "s1"})
+        assert "event: done" in b2
+        # the replayed first turn reused cached pages
+        assert sched.prefix_hits > hits0
+        # reset clears the history
+        b3 = post({"prompt": "[cmd] reset", "session": "s1"})
+        assert "reset" in b3
+        assert "s1" not in httpd.serving_loop._session_hist
+    finally:
+        httpd.shutdown()
+        httpd.serving_loop.stop()

@@ -133,6 +133,11 @@ def make_paged_prefill_cont_fn(cfg: LlamaConfig):
 
 
 class PagedScheduler:
+    # No KV-pinned sessions; the serving loop replays conversation text
+    # instead, and the prefix cache makes the replay prefill only the
+    # new tokens (serving/server.py ServingLoop.submit_text).
+    native_sessions = False
+
     def __init__(
         self,
         cfg: LlamaConfig,

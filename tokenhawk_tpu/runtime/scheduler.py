@@ -184,6 +184,8 @@ def _kill_slot(done, slot):
 
 
 class Scheduler:
+    native_sessions = True  # KV-pinned multi-turn sessions (see Session)
+
     def __init__(
         self,
         cfg: LlamaConfig,

@@ -42,6 +42,11 @@ class ServingLoop:
         self.tokenizer = tokenizer
         self._inbox: "queue.Queue" = queue.Queue()
         self._wake = threading.Event()
+        # Text-replay sessions for schedulers without KV-pinned sessions
+        # (PagedScheduler): sid -> conversation text so far.  The replay
+        # re-prefills, but with the prefix cache on, only the new tokens
+        # actually compute.
+        self._session_hist: dict = {}
         self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         import time as _time
@@ -105,9 +110,15 @@ class ServingLoop:
             self._inbox.put(("reset", session, out))
             self._wake.set()
             return out
+        native = getattr(self.scheduler, "native_sessions", True)
+        if session is not None and not native:
+            # Replay the conversation text: correct on any scheduler, and
+            # the paged prefix cache turns the replay into a prefix reuse.
+            prompt = self._session_hist.get(session, "") + prompt
         # BOS only opens a conversation; continuations append mid-stream.
         is_continuation = (
-            session is not None and session in self.scheduler.sessions
+            native and session is not None
+            and session in self.scheduler.sessions
         )
         ids = self.tokenizer.encode_prompt(prompt, add_bos=not is_continuation)
 
@@ -116,6 +127,10 @@ class ServingLoop:
 
         def on_done(req: Request):
             self.stats["completed"] += 1
+            if session is not None and not native \
+                    and not req.finish_reason.startswith("error"):
+                self._session_hist[session] = (
+                    prompt + self.tokenizer.decode(req.output))
             out.put(("__done__", req.finish_reason))
             out.put(_SENTINEL)
 
@@ -146,6 +161,7 @@ class ServingLoop:
                 if isinstance(item, tuple) and item[0] == "reset":
                     _, sid, out = item
                     self.scheduler.reset_session(sid)
+                    self._session_hist.pop(sid, None)
                     out.put("LLM context reset.")
                     out.put(("__done__", "reset"))
                     out.put(_SENTINEL)
