@@ -208,3 +208,21 @@ def test_infeasible_request_fails_instead_of_livelock(params):
         s.step()
     assert not s.has_work
     assert r.finish_reason == "oom_pages"
+
+
+def test_chunked_prefill_and_prefix_cache_int8(params):
+    """Chunked prefill + prefix caching over int8 pages: outputs match
+    the single-shot int8 admission (same quantized-page contents)."""
+    rng = np.random.default_rng(35)
+    prompt = [1] + rng.integers(3, 500, 40).tolist()
+    kw = dict(sampling=GREEDY, max_batch=1, decode_chunk=4,
+              page_size=16, n_pages=16, cache_dtype="int8")
+    s0 = PagedScheduler(CFG, params, **kw)
+    [want] = s0.generate_many([prompt], max_new_tokens=5)
+    s = PagedScheduler(CFG, params, prefill_chunk=16, prefix_cache=True,
+                       **kw)
+    [r1] = s.generate_many([prompt], max_new_tokens=5)
+    assert r1.output == want.output
+    [r2] = s.generate_many([prompt], max_new_tokens=5)
+    assert r2.output == want.output
+    assert s.prefix_hits == 2

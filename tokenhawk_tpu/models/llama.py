@@ -606,7 +606,7 @@ def forward_paged_prefill_cont(
     cfg: LlamaConfig,
     params: LlamaParams,
     tokens: jax.Array,  # [B, C] int32 (one chunk of a long prompt)
-    cache,  # runtime.paged.PagedKVCache (bf16 pages)
+    cache,  # runtime.paged.PagedKVCache or PagedQuantKVCache
     page_table: jax.Array,  # [B, max_pages]
     start: jax.Array,  # [B] int32 position of tokens[:, 0] (page-aligned)
     n_new: jax.Array,  # [B] valid tokens in this chunk
@@ -622,10 +622,12 @@ def forward_paged_prefill_cont(
     whole long-prompt prefill.  Returns (hidden [B, C, D], new cache).
     """
     from tokenhawk_tpu.runtime.paged import (
-        gather_kv,
+        PagedQuantKVCache,
         paginate_fragment_layer_at,
+        paginate_fragment_layer_int8_at,
     )
 
+    quant = isinstance(cache, PagedQuantKVCache)
     B, C = tokens.shape
     H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
     x = params.tok_embd[tokens].astype(params.tok_embd.dtype)
@@ -640,7 +642,7 @@ def forward_paged_prefill_cont(
     start_page = start // ps
 
     def body(x, layer_inputs):
-        lp, (k_l, v_l) = layer_inputs[0], layer_inputs[1:]
+        lp, lcache = layer_inputs[0], layer_inputs[1:]
         Dq, Dkv = H * Dh, Hkv * Dh
         if lp.wqkv is not None:
             qkv = matmul(x, lp.wqkv, lp.attn_norm, eps=cfg.rms_norm_eps)
@@ -659,18 +661,38 @@ def forward_paged_prefill_cont(
 
         k_b = jnp.swapaxes(k, 1, 2)  # [B, Hkv, C, Dh]
         v_b = jnp.swapaxes(v, 1, 2)
-        k_l = paginate_fragment_layer_at(k_l, k_b, page_table, start_page)
-        v_l = paginate_fragment_layer_at(v_l, v_b, page_table, start_page)
-        # Gather history + self from the pages (slot p*ps+i holds global
-        # position p*ps+i, so the causal mask in attend_cache is exact;
-        # trash/garbage pages sit at positions > every query and mask out).
-        kg = jnp.swapaxes(k_l[:, page_table], 0, 1)
-        vg = jnp.swapaxes(v_l[:, page_table], 0, 1)
         mp = page_table.shape[1]
-        ctx = attend_cache(
-            q, kg.reshape(B, Hkv, mp * ps, Dh),
-            vg.reshape(B, Hkv, mp * ps, Dh), positions,
-        )
+        # Write the fragment first, then gather history + self from the
+        # pages (slot p*ps+i holds global position p*ps+i, so the causal
+        # mask in attend_cache is exact; trash/garbage pages sit at
+        # positions > every query and mask out).
+        if quant:
+            k_l, ks_l, v_l, vs_l = lcache
+            k_l, ks_l = paginate_fragment_layer_int8_at(
+                k_l, ks_l, k_b, page_table, start_page)
+            v_l, vs_l = paginate_fragment_layer_int8_at(
+                v_l, vs_l, v_b, page_table, start_page)
+            lcache = (k_l, ks_l, v_l, vs_l)
+
+            def dq(pages, spages):
+                g = jnp.swapaxes(pages[:, page_table], 0, 1)
+                sg = jnp.swapaxes(spages[:, page_table], 0, 1)
+                g = g.astype(x.dtype) * sg[..., None].astype(x.dtype)
+                return g.reshape(B, Hkv, mp * ps, Dh)
+
+            kg, vg = dq(k_l, ks_l), dq(v_l, vs_l)
+        else:
+            k_l, v_l = lcache
+            k_l = paginate_fragment_layer_at(k_l, k_b, page_table,
+                                             start_page)
+            v_l = paginate_fragment_layer_at(v_l, v_b, page_table,
+                                             start_page)
+            lcache = (k_l, v_l)
+            kg = jnp.swapaxes(k_l[:, page_table], 0, 1).reshape(
+                B, Hkv, mp * ps, Dh)
+            vg = jnp.swapaxes(v_l[:, page_table], 0, 1).reshape(
+                B, Hkv, mp * ps, Dh)
+        ctx = attend_cache(q, kg, vg, positions)
         x = x + matmul(ctx.reshape(B, C, H * Dh), lp.wo)
 
         F = cfg.n_ff
@@ -682,7 +704,7 @@ def forward_paged_prefill_cont(
             u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
         gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
         x = x + matmul(gate * u, lp.w2)
-        return x, (k_l, v_l)
+        return x, lcache
 
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)

@@ -341,6 +341,47 @@ def paginate_fragment_layer_int8(
     return pages, spages
 
 
+def paginate_fragment_layer_int8_at(
+    pages: jax.Array,  # int8 [Hkv, n_pages, ps, Dh]
+    spages: jax.Array,  # f32 [Hkv, n_pages, ps]
+    frag: jax.Array,  # [B, Hkv, C, Dh] dense fragment
+    page_table: jax.Array,  # [B, max_pages]
+    start_page: jax.Array,  # [B] logical page of frag's first row
+):
+    """paginate_fragment_layer_int8 at a page-aligned offset (chunked
+    prefill over int8 pages)."""
+    from tokenhawk_tpu.ops.kvquant import quantize_kv_block
+
+    B, Hkv, C, Dh = frag.shape
+    ps = pages.shape[2]
+    q8, sc = quantize_kv_block(frag)
+    n_frag_pages = -(-C // ps)
+    for p in range(n_frag_pages):
+        chunk = q8[:, :, p * ps : (p + 1) * ps, :]
+        schunk = sc[:, :, p * ps : (p + 1) * ps]
+        pad = ps - chunk.shape[2]
+        if pad:
+            chunk = jnp.pad(chunk, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            schunk = jnp.pad(schunk, ((0, 0), (0, 0), (0, pad)))
+        page = jnp.take_along_axis(
+            page_table, (start_page + p)[:, None], axis=1)[:, 0]
+
+        def write(b, carry):
+            pages, spages = carry
+            pages = jax.lax.dynamic_update_slice(
+                pages, chunk[b].astype(pages.dtype)[:, None, :, :],
+                (0, page[b], 0, 0),
+            )
+            spages = jax.lax.dynamic_update_slice(
+                spages, schunk[b].astype(spages.dtype)[:, None, :],
+                (0, page[b], 0),
+            )
+            return pages, spages
+
+        pages, spages = jax.lax.fori_loop(0, B, write, (pages, spages))
+    return pages, spages
+
+
 def attend_paged_layer_int8(
     q: jax.Array,  # [B, 1, H, Dh]
     k_pages_l: jax.Array,  # int8 [Hkv, n_pages, ps, Dh]

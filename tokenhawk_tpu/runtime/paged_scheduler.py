@@ -157,15 +157,14 @@ class PagedScheduler:
         chunks interleaved with decode steps, so one long prompt never
         stalls the other slots' token streams for a full prefill (the
         "chunked prefill" serving discipline).  Must be a multiple of
-        page_size; bf16 pages only (int8 admission stays single-shot).
-        None = classic single-shot admission.
+        page_size.  None = classic single-shot admission.
 
         prefix_cache: automatic cross-request prefix caching — full
         prompt pages register under a content hash and later prompts
         sharing the prefix reuse them (refcounted; idle cached pages
         evict LRU under pool pressure), prefilling only the uncached
         suffix.  Prompt KV depends only on the prefix tokens, so reuse
-        is bit-identical.  bf16 pages only."""
+        is bit-identical."""
         self.cfg = cfg
         self.params = params
         self.sampling = sampling
@@ -198,10 +197,6 @@ class PagedScheduler:
         self.prefill_chunk = prefill_chunk
         if prefill_chunk is not None and prefill_chunk % page_size:
             raise ValueError("prefill_chunk must be a page_size multiple")
-        if (prefill_chunk is not None or prefix_cache) \
-                and cache_dtype == "int8":
-            raise ValueError(
-                "chunked prefill / prefix cache require bf16 pages")
         if prefill_chunk is not None or prefix_cache:
             self._prefill_cont = make_paged_prefill_cont_fn(cfg)
         # Mid-admission long prompts: slot -> (request, tokens prefilled).
