@@ -192,3 +192,46 @@ def test_paged_session_replay_with_prefix_cache():
     finally:
         httpd.shutdown()
         httpd.serving_loop.stop()
+
+
+def test_openai_completions_json(server):
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps({"prompt": "Hi", "max_tokens": 4}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    body = json.loads(urllib.request.urlopen(req, timeout=120).read())
+    assert body["object"] == "text_completion"
+    assert body["choices"][0]["finish_reason"] in ("stop", "length")
+    assert isinstance(body["choices"][0]["text"], str)
+    assert body["usage"]["completion_tokens"] >= 0
+
+
+def test_openai_completions_stream(server):
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps({"prompt": "Hi", "max_tokens": 4,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    body = urllib.request.urlopen(req, timeout=120).read().decode()
+    assert body.rstrip().endswith("data: [DONE]")
+    lines = [l for l in body.splitlines() if l.startswith("data: ")
+             and l != "data: [DONE]"]
+    chunks = [json.loads(l[6:]) for l in lines]
+    assert all(c["object"] == "text_completion" for c in chunks)
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_openai_completions_bad_request(server):
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps({"max_tokens": 4}).encode(),  # no prompt
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read())["error"]["type"] == "invalid_request_error"

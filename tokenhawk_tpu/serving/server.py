@@ -12,6 +12,11 @@ Endpoints:
   GET  /health      JSON liveness + model info
   POST /generate    {"prompt": str, "max_tokens": int, "stop": [str], ...}
                     -> text/event-stream of {"token": str} events
+  POST /v1/completions
+                    OpenAI-compatible completions: {"prompt", "max_tokens",
+                    "temperature", "top_p", "stop", "stream", "seed"} ->
+                    OpenAI JSON (or SSE chunks with stream=true), so
+                    existing OpenAI-client tooling points here unchanged.
 """
 
 from __future__ import annotations
@@ -236,7 +241,113 @@ def _make_handler(loop: ServingLoop, model_info: dict):
             else:
                 self._send(404, b"not found", "text/plain")
 
+        def _openai_completions(self):
+            import time as _time
+            import uuid
+
+            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                prompt = payload["prompt"]
+                if isinstance(prompt, list):  # OpenAI allows a batch of 1
+                    (prompt,) = prompt
+                max_tokens = int(payload.get("max_tokens", 16))
+                stream = bool(payload.get("stream", False))
+                stop = payload.get("stop")
+                if isinstance(stop, str):
+                    stop = [stop]
+                sampling = None
+                keys = ("temperature", "top_p", "seed")
+                if any(k in payload for k in keys):
+                    from tokenhawk_tpu.config import SamplingConfig
+
+                    d = SamplingConfig()
+                    sampling = SamplingConfig(
+                        temperature=float(payload.get("temperature",
+                                                      d.temperature)),
+                        top_p=float(payload.get("top_p", d.top_p)),
+                        top_k=d.top_k,
+                        seed=int(payload.get("seed", d.seed)),
+                    )
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError):
+                self._send(400, json.dumps(
+                    {"error": {"message": "bad request",
+                               "type": "invalid_request_error"}}).encode(),
+                    "application/json")
+                return
+
+            out = loop.submit_text(prompt, max_tokens, sampling=sampling,
+                                   stop=stop)
+            cid = f"cmpl-{uuid.uuid4().hex[:24]}"
+            created = int(_time.time())
+            model = model_info.get("model", "tokenhawk-tpu")
+
+            def finish_of(reason):
+                return {"eos": "stop", "stop": "stop",
+                        "length": "length",
+                        "context_full": "length"}.get(reason, "stop")
+
+            if stream:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                try:
+                    reason = ""
+                    while True:
+                        piece = out.get()
+                        if piece is _SENTINEL:
+                            done = {"id": cid, "object": "text_completion",
+                                    "created": created, "model": model,
+                                    "choices": [{"index": 0, "text": "",
+                                                 "finish_reason":
+                                                     finish_of(reason)}]}
+                            self.wfile.write(
+                                f"data: {json.dumps(done)}\n\n".encode())
+                            self.wfile.write(b"data: [DONE]\n\n")
+                            self.wfile.flush()
+                            break
+                        if isinstance(piece, tuple) and piece[0] == "__done__":
+                            reason = piece[1]
+                            continue
+                        chunk = {"id": cid, "object": "text_completion",
+                                 "created": created, "model": model,
+                                 "choices": [{"index": 0, "text": piece,
+                                              "finish_reason": None}]}
+                        self.wfile.write(
+                            f"data: {json.dumps(chunk)}\n\n".encode())
+                        self.wfile.flush()
+                except OSError:
+                    req = getattr(out, "request", None)
+                    if req is not None:
+                        loop.cancel(req)
+                return
+
+            parts, reason = [], ""
+            while True:
+                piece = out.get()
+                if piece is _SENTINEL:
+                    break
+                if isinstance(piece, tuple) and piece[0] == "__done__":
+                    reason = piece[1]
+                    continue
+                parts.append(piece)
+            body = json.dumps({
+                "id": cid, "object": "text_completion", "created": created,
+                "model": model,
+                "choices": [{"index": 0, "text": "".join(parts),
+                             "logprobs": None,
+                             "finish_reason": finish_of(reason)}],
+                "usage": {"prompt_tokens": None,
+                          "completion_tokens": len(parts),
+                          "total_tokens": None},
+            }).encode()
+            self._send(200, body, "application/json")
+
         def do_POST(self):
+            if self.path == "/v1/completions":
+                self._openai_completions()
+                return
             if self.path != "/generate":
                 self._send(404, b"not found", "text/plain")
                 return
