@@ -156,14 +156,25 @@ def main(argv=None) -> int:
                    help="unroll layers (per-layer weight buffers; default)")
     p.add_argument("--no-unroll", dest="unroll", action="store_false",
                    help="stacked weights + lax.scan over layers")
-    p.add_argument("--mode", choices=["decode", "ttft"], default="decode",
-                   help="ttft: time prefill + first token instead of decode")
+    p.add_argument("--mode", choices=["decode", "ttft", "serve"],
+                   default="decode",
+                   help="ttft: time prefill + first token; serve: "
+                        "aggregate tok/s through the paged continuous-"
+                        "batching scheduler (production serving stack)")
+    p.add_argument("--requests", type=int, default=16,
+                   help="serve mode: concurrent requests to push through")
+    p.add_argument("--prefix-cache", action="store_true",
+                   help="serve mode: enable automatic prefix caching")
     p.add_argument("--kv", choices=["bf16", "int8"], default="bf16",
                    help="KV cache dtype (int8 halves KV traffic at long ctx)")
     p.add_argument("--rope", choices=["half", "interleaved"], default="half",
                    help="rope style; production loads permute wq/wk to "
                         "'half' (rope_half_params), so that is the default")
     args = p.parse_args(argv)
+    if args.mode == "serve":
+        # The paged forwards scan stacked [L, ...] layer weights; the
+        # unrolled tuple form is the dense-engine layout.
+        args.unroll = False
 
     # Each timing trial decodes up to (tokens//chunk + 1) chunks past the
     # prompt (+8 slack from recycling); never run past the cache.
@@ -247,22 +258,70 @@ def main(argv=None) -> int:
             return make_unrolled_cache(cfg, B, args.ctx, jnp.bfloat16)
         return KVCache.create(cfg, B, args.ctx, jnp.bfloat16)
 
-    cache = new_cache()
-    prefill = make_prefill_fn(cfg)
-    decode = make_decode_fn(cfg, SamplingConfig(temperature=0.0), args.chunk)
-
     rng = np.random.default_rng(0)
-    prompt = jnp.asarray(rng.integers(3, cfg.n_vocab, (B, args.prompt_tokens)),
-                         jnp.int32)
-    lengths = jnp.full((B,), args.prompt_tokens, jnp.int32)
-    offsets0 = jnp.zeros((B,), jnp.int32)
 
-    t0 = time.perf_counter()
-    cache, logits = prefill(params, cache, prompt, lengths, offsets0)
-    logits.block_until_ready()
-    prefill_s = time.perf_counter() - t0
-    print(f"prefill({args.prompt_tokens} tok): {prefill_s:.2f}s "
-          f"(incl. compile)", file=sys.stderr)
+    if args.mode != "serve":
+        cache = new_cache()
+        prefill = make_prefill_fn(cfg)
+        decode = make_decode_fn(cfg, SamplingConfig(temperature=0.0),
+                                args.chunk)
+        prompt = jnp.asarray(
+            rng.integers(3, cfg.n_vocab, (B, args.prompt_tokens)), jnp.int32)
+        lengths = jnp.full((B,), args.prompt_tokens, jnp.int32)
+        offsets0 = jnp.zeros((B,), jnp.int32)
+
+        t0 = time.perf_counter()
+        cache, logits = prefill(params, cache, prompt, lengths, offsets0)
+        logits.block_until_ready()
+        prefill_s = time.perf_counter() - t0
+        print(f"prefill({args.prompt_tokens} tok): {prefill_s:.2f}s "
+              f"(incl. compile)", file=sys.stderr)
+
+    if args.mode == "serve":
+        # Production-stack throughput: paged continuous batching with
+        # per-request sampling, chunked decode, page allocation — the
+        # whole scheduler in the loop (not just the raw decode fn).
+        from tokenhawk_tpu.runtime.paged_scheduler import PagedScheduler
+        from tokenhawk_tpu.runtime.scheduler import Request
+
+        sched = PagedScheduler(
+            cfg, params, SamplingConfig(temperature=0.0),
+            max_batch=B, max_seq=args.ctx, decode_chunk=args.chunk,
+            cache_dtype="int8" if args.kv == "int8" else jnp.bfloat16,
+            prefix_cache=args.prefix_cache,
+            n_pages=B * (args.ctx // 128) + 2,
+        )
+        gen_tokens = args.tokens
+        prompts = [
+            rng.integers(3, cfg.n_vocab, args.prompt_tokens).tolist()
+            for _ in range(args.requests)
+        ]
+        # warmup: one request end-to-end compiles prefill+decode
+        sched.generate_many([prompts[0]], max_new_tokens=args.chunk)
+        t0 = time.perf_counter()
+        reqs = [Request(prompt=pr, max_new_tokens=gen_tokens)
+                for pr in prompts]
+        for r in reqs:
+            sched.submit(r)
+        while sched.has_work:
+            sched.step()
+        wall = time.perf_counter() - t0
+        total = sum(len(r.output) for r in reqs)
+        tps = total / wall
+        ttfts = sorted(r.ttft_seconds for r in reqs if r.ttft_seconds)
+        p50 = ttfts[len(ttfts) // 2] * 1e3 if ttfts else 0.0
+        print(f"serve: {args.requests} reqs x {args.prompt_tokens} prompt "
+              f"-> {total} tokens in {wall:.2f}s over {B} slots; "
+              f"TTFT p50 {p50:.0f} ms", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"llama7b_{args.quant}_serve_agg_tokens_per_sec_b{B}"
+                      + ("_kvint8" if args.kv == "int8" else "")
+                      + ("_pc" if args.prefix_cache else ""),
+            "value": round(tps, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(tps / 37.0, 3),
+        }))
+        return 0
 
     if args.mode == "ttft":
         # TTFT = prefill + first-token logits, steady state (cache hot).
