@@ -1,0 +1,22 @@
+#!/bin/bash
+# Full BASELINE bench matrix on the real chip; appends JSON lines to
+# BENCH_MATRIX.jsonl and progress to stderr.  Run after any kernel work
+# (and when the tunneled chip comes back from an outage).
+set -u
+cd "$(dirname "$0")/.."
+out=BENCH_MATRIX.jsonl
+run() {
+    echo "=== $* ===" >&2
+    timeout 1500 python bench.py "$@" 2>&1 | tee /dev/stderr | grep '^{' >> "$out"
+}
+run --quant q4_0 --tokens 256 --chunk 32
+run --quant q4_0 --tokens 256 --chunk 32 --rope interleaved
+run --quant q4_0 --ctx 2048 --prompt-tokens 1024 --tokens 256 --kv int8
+run --quant q8_0 --tokens 128
+run --quant f16 --tokens 64
+run --quant q4_0 --mode ttft --prompt-tokens 512
+run --quant q4_0 --batch 8 --ctx 1024 --tokens 128
+run --quant q4_0 --mode serve --requests 24 --batch 8 --ctx 1024 \
+    --prompt-tokens 128 --tokens 64
+run --quant q4_0 --mode serve --requests 24 --batch 8 --ctx 1024 \
+    --prompt-tokens 128 --tokens 64 --prefix-cache

@@ -235,3 +235,10 @@ def test_openai_completions_bad_request(server):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert json.loads(e.read())["error"]["type"] == "invalid_request_error"
+
+
+def test_openai_models_endpoint(server):
+    body = json.loads(urllib.request.urlopen(
+        server + "/v1/models", timeout=60).read())
+    assert body["object"] == "list"
+    assert body["data"][0]["id"] == "tiny-test"

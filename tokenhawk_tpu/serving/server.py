@@ -238,6 +238,12 @@ def _make_handler(loop: ServingLoop, model_info: dict):
             elif self.path == "/health":
                 body = json.dumps({**loop.health(), **model_info}).encode()
                 self._send(200, body, "application/json")
+            elif self.path == "/v1/models":
+                mid = model_info.get("model", "tokenhawk-tpu")
+                body = json.dumps({"object": "list", "data": [
+                    {"id": mid, "object": "model",
+                     "owned_by": "tokenhawk-tpu"}]}).encode()
+                self._send(200, body, "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
 
