@@ -710,6 +710,80 @@ def forward_paged_prefill_cont(
     return x, type(cache)(*new)
 
 
+def forward_paged_verify(
+    cfg: LlamaConfig,
+    params: LlamaParams,
+    tokens: jax.Array,  # [B, T] int32 (speculative verify block)
+    cache,  # runtime.paged.PagedKVCache (bf16 pages)
+    page_table: jax.Array,  # [B, max_pages]
+    start: jax.Array,  # [B] int32 position of tokens[:, 0] (ANY offset)
+    adv: jax.Array,  # [B] int32 1 = live (positions advance), 0 = frozen
+):
+    """Multi-token forward over paged KV at an arbitrary (unaligned)
+    offset — the target-verify step of speculative decoding.  Each
+    token's KV lands via a per-token page write (T = gamma+1 is small);
+    rejected drafts' writes sit beyond the committed frontier and are
+    overwritten by the next round, exactly like the dense no-rollback
+    scheme (runtime/speculative.py).  Frozen slots (adv=0) keep writing
+    at their frontier, invisible to length-masked attention.
+
+    Returns (hidden [B, T, D], new cache).
+    """
+    from tokenhawk_tpu.runtime.paged import append_token_layer
+
+    B, T = tokens.shape
+    H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    x = params.tok_embd[tokens].astype(params.tok_embd.dtype)
+    positions = start[:, None] + adv[:, None] * jnp.arange(T, dtype=jnp.int32)[None, :]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    ps = cache.page_size
+    mp = page_table.shape[1]
+
+    def body(x, layer_inputs):
+        lp, (k_l, v_l) = layer_inputs[0], layer_inputs[1:]
+        Dq, Dkv = H * Dh, Hkv * Dh
+        if lp.wqkv is not None:
+            qkv = matmul(x, lp.wqkv, lp.attn_norm, eps=cfg.rms_norm_eps)
+            q = qkv[..., :Dq].reshape(B, T, H, Dh)
+            k = qkv[..., Dq : Dq + Dkv].reshape(B, T, Hkv, Dh)
+            v = qkv[..., Dq + Dkv :].reshape(B, T, Hkv, Dh)
+        else:
+            q = matmul(x, lp.wq, lp.attn_norm,
+                       eps=cfg.rms_norm_eps).reshape(B, T, H, Dh)
+            k = matmul(x, lp.wk, lp.attn_norm,
+                       eps=cfg.rms_norm_eps).reshape(B, T, Hkv, Dh)
+            v = matmul(x, lp.wv, lp.attn_norm,
+                       eps=cfg.rms_norm_eps).reshape(B, T, Hkv, Dh)
+        q = apply_rope(q, cos, sin, cfg.rope_style)
+        k = apply_rope(k, cos, sin, cfg.rope_style)
+
+        for jj in range(T):  # per-token page writes (T = gamma+1, small)
+            k_l = append_token_layer(k_l, k[:, jj], page_table,
+                                     positions[:, jj])
+            v_l = append_token_layer(v_l, v[:, jj], page_table,
+                                     positions[:, jj])
+        kg = jnp.swapaxes(k_l[:, page_table], 0, 1).reshape(
+            B, Hkv, mp * ps, Dh)
+        vg = jnp.swapaxes(v_l[:, page_table], 0, 1).reshape(
+            B, Hkv, mp * ps, Dh)
+        ctx = attend_cache(q, kg, vg, positions)
+        x = x + matmul(ctx.reshape(B, T, H * Dh), lp.wo)
+
+        F = cfg.n_ff
+        if lp.w13 is not None:
+            gu = matmul(x, lp.w13, lp.ffn_norm, eps=cfg.rms_norm_eps)
+            g, u = gu[..., :F], gu[..., F:]
+        else:
+            g = matmul(x, lp.w1, lp.ffn_norm, eps=cfg.rms_norm_eps)
+            u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
+        gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+        x = x + matmul(gate * u, lp.w2)
+        return x, (k_l, v_l)
+
+    x, new = jax.lax.scan(body, x, (params.layers, *cache))
+    return x, type(cache)(*new)
+
+
 def logits_from_hidden(
     cfg: LlamaConfig, params: LlamaParams, hidden: jax.Array
 ) -> jax.Array:

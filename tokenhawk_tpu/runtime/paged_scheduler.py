@@ -152,6 +152,9 @@ class PagedScheduler:
         eos_id: int = EOS_ID,
         prefill_chunk: Optional[int] = None,
         prefix_cache: bool = False,
+        draft_cfg: Optional[LlamaConfig] = None,
+        draft_params: Optional[LlamaParams] = None,
+        gamma: int = 4,
     ):
         """prefill_chunk: admit prompts longer than this in page-aligned
         chunks interleaved with decode steps, so one long prompt never
@@ -164,10 +167,18 @@ class PagedScheduler:
         sharing the prefix reuse them (refcounted; idle cached pages
         evict LRU under pool pressure), prefilling only the uncached
         suffix.  Prompt KV depends only on the prefix tokens, so reuse
-        is bit-identical."""
+        is bit-identical.
+
+        draft_cfg/draft_params: speculative serving — a draft model
+        proposes gamma tokens per round, the target verifies them in one
+        paged multi-token pass (greedy-only; bit-identical to
+        non-speculative greedy).  The draft keeps a dense per-slot
+        cache."""
         self.cfg = cfg
         self.params = params
         self.sampling = sampling
+        self.spec = False
+        self.gamma = gamma
         self.B = max_batch
         self.S = max_seq or cfg.n_ctx
         self.ps = page_size
@@ -191,6 +202,34 @@ class PagedScheduler:
         self.table = np.full((self.B, self.max_pages), self.trash_page, np.int32)
         self.slot_pages: List[List[int]] = [[] for _ in range(self.B)]
         self.lengths = np.zeros((self.B,), np.int32)
+
+        self.spec = draft_params is not None
+        self.gamma = gamma
+        if self.spec:
+            if sampling.temperature != 0.0:
+                raise ValueError("speculative serving is greedy-only: "
+                                 "pass SamplingConfig(temperature=0)")
+            if draft_cfg.n_vocab != cfg.n_vocab:
+                raise ValueError("draft and target must share the vocab")
+            if cache_dtype == "int8":
+                raise ValueError("speculative serving needs bf16 pages")
+            if prefill_chunk is not None or prefix_cache:
+                raise ValueError("speculative serving does not compose "
+                                 "with chunked prefill / prefix cache yet")
+            from tokenhawk_tpu.models.llama import KVCache
+            from tokenhawk_tpu.runtime.engine import make_prefill_fn
+            from tokenhawk_tpu.runtime.speculative import (
+                make_spec_serving_fn_paged,
+            )
+
+            self.draft_cfg = draft_cfg
+            self.draft_params = draft_params
+            self.draft_cache = KVCache.create(
+                draft_cfg, max_batch, self.S,
+                jnp.bfloat16 if cache_dtype == "int8" else cache_dtype)
+            self._draft_prefill = make_prefill_fn(draft_cfg)
+            self._spec_step = make_spec_serving_fn_paged(
+                draft_cfg, cfg, gamma, eos_id)
 
         self._prefill = make_paged_prefill_fn(cfg)
         self._decode = make_paged_decode_fn_dynamic(cfg, decode_chunk, eos_id)
@@ -242,6 +281,14 @@ class PagedScheduler:
     def submit(self, req: Request) -> int:
         req.id = next(self._ids)
         req.submitted_at = time.perf_counter()
+        if (self.spec and req.sampling is not None
+                and req.sampling.temperature != 0.0):
+            req.finish_reason = "error:spec_greedy_only"
+            req.done_at = req.submitted_at
+            self.finished.append(req)
+            if req.on_done:
+                req.on_done(req)
+            return req.id
         if len(req.prompt) >= self.S:
             req.finish_reason = "error:prompt_too_long"
             req.done_at = req.submitted_at
@@ -430,9 +477,31 @@ class PagedScheduler:
             jnp.asarray([len(prompt)], jnp.int32),
             jnp.asarray(self.table[slot : slot + 1]),
         )
+        if self.spec:
+            self._spec_draft_prefill(slot, toks, len(prompt))
         self._register_prompt_pages(slot, prompt)
         self._activate(slot, req, logits)
         return True
+
+    def _spec_draft_prefill(self, slot: int, toks: np.ndarray, n: int):
+        """Mirror the admission prefill into the DRAFT's dense cache
+        stripe (its logits are unused; it only needs the KV state)."""
+        from tokenhawk_tpu.models.llama import KVCache
+        from tokenhawk_tpu.runtime.scheduler import (
+            _extract_stripe,
+            _insert_fragment,
+        )
+
+        frag = KVCache.create(self.draft_cfg, 1, toks.shape[1],
+                              self.draft_cache.k.dtype)
+        frag, _ = self._draft_prefill(
+            self.draft_params, frag, jnp.asarray(toks),
+            jnp.asarray([n], jnp.int32), jnp.asarray([0], jnp.int32),
+        )
+        self.draft_cache = type(self.draft_cache)(
+            _insert_fragment(self.draft_cache.k, frag.k, slot),
+            _insert_fragment(self.draft_cache.v, frag.v, slot),
+        )
 
     def _advance_chunking(self, slot: int):
         """Prefill the next chunk of a mid-admission prompt; activate the
@@ -514,7 +583,8 @@ class PagedScheduler:
         if len(req.output) >= req.max_new_tokens:
             self._retire(slot, "length")
             return False
-        if len(req.prompt) + len(req.output) >= self.S - 1:
+        margin = 1 + (self.gamma if self.spec else 0)
+        if len(req.prompt) + len(req.output) >= self.S - margin:
             self._retire(slot, "context_full")
             return False
         return True
@@ -563,15 +633,34 @@ class PagedScheduler:
         if self.n_active == 0:
             return
 
-        # Top up pages so every live slot can absorb a full chunk.
+        # Top up pages so every live slot can absorb a full chunk (or a
+        # speculative round's gamma+1 writes).
+        grow = (self.gamma + 1 if self.spec else self.decode_chunk) + 1
         for slot in range(self.B):
             if self.slots[slot] is not None:
                 if not self._ensure_pages(
-                    slot, int(self.lengths[slot]) + self.decode_chunk + 1
+                    slot, int(self.lengths[slot]) + grow
                 ):
                     self._retire(slot, "oom_pages")
 
         if self.n_active == 0:
+            return
+        if self.spec:
+            (self.draft_cache, self.cache, out, n_new, lengths_new,
+             self.done, self.last_tok) = self._spec_step(
+                self.draft_params, self.params, self.draft_cache,
+                self.cache, jnp.asarray(self.table), self.last_tok,
+                jnp.asarray(self.lengths), self.done,
+            )
+            self.lengths = np.array(lengths_new)  # writable copy
+            out_host = np.asarray(out)
+            n_host = np.asarray(n_new)
+            for slot in range(self.B):
+                if self.slots[slot] is None:
+                    continue
+                for t in out_host[slot, : n_host[slot]]:
+                    if not self._deliver(slot, int(t)):
+                        break
             return
         # Decode sees trash-page rows for mid-chunking slots: their done-
         # masked writes must not land on the pages being prefilled (free
@@ -664,6 +753,11 @@ class PagedScheduler:
         self.done = jnp.ones((self.B,), bool)
         self.counters = jnp.zeros((self.B,), jnp.int32)
         self.chunking = [None] * self.B
+        if self.spec:
+            from tokenhawk_tpu.models.llama import KVCache
+
+            self.draft_cache = KVCache.create(
+                self.draft_cfg, self.B, self.S, self.draft_cache.k.dtype)
         self._pc.clear()
         self.page_refs.clear()
         self.page_key.clear()

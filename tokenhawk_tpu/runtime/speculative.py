@@ -178,6 +178,72 @@ def make_spec_serving_fn(cfg_draft: LlamaConfig, cfg_target: LlamaConfig,
     return step
 
 
+def make_spec_serving_fn_paged(cfg_draft: LlamaConfig,
+                               cfg_target: LlamaConfig, gamma: int,
+                               eos_id: int = EOS_ID):
+    """make_spec_serving_fn over a PAGED target cache: the draft keeps a
+    dense per-slot cache (it is small), the target verify block writes
+    into pages at the slot's frontier (models/llama.forward_paged_verify)
+    and the accept/EOS/freeze rules match the dense fn exactly.
+
+    (params_d, params_t, cache_d, cache_t, table, last_tok, lengths, done)
+      -> (cache_d, cache_t, out [B, gamma+1] (-1 past n_new), n_new [B],
+          lengths', done', last_tok')
+    """
+    from tokenhawk_tpu.models.llama import forward_paged_verify
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(params_d, params_t, cache_d, cache_t, table, last_tok,
+             lengths, done):
+        B = last_tok.shape[0]
+        adv = (~done).astype(jnp.int32)
+
+        def dstep(carry, _):
+            cache_d, tok, off = carry
+            h, cache_d = forward(cfg_draft, params_d, tok[:, None],
+                                 cache_d, off)
+            lg = logits_from_hidden(cfg_draft, params_d, h[:, 0])
+            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            return (cache_d, nxt, off + adv), nxt
+
+        (cache_d, _, _), drafts = jax.lax.scan(
+            dstep, (cache_d, last_tok, lengths), None, length=gamma
+        )
+        drafts = drafts.T  # [B, gamma]
+
+        seq = jnp.concatenate([last_tok[:, None], drafts], axis=1)
+        h, cache_t = forward_paged_verify(
+            cfg_target, params_t, seq, cache_t, table, lengths, adv)
+        logits = logits_from_hidden(cfg_target, params_t, h)  # [B, g+1, V]
+        tgt = jnp.argmax(logits, -1).astype(jnp.int32)
+
+        match = drafts == tgt[:, :gamma]
+        k = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+
+        j = jnp.arange(gamma + 1)[None, :]
+        bonus = jnp.take_along_axis(tgt, k[:, None], axis=1)  # [B, 1]
+        drafts_pad = jnp.concatenate(
+            [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)
+        out = jnp.where(j < k[:, None], drafts_pad, -1)
+        out = jnp.where(j == k[:, None], bonus, out)
+
+        n_new = jnp.where(done, 0, k + 1)
+        is_eos = (out == eos_id) & (j < n_new[:, None])
+        eos_pos = jnp.min(jnp.where(is_eos, j, gamma + 1), axis=1)
+        has_eos = eos_pos <= gamma
+        n_new = jnp.where(has_eos, eos_pos + 1, n_new)
+        out = jnp.where(j < n_new[:, None], out, -1)
+
+        lengths = lengths + n_new
+        done_new = done | has_eos
+        last_idx = jnp.clip(n_new - 1, 0, gamma)
+        last_new = jnp.take_along_axis(out, last_idx[:, None], axis=1)[:, 0]
+        last_tok = jnp.where(done, last_tok, last_new)
+        return cache_d, cache_t, out, n_new, lengths, done_new, last_tok
+
+    return step
+
+
 class SpeculativeEngine:
     """Greedy generation with draft-model speculation.
 

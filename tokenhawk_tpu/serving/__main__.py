@@ -93,8 +93,6 @@ def main(argv=None) -> int:
     if args.paged:
         from tokenhawk_tpu.runtime.paged_scheduler import PagedScheduler
 
-        if args.draft_model:
-            parser.error("--draft-model requires the dense scheduler")
         sched = PagedScheduler(
             cfg, params, sampling=sampling, max_batch=args.max_batch,
             max_seq=args.n_ctx, decode_chunk=args.decode_chunk,
@@ -102,6 +100,8 @@ def main(argv=None) -> int:
             cache_dtype="int8" if args.kv == "int8" else dtype,
             prefill_chunk=args.prefill_chunk,
             prefix_cache=args.prefix_cache,
+            draft_cfg=draft_cfg, draft_params=draft_params,
+            gamma=args.gamma,
         )
     else:
         sched = Scheduler(
