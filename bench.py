@@ -292,10 +292,21 @@ def main(argv=None) -> int:
             n_pages=B * (args.ctx // 128) + 2,
         )
         gen_tokens = args.tokens
-        prompts = [
-            rng.integers(3, cfg.n_vocab, args.prompt_tokens).tolist()
-            for _ in range(args.requests)
-        ]
+        if args.prefix_cache:
+            # Shared system-prompt prefix (the scenario the cache serves);
+            # must span full 128-token pages to be cacheable.
+            n_shared = max(256, args.prompt_tokens // 2)
+            shared = rng.integers(3, cfg.n_vocab, n_shared).tolist()
+            prompts = [
+                shared + rng.integers(
+                    3, cfg.n_vocab, args.prompt_tokens).tolist()
+                for _ in range(args.requests)
+            ]
+        else:
+            prompts = [
+                rng.integers(3, cfg.n_vocab, args.prompt_tokens).tolist()
+                for _ in range(args.requests)
+            ]
         # warmup: one request end-to-end compiles prefill+decode
         sched.generate_many([prompts[0]], max_new_tokens=args.chunk)
         t0 = time.perf_counter()

@@ -19,4 +19,4 @@ run --quant q4_0 --batch 8 --ctx 1024 --tokens 128
 run --quant q4_0 --mode serve --requests 24 --batch 8 --ctx 1024 \
     --prompt-tokens 128 --tokens 64
 run --quant q4_0 --mode serve --requests 24 --batch 8 --ctx 1024 \
-    --prompt-tokens 128 --tokens 64 --prefix-cache
+    --prompt-tokens 384 --tokens 64 --prefix-cache

@@ -226,3 +226,22 @@ def test_chunked_prefill_and_prefix_cache_int8(params):
     [r2] = s.generate_many([prompt], max_new_tokens=5)
     assert r2.output == want.output
     assert s.prefix_hits == 2
+
+
+def test_chunked_prefill_non_pow2_pages_no_clamp_corruption():
+    """Regression: the last short chunk of a long prompt must not write
+    pad-only pages — with a non-power-of-two max_pages the pad page's
+    table index used to clamp onto the last live page and zero token
+    KV (take_along_axis clamps under jit)."""
+    cfg = LlamaConfig.tiny(n_vocab=512, n_ctx=144)
+    rng = np.random.default_rng(41)
+    p2 = params_from_ggml(cfg, make_ggml_weights(cfg, rng),
+                          dtype=jnp.float32)
+    prompt = [1] + rng.integers(3, 500, 128).tolist()  # 129 tokens
+    kw = dict(sampling=GREEDY, max_batch=1, cache_dtype=jnp.float32,
+              decode_chunk=4, page_size=16, n_pages=16, max_seq=144)
+    s0 = PagedScheduler(cfg, p2, **kw)
+    [want] = s0.generate_many([prompt], max_new_tokens=5)
+    s1 = PagedScheduler(cfg, p2, prefill_chunk=32, **kw)
+    [got] = s1.generate_many([prompt], max_new_tokens=5)
+    assert got.output == want.output

@@ -242,3 +242,42 @@ def test_openai_models_endpoint(server):
         server + "/v1/models", timeout=60).read())
     assert body["object"] == "list"
     assert body["data"][0]["id"] == "tiny-test"
+
+
+def test_openai_token_array_prompt(server):
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps({"prompt": [1, 72, 105], "max_tokens": 3}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    body = json.loads(urllib.request.urlopen(req, timeout=120).read())
+    assert body["usage"]["prompt_tokens"] == 3
+    assert body["usage"]["total_tokens"] == 3 + body["usage"]["completion_tokens"]
+
+
+def test_openai_error_mapping(server):
+    # prompt longer than n_ctx -> scheduler error -> HTTP 400, not a
+    # fake empty 'stop' completion
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps({"prompt": [5] * 200, "max_tokens": 3}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=120)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read())["error"]["type"] == "invalid_request_error"
+
+
+def test_openai_max_tokens_zero(server):
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps({"prompt": "Hi", "max_tokens": 0}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    body = json.loads(urllib.request.urlopen(req, timeout=120).read())
+    assert body["choices"][0]["text"] == ""
+    assert body["usage"]["completion_tokens"] == 0
+    assert body["choices"][0]["finish_reason"] == "length"

@@ -111,24 +111,8 @@ def paginate_fragment_layer(
 
     The fragment starts at position 0; Tb must be a multiple of ps or the
     tail page is partially filled (extra rows are dead until overwritten)."""
-    B, Hkv, Tb, Dh = frag.shape
-    ps = pages.shape[2]
-    n_frag_pages = -(-Tb // ps)
-    for p in range(n_frag_pages):
-        chunk = frag[:, :, p * ps : (p + 1) * ps, :]
-        pad = ps - chunk.shape[2]
-        if pad:
-            chunk = jnp.pad(chunk, ((0, 0), (0, 0), (0, pad), (0, 0)))
-
-        def write(b, pages):
-            return jax.lax.dynamic_update_slice(
-                pages,
-                chunk[b].astype(pages.dtype)[:, None, :, :],  # [Hkv, 1, ps, Dh]
-                (0, page_table[b, p], 0, 0),
-            )
-
-        pages = jax.lax.fori_loop(0, B, write, pages)
-    return pages
+    start = jnp.zeros((frag.shape[0],), jnp.int32)
+    return paginate_fragment_layer_at(pages, frag, page_table, start)
 
 
 def paginate_fragment_layer_at(
@@ -311,34 +295,9 @@ def paginate_fragment_layer_int8(
     page_table: jax.Array,  # [B, max_pages]
 ):
     """Quantize a dense K/V fragment and write it page-by-page."""
-    from tokenhawk_tpu.ops.kvquant import quantize_kv_block
-
-    B, Hkv, Tb, Dh = frag.shape
-    ps = pages.shape[2]
-    q8, sc = quantize_kv_block(frag)  # int8 [B, Hkv, Tb, Dh], bf16 [B, Hkv, Tb]
-    n_frag_pages = -(-Tb // ps)
-    for p in range(n_frag_pages):
-        chunk = q8[:, :, p * ps : (p + 1) * ps, :]
-        schunk = sc[:, :, p * ps : (p + 1) * ps]
-        pad = ps - chunk.shape[2]
-        if pad:
-            chunk = jnp.pad(chunk, ((0, 0), (0, 0), (0, pad), (0, 0)))
-            schunk = jnp.pad(schunk, ((0, 0), (0, 0), (0, pad)))
-
-        def write(b, carry):
-            pages, spages = carry
-            pages = jax.lax.dynamic_update_slice(
-                pages, chunk[b].astype(pages.dtype)[:, None, :, :],
-                (0, page_table[b, p], 0, 0),
-            )
-            spages = jax.lax.dynamic_update_slice(
-                spages, schunk[b].astype(spages.dtype)[:, None, :],
-                (0, page_table[b, p], 0),
-            )
-            return pages, spages
-
-        pages, spages = jax.lax.fori_loop(0, B, write, (pages, spages))
-    return pages, spages
+    start = jnp.zeros((frag.shape[0],), jnp.int32)
+    return paginate_fragment_layer_int8_at(pages, spages, frag, page_table,
+                                           start)
 
 
 def paginate_fragment_layer_int8_at(

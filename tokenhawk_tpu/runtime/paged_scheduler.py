@@ -177,8 +177,6 @@ class PagedScheduler:
         self.cfg = cfg
         self.params = params
         self.sampling = sampling
-        self.spec = False
-        self.gamma = gamma
         self.B = max_batch
         self.S = max_seq or cfg.n_ctx
         self.ps = page_size
@@ -225,8 +223,7 @@ class PagedScheduler:
             self.draft_cfg = draft_cfg
             self.draft_params = draft_params
             self.draft_cache = KVCache.create(
-                draft_cfg, max_batch, self.S,
-                jnp.bfloat16 if cache_dtype == "int8" else cache_dtype)
+                draft_cfg, max_batch, self.S, cache_dtype)
             self._draft_prefill = make_prefill_fn(draft_cfg)
             self._spec_step = make_spec_serving_fn_paged(
                 draft_cfg, cfg, gamma, eos_id)
@@ -284,6 +281,13 @@ class PagedScheduler:
         if (self.spec and req.sampling is not None
                 and req.sampling.temperature != 0.0):
             req.finish_reason = "error:spec_greedy_only"
+            req.done_at = req.submitted_at
+            self.finished.append(req)
+            if req.on_done:
+                req.on_done(req)
+            return req.id
+        if req.max_new_tokens <= 0:
+            req.finish_reason = "length"
             req.done_at = req.submitted_at
             self.finished.append(req)
             if req.on_done:
@@ -459,7 +463,7 @@ class PagedScheduler:
             toks[0, :remaining] = prompt[reused:]
             self.cache, logits = self._prefill_cont(
                 self.params, self.cache, jnp.asarray(toks),
-                jnp.asarray(self._table_slice(slot, len(prompt))),
+                jnp.asarray(self._table_slice(slot, reused + Cb)),
                 jnp.asarray([reused], jnp.int32),
                 jnp.asarray([remaining], jnp.int32),
             )
@@ -487,10 +491,7 @@ class PagedScheduler:
         """Mirror the admission prefill into the DRAFT's dense cache
         stripe (its logits are unused; it only needs the KV state)."""
         from tokenhawk_tpu.models.llama import KVCache
-        from tokenhawk_tpu.runtime.scheduler import (
-            _extract_stripe,
-            _insert_fragment,
-        )
+        from tokenhawk_tpu.runtime.scheduler import _insert_fragment
 
         frag = KVCache.create(self.draft_cfg, 1, toks.shape[1],
                               self.draft_cache.k.dtype)
@@ -526,11 +527,16 @@ class PagedScheduler:
             if req.on_done:
                 req.on_done(req)
             return
-        toks = np.zeros((1, C), np.int32)
+        # Last (short) chunk: shrink the array to a page multiple of the
+        # REAL data so no pad-only page is ever written (a pad page's
+        # index can exceed the table slice, and take_along_axis clamps —
+        # the garbage would land on the last live page).
+        Cb = C if n_new == C else -(-n_new // self.ps) * self.ps
+        toks = np.zeros((1, Cb), np.int32)
         toks[0, :n_new] = prompt[pos : pos + n_new]
         self.cache, logits = self._prefill_cont(
             self.params, self.cache, jnp.asarray(toks),
-            jnp.asarray(self._table_slice(slot, pos + n_new)),
+            jnp.asarray(self._table_slice(slot, pos + Cb)),
             jnp.asarray([pos], jnp.int32),
             jnp.asarray([n_new], jnp.int32),
         )

@@ -328,6 +328,8 @@ class Scheduler:
     def submit(self, req: Request) -> int:
         req.id = next(self._ids)
         req.submitted_at = time.perf_counter()
+        if req.max_new_tokens <= 0:
+            return self._fail(req, "length")
         if len(req.prompt) >= self.S:
             return self._fail(req, "error:prompt_too_long")
         if (self.spec and req.sampling is not None

@@ -39,10 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="paged-KV continuous batching (page pool instead "
                         "of per-slot dense caches; enables --prefill-chunk)")
     p.add_argument("--page-size", type=int, default=128)
-    p.add_argument("--prefix-cache", action="store_true",
+    p.add_argument("--prefix-cache", default=True,
+                   action=argparse.BooleanOptionalAction,
                    help="automatic cross-request prefix caching over the "
                         "page pool (paged only; shared prompt pages are "
-                        "reused, only the uncached suffix prefills)")
+                        "reused, only the uncached suffix prefills).  ON "
+                        "by default — paged sessions replay conversation "
+                        "text and rely on it; --no-prefix-cache reverts")
     p.add_argument("--prefill-chunk", type=int, default=None,
                    help="admit long prompts in chunks of this many tokens "
                         "interleaved with decode (paged only; bounds the "
@@ -99,7 +102,8 @@ def main(argv=None) -> int:
             page_size=args.page_size,
             cache_dtype="int8" if args.kv == "int8" else dtype,
             prefill_chunk=args.prefill_chunk,
-            prefix_cache=args.prefix_cache,
+            # spec does not compose with the prefix cache yet
+            prefix_cache=args.prefix_cache and not args.draft_model,
             draft_cfg=draft_cfg, draft_params=draft_params,
             gamma=args.gamma,
         )

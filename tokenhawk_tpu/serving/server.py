@@ -48,10 +48,14 @@ class ServingLoop:
         self._inbox: "queue.Queue" = queue.Queue()
         self._wake = threading.Event()
         # Text-replay sessions for schedulers without KV-pinned sessions
-        # (PagedScheduler): sid -> conversation text so far.  The replay
-        # re-prefills, but with the prefix cache on, only the new tokens
-        # actually compute.
-        self._session_hist: dict = {}
+        # (PagedScheduler): sid -> conversation text so far, LRU-bounded
+        # (the dense scheduler bounds its sessions by slot eviction; this
+        # map must not grow per client forever).  The replay re-prefills,
+        # but with the prefix cache on, only the new tokens compute.
+        from collections import OrderedDict
+
+        self._session_hist: "OrderedDict[str, str]" = OrderedDict()
+        self.MAX_SESSIONS = 256
         self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         import time as _time
@@ -116,16 +120,22 @@ class ServingLoop:
             self._wake.set()
             return out
         native = getattr(self.scheduler, "native_sessions", True)
-        if session is not None and not native:
-            # Replay the conversation text: correct on any scheduler, and
-            # the paged prefix cache turns the replay into a prefix reuse.
-            prompt = self._session_hist.get(session, "") + prompt
-        # BOS only opens a conversation; continuations append mid-stream.
-        is_continuation = (
-            native and session is not None
-            and session in self.scheduler.sessions
-        )
-        ids = self.tokenizer.encode_prompt(prompt, add_bos=not is_continuation)
+        if isinstance(prompt, list):
+            # Pre-tokenized prompt (OpenAI accepts token-id arrays).
+            ids = [int(t) for t in prompt]
+            prompt = self.tokenizer.decode(ids)
+        else:
+            if session is not None and not native:
+                # Replay the conversation text: correct on any scheduler —
+                # the paged prefix cache turns the replay into page reuse.
+                prompt = self._session_hist.get(session, "") + prompt
+            is_continuation = (
+                native and session is not None
+                and session in self.scheduler.sessions
+            )  # BOS only opens a conversation; continuations append
+            ids = self.tokenizer.encode_prompt(
+                prompt, add_bos=not is_continuation)
+        out.n_prompt_tokens = len(ids)
 
         def on_text(b: bytes):
             out.put(b.decode("utf-8", "replace"))
@@ -136,6 +146,9 @@ class ServingLoop:
                     and not req.finish_reason.startswith("error"):
                 self._session_hist[session] = (
                     prompt + self.tokenizer.decode(req.output))
+                self._session_hist.move_to_end(session)
+                while len(self._session_hist) > self.MAX_SESSIONS:
+                    self._session_hist.popitem(last=False)
             out.put(("__done__", req.finish_reason))
             out.put(_SENTINEL)
 
@@ -255,8 +268,14 @@ def _make_handler(loop: ServingLoop, model_info: dict):
             try:
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 prompt = payload["prompt"]
-                if isinstance(prompt, list):  # OpenAI allows a batch of 1
-                    (prompt,) = prompt
+                if isinstance(prompt, list) and len(prompt) == 1 \
+                        and isinstance(prompt[0], str):
+                    prompt = prompt[0]  # batch of one text prompt
+                if not (isinstance(prompt, str)
+                        or (isinstance(prompt, list)
+                            and prompt
+                            and all(isinstance(t, int) for t in prompt))):
+                    raise ValueError("prompt must be a string or token ids")
                 max_tokens = int(payload.get("max_tokens", 16))
                 stream = bool(payload.get("stream", False))
                 stop = payload.get("stop")
@@ -289,6 +308,9 @@ def _make_handler(loop: ServingLoop, model_info: dict):
             model = model_info.get("model", "tokenhawk-tpu")
 
             def finish_of(reason):
+                if reason.startswith("error") or reason in (
+                        "oom_pages", "cancelled"):
+                    return "error"
                 return {"eos": "stop", "stop": "stop",
                         "length": "length",
                         "context_full": "length"}.get(reason, "stop")
@@ -338,15 +360,27 @@ def _make_handler(loop: ServingLoop, model_info: dict):
                     reason = piece[1]
                     continue
                 parts.append(piece)
+            if finish_of(reason) == "error":
+                code = 400 if reason.startswith("error") else 503
+                self._send(code, json.dumps({"error": {
+                    "message": reason,
+                    "type": ("invalid_request_error"
+                             if code == 400 else "overloaded_error"),
+                }}).encode(), "application/json")
+                return
+            n_prompt = getattr(out, "n_prompt_tokens", 0)
+            n_completion = getattr(out, "request", None)
+            n_completion = (len(n_completion.output)
+                            if n_completion is not None else len(parts))
             body = json.dumps({
                 "id": cid, "object": "text_completion", "created": created,
                 "model": model,
                 "choices": [{"index": 0, "text": "".join(parts),
                              "logprobs": None,
                              "finish_reason": finish_of(reason)}],
-                "usage": {"prompt_tokens": None,
-                          "completion_tokens": len(parts),
-                          "total_tokens": None},
+                "usage": {"prompt_tokens": n_prompt,
+                          "completion_tokens": n_completion,
+                          "total_tokens": n_prompt + n_completion},
             }).encode()
             self._send(200, body, "application/json")
 
