@@ -79,10 +79,22 @@ def test_spec_paged_rejects_sampled_requests():
     assert r.finish_reason == "error:spec_greedy_only"
 
 
-def test_spec_paged_incompatible_options():
+def test_spec_composes_with_prefix_cache_and_chunked():
+    """spec x prefix-cache x chunked-prefill: outputs stay bit-identical
+    to plain paged greedy, and the second identical prompt reuses cached
+    pages (shared indices never reach the verify frontier)."""
     params = _params(CFG, 3)
-    with pytest.raises(ValueError):
-        PagedScheduler(CFG, params, sampling=GREEDY, max_batch=1,
-                       page_size=16, prefix_cache=True,
-                       draft_cfg=DRAFT_CFG,
-                       draft_params=_params(DRAFT_CFG, 0))
+    kw = dict(sampling=GREEDY, max_batch=2, max_seq=96,
+              cache_dtype=jnp.float32, page_size=16, n_pages=24,
+              decode_chunk=4)
+    long_prompt = list(range(3, 44))  # 41 tokens: chunks + 2 cacheable pages
+    want = _run(PagedScheduler(CFG, params, **kw),
+                [long_prompt, [1, 5, 9]])
+    s = PagedScheduler(CFG, params, draft_cfg=DRAFT_CFG,
+                       draft_params=_params(DRAFT_CFG, 0), gamma=3,
+                       prefix_cache=True, prefill_chunk=16, **kw)
+    got = _run(s, [long_prompt, [1, 5, 9]])
+    assert got == want
+    got2 = _run(s, [long_prompt, [1, 5, 9]])
+    assert got2 == want
+    assert s.prefix_hits >= 2

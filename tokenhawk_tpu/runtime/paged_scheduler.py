@@ -211,9 +211,6 @@ class PagedScheduler:
                 raise ValueError("draft and target must share the vocab")
             if cache_dtype == "int8":
                 raise ValueError("speculative serving needs bf16 pages")
-            if prefill_chunk is not None or prefix_cache:
-                raise ValueError("speculative serving does not compose "
-                                 "with chunked prefill / prefix cache yet")
             from tokenhawk_tpu.models.llama import KVCache
             from tokenhawk_tpu.runtime.engine import make_prefill_fn
             from tokenhawk_tpu.runtime.speculative import (
@@ -467,6 +464,11 @@ class PagedScheduler:
                 jnp.asarray([reused], jnp.int32),
                 jnp.asarray([remaining], jnp.int32),
             )
+            if self.spec:
+                Tb = _bucket(len(prompt), self.buckets)
+                dtoks = np.zeros((1, Tb), np.int32)
+                dtoks[0, : len(prompt)] = prompt
+                self._spec_draft_prefill(slot, dtoks, len(prompt))
             self._register_prompt_pages(slot, prompt)
             self._activate(slot, req, logits)
             return True
@@ -543,6 +545,11 @@ class PagedScheduler:
         pos += n_new
         if pos >= len(prompt):
             self.chunking[slot] = None
+            if self.spec:
+                Tb = _bucket(len(prompt), self.buckets)
+                dtoks = np.zeros((1, Tb), np.int32)
+                dtoks[0, : len(prompt)] = prompt
+                self._spec_draft_prefill(slot, dtoks, len(prompt))
             self._register_prompt_pages(slot, prompt)
             self._activate(slot, req, logits)
         else:
@@ -610,6 +617,20 @@ class PagedScheduler:
 
     # ------------------------------------------------------------------
 
+    def _masked_table(self):
+        """Table view for decode/verify: mid-chunking slots' rows point at
+        the trash page so their done-masked writes cannot touch the pages
+        being prefilled.  (Safe with the prefix cache: shared page
+        indices are always < ceil(len(prompt)/ps), so decode/verify
+        frontier writes never land on a shared page.)"""
+        table = self.table
+        if any(c is not None for c in self.chunking):
+            table = table.copy()
+            for slot, c in enumerate(self.chunking):
+                if c is not None:
+                    table[slot, :] = self.trash_page
+        return table
+
     def step(self):
         for slot in range(self.B):
             if (self.slots[slot] is None and self.chunking[slot] is None
@@ -655,8 +676,8 @@ class PagedScheduler:
             (self.draft_cache, self.cache, out, n_new, lengths_new,
              self.done, self.last_tok) = self._spec_step(
                 self.draft_params, self.params, self.draft_cache,
-                self.cache, jnp.asarray(self.table), self.last_tok,
-                jnp.asarray(self.lengths), self.done,
+                self.cache, jnp.asarray(self._masked_table()),
+                self.last_tok, jnp.asarray(self.lengths), self.done,
             )
             self.lengths = np.array(lengths_new)  # writable copy
             out_host = np.asarray(out)
@@ -668,15 +689,11 @@ class PagedScheduler:
                     if not self._deliver(slot, int(t)):
                         break
             return
-        # Decode sees trash-page rows for mid-chunking slots: their done-
-        # masked writes must not land on the pages being prefilled (free
-        # slots already point at trash; a chunking slot's row is live).
-        table = self.table
-        if any(c is not None for c in self.chunking):
-            table = table.copy()
-            for slot, c in enumerate(self.chunking):
-                if c is not None:
-                    table[slot, :] = self.trash_page
+        # Decode/verify sees trash-page rows for mid-chunking slots:
+        # their done-masked writes must not land on the pages being
+        # prefilled (free slots already point at trash; a chunking
+        # slot's row is live).
+        table = self._masked_table()
         self.cache, toks, self.done, self.counters = self._decode(
             self.params, self.cache, jnp.asarray(table),
             self.last_tok, jnp.asarray(self.lengths), self.last_n,

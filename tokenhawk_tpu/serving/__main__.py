@@ -102,8 +102,7 @@ def main(argv=None) -> int:
             page_size=args.page_size,
             cache_dtype="int8" if args.kv == "int8" else dtype,
             prefill_chunk=args.prefill_chunk,
-            # spec does not compose with the prefix cache yet
-            prefix_cache=args.prefix_cache and not args.draft_model,
+            prefix_cache=args.prefix_cache,
             draft_cfg=draft_cfg, draft_params=draft_params,
             gamma=args.gamma,
         )
