@@ -7,7 +7,6 @@ draft only changes how many tokens commit per round.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import pytest
 
 from tokenhawk_tpu.config import LlamaConfig, SamplingConfig

@@ -35,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tokenhawk_tpu.config import LlamaConfig
 from tokenhawk_tpu.ggml.format import GGMLType, TYPE_BLOCK_BYTES
-from tokenhawk_tpu.ggml.quants import dequantize, from_blocks
+from tokenhawk_tpu.ggml.quants import from_blocks
 from tokenhawk_tpu.models.llama import LayerParams, LlamaParams
 from tokenhawk_tpu.ops.qweight import QWeight, pack_q4_rows
 from tokenhawk_tpu.parallel.mesh import MODEL_AXIS
