@@ -49,6 +49,11 @@ class GGMLType(enum.IntEnum):
     Q4_0 = 2
     Q4_1 = 3
     Q8_0 = 8
+    # k-quants (GGUF only; 256-element super-blocks).  Parsed by
+    # ggml/kquants.py and requantized to the q8_0 device path at load.
+    Q4_K = 12
+    Q5_K = 13
+    Q6_K = 14
 
 
 # Bytes per block and elements per block for each type.

@@ -48,12 +48,14 @@ _SCALAR_FMT = {
     _F32: "<f", _BOOL: "<B", _U64: "<Q", _I64: "<q", _F64: "<d",
 }
 
-# GGUF block layouts (f16 scales): (block_bytes, parser)
+# GGUF block layouts (f16 scales): bytes per (block_elems) elements
 _GGUF_BLOCK_BYTES = {
     GGMLType.Q4_0: 2 + QK // 2,  # f16 d + 16 nibble bytes = 18
     GGMLType.Q4_1: 4 + QK // 2,  # f16 d + f16 m + nibbles = 20
     GGMLType.Q8_0: 2 + QK,  # f16 d + 32 int8          = 34
 }
+# k-quants: 256-element super-blocks (ggml/kquants.py)
+_KQUANT_KINDS = (GGMLType.Q4_K, GGMLType.Q6_K)
 
 # token_type values (tokenizer.ggml.token_type)
 _TOKEN_BYTE = 6
@@ -64,6 +66,10 @@ def gguf_tensor_nbytes(kind: GGMLType, n_elem: int) -> int:
         return 4 * n_elem
     if kind == GGMLType.F16:
         return 2 * n_elem
+    if kind in _KQUANT_KINDS:
+        from tokenhawk_tpu.ggml.kquants import KQUANT_BLOCK_BYTES, QK_K
+
+        return (n_elem // QK_K) * KQUANT_BLOCK_BYTES[kind]
     return (n_elem // QK) * _GGUF_BLOCK_BYTES[kind]
 
 
@@ -306,6 +312,13 @@ class GGUFFile:
             return np.frombuffer(raw, dtype="<f4").reshape(r.shape)
         if r.ggml_type == GGMLType.F16:
             return np.frombuffer(raw, dtype="<f2").reshape(r.shape)
+        if r.ggml_type in _KQUANT_KINDS:
+            # k-quants dequantize to dense f32 here; the model loader
+            # requantizes 2-D projections to Q8_0 for the device path
+            # (q8 is ~4 bits finer, so the k-quant rounding dominates).
+            from tokenhawk_tpu.ggml.kquants import dequant_kquant
+
+            return dequant_kquant(r.ggml_type, bytes(raw), r.shape)
         qt = from_blocks_gguf(r.ggml_type, bytes(raw), r.shape)
         if dequant:
             from tokenhawk_tpu.ggml.quants import dequantize
@@ -336,6 +349,15 @@ def is_gguf(path: Union[str, os.PathLike]) -> bool:
 
 
 # -- writing (tests / tooling) ------------------------------------------
+
+
+class RawTensor:
+    """Pre-packed tensor payload for write_gguf (k-quant test files)."""
+
+    def __init__(self, kind: GGMLType, shape: Tuple[int, ...], raw: bytes):
+        self.kind = kind
+        self.shape = tuple(shape)
+        self.raw = raw
 
 
 def _pack_gguf_blocks(qt: QuantizedTensor) -> bytes:
@@ -409,7 +431,9 @@ def write_gguf(
     align = int(metadata.get("general.alignment", 32))
     blobs: List[Tuple[str, int, Tuple[int, ...], bytes]] = []
     for name, t in tensors.items():
-        if isinstance(t, QuantizedTensor):
+        if isinstance(t, RawTensor):
+            blobs.append((name, int(t.kind), t.shape, t.raw))
+        elif isinstance(t, QuantizedTensor):
             blobs.append((name, int(t.kind), t.shape, _pack_gguf_blocks(t)))
         else:
             a = np.ascontiguousarray(t)

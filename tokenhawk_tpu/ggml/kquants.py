@@ -1,0 +1,199 @@
+"""k-quant block codecs (Q4_K / Q6_K): the formats real GGUF files ship.
+
+llama.cpp's Q4_K_M / Q4_K_S / Q6_K model files store most projection
+weights in 256-element super-blocks with second-level quantized scales;
+the reference era predates them entirely.  This module decodes (and,
+for tests, encodes) the block streams to dense f32.  The device path
+requantizes to Q8_0 at load (ggml/gguf.py load_tensor + runtime loader):
+q8 is ~4 bits finer than the k-quant itself, so the requantization error
+is dominated by the original k-quant rounding, and the fused q8 Pallas
+kernels serve the weights at full bandwidth.
+
+Layouts were written against llama.cpp's documented block structs;
+round-trip tests are self-consistent, and a real-file cross-check rides
+on tools/validate_real_model.py (run it with any Q4_K_M/Q6_K file — a
+layout divergence would show up as garbage perplexity immediately).
+
+Block layouts (little-endian, QK_K = 256):
+  block_q4_K: { f16 d; f16 dmin; u8 scales[12]; u8 qs[128] }  = 144 B
+    8 sub-blocks of 32; 6-bit (scale, min) pairs packed in scales[12]
+    (llama.cpp get_scale_min_k4); element y = d*sc*q - dmin*m, q in
+    [0, 15]; qs bytes cover 64-element chunks: low nibbles are elements
+    [0, 32), high nibbles [32, 64) of each chunk.
+  block_q6_K: { u8 ql[128]; u8 qh[64]; i8 scales[16]; f16 d } = 210 B
+    16 sub-blocks of 16 with int8 scales; 6-bit codes split 4+2 between
+    ql nibbles and qh crumbs; y = d * scales[i] * (q - 32).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tokenhawk_tpu.ggml.format import GGMLType
+
+QK_K = 256
+
+KQUANT_BLOCK_BYTES = {
+    GGMLType.Q4_K: 144,
+    GGMLType.Q6_K: 210,
+}
+
+
+def _unpack_scale_min_k4(scales: np.ndarray):
+    """scales [nb, 12] u8 -> (sc [nb, 8], mn [nb, 8]) 6-bit values
+    (llama.cpp get_scale_min_k4)."""
+    s = scales.astype(np.uint8)
+    sc = np.empty(s.shape[:-1] + (8,), np.uint8)
+    mn = np.empty_like(sc)
+    for j in range(4):
+        sc[..., j] = s[..., j] & 63
+        mn[..., j] = s[..., j + 4] & 63
+    for j in range(4, 8):
+        sc[..., j] = (s[..., j + 4] & 0x0F) | ((s[..., j - 4] >> 6) << 4)
+        mn[..., j] = (s[..., j + 4] >> 4) | ((s[..., j] >> 6) << 4)
+    return sc, mn
+
+
+def dequant_q4_k(raw: bytes, n: int) -> np.ndarray:
+    """Q4_K block stream -> f32 [n]."""
+    nb = n // QK_K
+    buf = np.frombuffer(raw, np.uint8, count=nb * 144).reshape(nb, 144)
+    d = buf[:, 0:2].copy().view("<f2").astype(np.float32).reshape(nb)
+    dmin = buf[:, 2:4].copy().view("<f2").astype(np.float32).reshape(nb)
+    sc, mn = _unpack_scale_min_k4(buf[:, 4:16])  # [nb, 8]
+    qs = buf[:, 16:144]  # [nb, 128]
+
+    y = np.empty((nb, QK_K), np.float32)
+    for chunk in range(4):  # 64 elements per chunk
+        q = qs[:, chunk * 32 : (chunk + 1) * 32]
+        lo = (q & 0x0F).astype(np.float32)
+        hi = (q >> 4).astype(np.float32)
+        j1, j2 = 2 * chunk, 2 * chunk + 1
+        d1 = d * sc[:, j1]
+        m1 = dmin * mn[:, j1]
+        d2 = d * sc[:, j2]
+        m2 = dmin * mn[:, j2]
+        y[:, chunk * 64 : chunk * 64 + 32] = d1[:, None] * lo - m1[:, None]
+        y[:, chunk * 64 + 32 : chunk * 64 + 64] = d2[:, None] * hi - m2[:, None]
+    return y.reshape(n)
+
+
+def dequant_q6_k(raw: bytes, n: int) -> np.ndarray:
+    """Q6_K block stream -> f32 [n]."""
+    nb = n // QK_K
+    buf = np.frombuffer(raw, np.uint8, count=nb * 210).reshape(nb, 210)
+    ql = buf[:, 0:128]
+    qh = buf[:, 128:192]
+    scales = buf[:, 192:208].copy().view(np.int8).astype(np.float32)
+    d = buf[:, 208:210].copy().view("<f2").astype(np.float32).reshape(nb)
+
+    y = np.empty((nb, QK_K), np.float32)
+    for half in range(2):  # 128 elements per half
+        qlh = ql[:, half * 64 : half * 64 + 64]
+        qhh = qh[:, half * 32 : half * 32 + 32]
+        s8 = scales[:, half * 8 : half * 8 + 8]  # 8 sub-scales of 16
+        l = np.arange(32)
+        q1 = ((qlh[:, l] & 0x0F) | (((qhh >> 0) & 3) << 4)).astype(np.int32) - 32
+        q2 = ((qlh[:, l + 32] & 0x0F) | (((qhh >> 2) & 3) << 4)).astype(np.int32) - 32
+        q3 = ((qlh[:, l] >> 4) | (((qhh >> 4) & 3) << 4)).astype(np.int32) - 32
+        q4 = ((qlh[:, l + 32] >> 4) | (((qhh >> 6) & 3) << 4)).astype(np.int32) - 32
+        # sub-block scale index: is = l // 16 (+0/+2/+4/+6)
+        s0 = s8[:, (l // 16) + 0]
+        s2 = s8[:, (l // 16) + 2]
+        s4 = s8[:, (l // 16) + 4]
+        s6 = s8[:, (l // 16) + 6]
+        base = half * 128
+        y[:, base + l] = d[:, None] * s0 * q1
+        y[:, base + l + 32] = d[:, None] * s2 * q2
+        y[:, base + l + 64] = d[:, None] * s4 * q3
+        y[:, base + l + 96] = d[:, None] * s6 * q4
+    return y.reshape(n)
+
+
+def dequant_kquant(kind: GGMLType, raw: bytes, shape) -> np.ndarray:
+    n = int(np.prod(shape))
+    if kind == GGMLType.Q4_K:
+        return dequant_q4_k(raw, n).reshape(shape)
+    if kind == GGMLType.Q6_K:
+        return dequant_q6_k(raw, n).reshape(shape)
+    raise ValueError(f"unsupported k-quant {kind!r}")
+
+
+# -- encoding (tests / synthetic files) -----------------------------------
+
+
+def quantize_q4_k(x: np.ndarray) -> bytes:
+    """f32 -> Q4_K block stream (reference-quality, not llama.cpp's
+    iterative optimizer: per-sub-block min/max affine with 6-bit
+    second-level scales — exact layout, simpler scale search)."""
+    x = np.asarray(x, np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    out = np.zeros((nb, 144), np.uint8)
+    for b in range(nb):
+        sub = x[b].reshape(8, 32)
+        mins = np.minimum(sub.min(axis=1), 0.0)  # m >= 0 in y = d*sc*q - dmin*m
+        maxs = sub.max(axis=1)
+        scale = (maxs - mins) / 15.0  # per-sub scale
+        d = max(scale.max() / 63.0, 1e-12)
+        dmin = max((-mins).max() / 63.0, 1e-12)
+        sc6 = np.clip(np.round(scale / d), 0, 63).astype(np.uint8)
+        mn6 = np.clip(np.round((-mins) / dmin), 0, 63).astype(np.uint8)
+        # pack 6-bit pairs (inverse of _unpack_scale_min_k4)
+        s12 = np.zeros(12, np.uint8)
+        for j in range(4):
+            s12[j] = sc6[j] & 63
+            s12[j + 4] = mn6[j] & 63
+        for j in range(4, 8):
+            s12[j + 4] = (sc6[j] & 0x0F) | ((mn6[j] & 0x0F) << 4)
+            s12[j - 4] |= (sc6[j] >> 4) << 6
+            s12[j] |= (mn6[j] >> 4) << 6
+        eff_d = d * sc6.astype(np.float32)
+        eff_m = dmin * mn6.astype(np.float32)
+        q = np.zeros((8, 32), np.uint8)
+        for j in range(8):
+            dj = eff_d[j] if eff_d[j] > 0 else 1.0
+            q[j] = np.clip(np.round((sub[j] + eff_m[j]) / dj), 0, 15)
+        qs = np.zeros(128, np.uint8)
+        for chunk in range(4):
+            qs[chunk * 32 : (chunk + 1) * 32] = (
+                q[2 * chunk] | (q[2 * chunk + 1] << 4))
+        out[b, 0:2] = np.frombuffer(np.float16(d).tobytes(), np.uint8)
+        out[b, 2:4] = np.frombuffer(np.float16(dmin).tobytes(), np.uint8)
+        out[b, 4:16] = s12
+        out[b, 16:144] = qs
+    return out.tobytes()
+
+
+def quantize_q6_k(x: np.ndarray) -> bytes:
+    """f32 -> Q6_K block stream (absmax per 16-element sub-block)."""
+    x = np.asarray(x, np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    out = np.zeros((nb, 210), np.uint8)
+    for b in range(nb):
+        sub = x[b].reshape(16, 16)
+        amax = np.abs(sub).max(axis=1)
+        d = max(amax.max() / (127.0 * 31.0), 1e-12)  # scales i8, codes 6-bit
+        s16 = np.clip(np.round(amax / (31.0 * d)), -128, 127).astype(np.int8)
+        q = np.zeros((16, 16), np.int32)
+        for j in range(16):
+            sj = d * float(s16[j])
+            sj = sj if sj != 0 else 1.0
+            q[j] = np.clip(np.round(sub[j] / sj), -32, 31)
+        code = (q + 32).astype(np.uint8).reshape(QK_K)  # 6-bit
+        ql = np.zeros(128, np.uint8)
+        qh = np.zeros(64, np.uint8)
+        for half in range(2):
+            base = half * 128
+            c1 = code[base : base + 32]
+            c2 = code[base + 32 : base + 64]
+            c3 = code[base + 64 : base + 96]
+            c4 = code[base + 96 : base + 128]
+            ql[half * 64 : half * 64 + 32] = (c1 & 0x0F) | ((c3 & 0x0F) << 4)
+            ql[half * 64 + 32 : half * 64 + 64] = (c2 & 0x0F) | ((c4 & 0x0F) << 4)
+            qh[half * 32 : half * 32 + 32] = (
+                (c1 >> 4) | ((c2 >> 4) << 2) | ((c3 >> 4) << 4) | ((c4 >> 4) << 6))
+        out[b, 0:128] = ql
+        out[b, 128:192] = qh
+        out[b, 192:208] = np.frombuffer(s16.tobytes(), np.uint8)
+        out[b, 208:210] = np.frombuffer(np.float16(d).tobytes(), np.uint8)
+    return out.tobytes()

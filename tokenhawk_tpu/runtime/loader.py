@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from tokenhawk_tpu.config import LlamaConfig
 from tokenhawk_tpu.ggml.reader import GGMLFile
@@ -149,6 +150,9 @@ def _load_model_once(
         tp = mesh.shape[MODEL_AXIS]
 
     _ROW_PARALLEL = ("attention.wo.weight", "feed_forward.w2.weight")
+    from tokenhawk_tpu.ggml.format import GGMLType as _GT
+
+    _KQ = (_GT.Q4_K, _GT.Q6_K)
     tensors = {}
     for name in f.tensors:
         if name != "tok_embeddings.weight":
@@ -160,7 +164,15 @@ def _load_model_once(
             if fast is not None:
                 tensors[name] = fast
                 continue
-        tensors[name] = f.load_tensor(name)
+        t = f.load_tensor(name)
+        if (f.tensors[name].ggml_type in _KQ and t.ndim == 2
+                and "norm" not in name and name != "tok_embeddings.weight"):
+            # k-quant projection: requantize to Q8_0 for the fused
+            # device kernels (q8 rounding is negligible vs the k-quant's)
+            from tokenhawk_tpu.ggml.quants import quantize
+
+            t = quantize(np.asarray(t, np.float32), _GT.Q8_0)
+        tensors[name] = t
 
     params = params_from_ggml(cfg, tensors, dtype=dtype, row_parallel_shards=tp,
                               scale_dtype=scale_dtype)
