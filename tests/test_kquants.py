@@ -96,3 +96,40 @@ def test_gguf_kquant_load_and_generate(tmp_path, kind):
                  sampling=SamplingConfig(temperature=0.0), decode_chunk=4)
     res = eng.generate("hello", max_new_tokens=4)
     assert len(res.tokens) <= 4
+
+
+def test_q5_k_roundtrip(rng):
+    from tokenhawk_tpu.ggml.kquants import dequant_q5_k, quantize_q5_k
+
+    x = rng.standard_normal(4 * QK_K).astype(np.float32)
+    y = dequant_q5_k(quantize_q5_k(x), x.size)
+    assert np.abs(y - x).max() <= 0.05 * np.abs(x).max()
+
+
+def test_q5_k_gguf_load(tmp_path):
+    from tokenhawk_tpu.ggml.kquants import dequant_q5_k, quantize_q5_k
+
+    rng = np.random.default_rng(10)
+    tensors = make_ggml_weights(CFG, rng)
+    out = {}
+    for name, v in tensors.items():
+        if v.ndim == 2 and "norm" not in name and \
+                name != "tok_embeddings.weight" and v.size % QK_K == 0:
+            out[_to_gguf_name(name)] = RawTensor(
+                GGMLType.Q5_K, v.shape, quantize_q5_k(v.reshape(-1)))
+        else:
+            out[_to_gguf_name(name)] = v
+    md = _metadata(CFG.n_vocab)
+    md["llama.embedding_length"] = CFG.n_embd
+    md["llama.rope.dimension_count"] = CFG.head_dim
+    path = tmp_path / "q5k.gguf"
+    write_gguf(path, md, out)
+    f = GGUFFile(path)
+    got = np.asarray(f.load_tensor("layers.0.attention.wq.weight"))
+    want = dequant_q5_k(
+        quantize_q5_k(tensors["layers.0.attention.wq.weight"].reshape(-1)),
+        got.size).reshape(got.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    f.close()
+    cfg, params, tok = load_model(str(path), n_ctx=64)
+    assert cfg.n_embd == CFG.n_embd

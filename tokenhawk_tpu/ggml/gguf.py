@@ -55,7 +55,7 @@ _GGUF_BLOCK_BYTES = {
     GGMLType.Q8_0: 2 + QK,  # f16 d + 32 int8          = 34
 }
 # k-quants: 256-element super-blocks (ggml/kquants.py)
-_KQUANT_KINDS = (GGMLType.Q4_K, GGMLType.Q6_K)
+_KQUANT_KINDS = (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K)
 
 # token_type values (tokenizer.ggml.token_type)
 _TOKEN_BYTE = 6

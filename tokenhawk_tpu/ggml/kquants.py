@@ -35,6 +35,7 @@ QK_K = 256
 
 KQUANT_BLOCK_BYTES = {
     GGMLType.Q4_K: 144,
+    GGMLType.Q5_K: 176,
     GGMLType.Q6_K: 210,
 }
 
@@ -78,6 +79,37 @@ def dequant_q4_k(raw: bytes, n: int) -> np.ndarray:
     return y.reshape(n)
 
 
+def dequant_q5_k(raw: bytes, n: int) -> np.ndarray:
+    """Q5_K block stream -> f32 [n].
+
+    block_q5_K: { f16 d; f16 dmin; u8 scales[12]; u8 qh[32]; u8 qs[128] }
+    = 176 B; like Q4_K with a 5th code bit per element pulled from qh
+    (the same 32 qh bytes serve all 8 sub-blocks via shifting masks)."""
+    nb = n // QK_K
+    buf = np.frombuffer(raw, np.uint8, count=nb * 176).reshape(nb, 176)
+    d = buf[:, 0:2].copy().view("<f2").astype(np.float32).reshape(nb)
+    dmin = buf[:, 2:4].copy().view("<f2").astype(np.float32).reshape(nb)
+    sc, mn = _unpack_scale_min_k4(buf[:, 4:16])
+    qh = buf[:, 16:48]  # [nb, 32]
+    qs = buf[:, 48:176]  # [nb, 128]
+
+    y = np.empty((nb, QK_K), np.float32)
+    for chunk in range(4):  # 64 elements per chunk
+        q = qs[:, chunk * 32 : (chunk + 1) * 32]
+        u1 = np.uint8(1 << (2 * chunk))
+        u2 = np.uint8(1 << (2 * chunk + 1))
+        lo = (q & 0x0F).astype(np.float32) + \
+            ((qh & u1) != 0).astype(np.float32) * 16.0
+        hi = (q >> 4).astype(np.float32) + \
+            ((qh & u2) != 0).astype(np.float32) * 16.0
+        j1, j2 = 2 * chunk, 2 * chunk + 1
+        d1, m1 = d * sc[:, j1], dmin * mn[:, j1]
+        d2, m2 = d * sc[:, j2], dmin * mn[:, j2]
+        y[:, chunk * 64 : chunk * 64 + 32] = d1[:, None] * lo - m1[:, None]
+        y[:, chunk * 64 + 32 : chunk * 64 + 64] = d2[:, None] * hi - m2[:, None]
+    return y.reshape(n)
+
+
 def dequant_q6_k(raw: bytes, n: int) -> np.ndarray:
     """Q6_K block stream -> f32 [n]."""
     nb = n // QK_K
@@ -114,6 +146,8 @@ def dequant_kquant(kind: GGMLType, raw: bytes, shape) -> np.ndarray:
     n = int(np.prod(shape))
     if kind == GGMLType.Q4_K:
         return dequant_q4_k(raw, n).reshape(shape)
+    if kind == GGMLType.Q5_K:
+        return dequant_q5_k(raw, n).reshape(shape)
     if kind == GGMLType.Q6_K:
         return dequant_q6_k(raw, n).reshape(shape)
     raise ValueError(f"unsupported k-quant {kind!r}")
@@ -161,6 +195,50 @@ def quantize_q4_k(x: np.ndarray) -> bytes:
         out[b, 2:4] = np.frombuffer(np.float16(dmin).tobytes(), np.uint8)
         out[b, 4:16] = s12
         out[b, 16:144] = qs
+    return out.tobytes()
+
+
+def quantize_q5_k(x: np.ndarray) -> bytes:
+    """f32 -> Q5_K block stream (per-sub-block min/max affine, 5-bit
+    codes, 6-bit super-scales)."""
+    x = np.asarray(x, np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    out = np.zeros((nb, 176), np.uint8)
+    for b in range(nb):
+        sub = x[b].reshape(8, 32)
+        mins = np.minimum(sub.min(axis=1), 0.0)
+        maxs = sub.max(axis=1)
+        scale = (maxs - mins) / 31.0
+        d = max(scale.max() / 63.0, 1e-12)
+        dmin = max((-mins).max() / 63.0, 1e-12)
+        sc6 = np.clip(np.round(scale / d), 0, 63).astype(np.uint8)
+        mn6 = np.clip(np.round((-mins) / dmin), 0, 63).astype(np.uint8)
+        s12 = np.zeros(12, np.uint8)
+        for j in range(4):
+            s12[j] = sc6[j] & 63
+            s12[j + 4] = mn6[j] & 63
+        for j in range(4, 8):
+            s12[j + 4] = (sc6[j] & 0x0F) | ((mn6[j] & 0x0F) << 4)
+            s12[j - 4] |= (sc6[j] >> 4) << 6
+            s12[j] |= (mn6[j] >> 4) << 6
+        eff_d = d * sc6.astype(np.float32)
+        eff_m = dmin * mn6.astype(np.float32)
+        q = np.zeros((8, 32), np.uint8)
+        for j in range(8):
+            dj = eff_d[j] if eff_d[j] > 0 else 1.0
+            q[j] = np.clip(np.round((sub[j] + eff_m[j]) / dj), 0, 31)
+        qs = np.zeros(128, np.uint8)
+        qh = np.zeros(32, np.uint8)
+        for chunk in range(4):
+            q1, q2 = q[2 * chunk], q[2 * chunk + 1]
+            qs[chunk * 32 : (chunk + 1) * 32] = (q1 & 0x0F) | ((q2 & 0x0F) << 4)
+            qh |= ((q1 >> 4) << (2 * chunk)).astype(np.uint8)
+            qh |= ((q2 >> 4) << (2 * chunk + 1)).astype(np.uint8)
+        out[b, 0:2] = np.frombuffer(np.float16(d).tobytes(), np.uint8)
+        out[b, 2:4] = np.frombuffer(np.float16(dmin).tobytes(), np.uint8)
+        out[b, 4:16] = s12
+        out[b, 16:48] = qh
+        out[b, 48:176] = qs
     return out.tobytes()
 
 
