@@ -281,3 +281,75 @@ def test_openai_max_tokens_zero(server):
     assert body["choices"][0]["text"] == ""
     assert body["usage"]["completion_tokens"] == 0
     assert body["choices"][0]["finish_reason"] == "length"
+
+
+def test_openai_chat_completions(server):
+    req = urllib.request.Request(
+        server + "/v1/chat/completions",
+        data=json.dumps({"messages": [
+            {"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hi"}],
+            "max_tokens": 4}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    body = json.loads(urllib.request.urlopen(req, timeout=120).read())
+    assert body["object"] == "chat.completion"
+    assert body["choices"][0]["message"]["role"] == "assistant"
+    assert body["usage"]["prompt_tokens"] > 0
+
+
+def test_openai_chat_stream(server):
+    req = urllib.request.Request(
+        server + "/v1/chat/completions",
+        data=json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                         "max_tokens": 4, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    body = urllib.request.urlopen(req, timeout=120).read().decode()
+    assert body.rstrip().endswith("data: [DONE]")
+    lines = [json.loads(l[6:]) for l in body.splitlines()
+             if l.startswith("data: ") and l != "data: [DONE]"]
+    assert lines[0]["choices"][0]["delta"].get("role") == "assistant"
+    assert lines[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_chat_template_rendering():
+    """A GGUF-style chat template (jinja2) renders messages into the
+    prompt the model's authors intended."""
+    rng = np.random.default_rng(15)
+    params = params_from_ggml(CFG, make_ggml_weights(CFG, rng),
+                              dtype=jnp.float32)
+    sched = Scheduler(CFG, params, sampling=SamplingConfig(temperature=0.0),
+                      max_batch=1, cache_dtype=jnp.float32, decode_chunk=4)
+    tmpl = ("{% for m in messages %}[{{ m.role }}]{{ m.content }}"
+            "{% endfor %}{% if add_generation_prompt %}[assistant]{% endif %}")
+    httpd = serve(sched, byte_fallback_vocab(), host="127.0.0.1", port=0,
+                  model_info={"model": "t", "chat_template": tmpl})
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({"messages": [{"role": "user", "content": "yo"}],
+                             "max_tokens": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        body = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        # the rendered prompt "[user]yo[assistant]" has 19 chars -> more
+        # prompt tokens than the raw 2-char message under the byte vocab
+        assert body["usage"]["prompt_tokens"] >= 15
+    finally:
+        httpd.shutdown()
+        httpd.serving_loop.stop()
+
+
+def test_openai_chat_bad_messages(server):
+    req = urllib.request.Request(
+        server + "/v1/chat/completions",
+        data=json.dumps({"messages": "hi"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -112,9 +112,19 @@ def main(argv=None) -> int:
             max_seq=args.n_ctx, decode_chunk=args.decode_chunk,
             draft_cfg=draft_cfg, draft_params=draft_params, gamma=args.gamma,
         )
+    chat_template = None
+    try:
+        from tokenhawk_tpu.ggml.gguf import GGUFFile, is_gguf
+
+        if is_gguf(model_path):
+            with GGUFFile(model_path) as gf:
+                chat_template = gf.metadata.get("tokenizer.chat_template")
+    except (OSError, ValueError):
+        pass
     httpd = serve(sched, tokenizer, host=args.host, port=args.port,
                   model_info={"model": model_path, "n_ctx": args.n_ctx,
                               "paged": args.paged,
+                              "chat_template": chat_template,
                               "speculative": bool(args.draft_model)})
     print(f"Serving on http://{args.host}:{args.port}", file=sys.stderr)
     try:

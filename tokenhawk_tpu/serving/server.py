@@ -17,6 +17,10 @@ Endpoints:
                     "temperature", "top_p", "stop", "stream", "seed"} ->
                     OpenAI JSON (or SSE chunks with stream=true), so
                     existing OpenAI-client tooling points here unchanged.
+  POST /v1/chat/completions
+                    OpenAI-compatible chat: messages render through the
+                    model's own chat template (GGUF tokenizer.chat_template
+                    metadata, jinja2) or a plain role-tagged fallback.
 """
 
 from __future__ import annotations
@@ -384,9 +388,165 @@ def _make_handler(loop: ServingLoop, model_info: dict):
             }).encode()
             self._send(200, body, "application/json")
 
+        def _render_chat(self, messages):
+            """messages [{role, content}] -> prompt text via the model's
+            chat template (GGUF metadata) or a role-tagged fallback."""
+            tmpl = model_info.get("chat_template")
+            if tmpl:
+                import jinja2
+
+                env = jinja2.Environment()
+
+                def raise_exception(msg):
+                    raise jinja2.TemplateError(msg)
+
+                return env.from_string(tmpl).render(
+                    messages=messages, add_generation_prompt=True,
+                    bos_token="<s>", eos_token="</s>",
+                    raise_exception=raise_exception,
+                )
+            parts = []
+            for m in messages:
+                parts.append(f"{m['role']}: {m['content']}")
+            parts.append("assistant:")
+            return "\n".join(parts)
+
+        def _openai_chat(self):
+            import time as _time
+            import uuid
+
+            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                messages = payload["messages"]
+                if not (isinstance(messages, list) and messages and all(
+                        isinstance(m, dict) and isinstance(m.get("role"), str)
+                        and isinstance(m.get("content"), str)
+                        for m in messages)):
+                    raise ValueError("bad messages")
+                prompt = self._render_chat(messages)
+                max_tokens = int(payload.get("max_tokens",
+                                             payload.get(
+                                                 "max_completion_tokens",
+                                                 256)))
+                stream = bool(payload.get("stream", False))
+                stop = payload.get("stop")
+                if isinstance(stop, str):
+                    stop = [stop]
+                sampling = None
+                if any(k in payload for k in ("temperature", "top_p", "seed")):
+                    from tokenhawk_tpu.config import SamplingConfig
+
+                    d = SamplingConfig()
+                    sampling = SamplingConfig(
+                        temperature=float(payload.get("temperature",
+                                                      d.temperature)),
+                        top_p=float(payload.get("top_p", d.top_p)),
+                        top_k=d.top_k,
+                        seed=int(payload.get("seed", d.seed)),
+                    )
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError,
+                    Exception) as e:
+                self._send(400, json.dumps(
+                    {"error": {"message": f"bad request: {e}",
+                               "type": "invalid_request_error"}}).encode(),
+                    "application/json")
+                return
+
+            out = loop.submit_text(prompt, max_tokens, sampling=sampling,
+                                   stop=stop)
+            cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+            created = int(_time.time())
+            model = model_info.get("model", "tokenhawk-tpu")
+
+            def finish_of(reason):
+                if reason.startswith("error") or reason in (
+                        "oom_pages", "cancelled"):
+                    return "error"
+                return {"eos": "stop", "stop": "stop", "length": "length",
+                        "context_full": "length"}.get(reason, "stop")
+
+            if stream:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                try:
+                    reason = ""
+                    first = True
+                    while True:
+                        piece = out.get()
+                        if piece is _SENTINEL:
+                            done = {"id": cid,
+                                    "object": "chat.completion.chunk",
+                                    "created": created, "model": model,
+                                    "choices": [{"index": 0, "delta": {},
+                                                 "finish_reason":
+                                                     finish_of(reason)}]}
+                            self.wfile.write(
+                                f"data: {json.dumps(done)}\n\n".encode())
+                            self.wfile.write(b"data: [DONE]\n\n")
+                            self.wfile.flush()
+                            break
+                        if isinstance(piece, tuple) and piece[0] == "__done__":
+                            reason = piece[1]
+                            continue
+                        delta = {"content": piece}
+                        if first:
+                            delta["role"] = "assistant"
+                            first = False
+                        chunk = {"id": cid, "object": "chat.completion.chunk",
+                                 "created": created, "model": model,
+                                 "choices": [{"index": 0, "delta": delta,
+                                              "finish_reason": None}]}
+                        self.wfile.write(
+                            f"data: {json.dumps(chunk)}\n\n".encode())
+                        self.wfile.flush()
+                except OSError:
+                    req = getattr(out, "request", None)
+                    if req is not None:
+                        loop.cancel(req)
+                return
+
+            parts, reason = [], ""
+            while True:
+                piece = out.get()
+                if piece is _SENTINEL:
+                    break
+                if isinstance(piece, tuple) and piece[0] == "__done__":
+                    reason = piece[1]
+                    continue
+                parts.append(piece)
+            if finish_of(reason) == "error":
+                code = 400 if reason.startswith("error") else 503
+                self._send(code, json.dumps({"error": {
+                    "message": reason,
+                    "type": ("invalid_request_error"
+                             if code == 400 else "overloaded_error"),
+                }}).encode(), "application/json")
+                return
+            n_prompt = getattr(out, "n_prompt_tokens", 0)
+            req = getattr(out, "request", None)
+            n_completion = len(req.output) if req is not None else len(parts)
+            body = json.dumps({
+                "id": cid, "object": "chat.completion", "created": created,
+                "model": model,
+                "choices": [{"index": 0,
+                             "message": {"role": "assistant",
+                                         "content": "".join(parts)},
+                             "finish_reason": finish_of(reason)}],
+                "usage": {"prompt_tokens": n_prompt,
+                          "completion_tokens": n_completion,
+                          "total_tokens": n_prompt + n_completion},
+            }).encode()
+            self._send(200, body, "application/json")
+
         def do_POST(self):
             if self.path == "/v1/completions":
                 self._openai_completions()
+                return
+            if self.path == "/v1/chat/completions":
+                self._openai_chat()
                 return
             if self.path != "/generate":
                 self._send(404, b"not found", "text/plain")
