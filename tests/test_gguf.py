@@ -214,3 +214,42 @@ def test_load_model_gguf_gqa(tmp_path):
                  cache_dtype=jnp.float32, decode_chunk=4)
     res = eng.generate("hello", max_new_tokens=4)
     assert len(res.tokens) <= 4
+
+
+def test_custom_alignment(tmp_path):
+    """general.alignment other than 32 honors both writer and reader."""
+    rng = np.random.default_rng(5)
+    tensors = make_ggml_weights(CFG, rng)
+    md = _metadata(CFG.n_vocab)
+    md["general.alignment"] = 64
+    out = {_to_gguf_name(n): v for n, v in tensors.items()}
+    path = tmp_path / "a64.gguf"
+    write_gguf(path, md, out)
+    f = GGUFFile(path)
+    got = f.load_tensor("layers.1.feed_forward.w3.weight")
+    np.testing.assert_array_equal(
+        np.asarray(got), tensors["layers.1.feed_forward.w3.weight"])
+    f.close()
+
+
+def test_unsupported_tensor_type_raises(tmp_path):
+    rng = np.random.default_rng(5)
+    tensors = make_ggml_weights(CFG, rng)
+    out = {_to_gguf_name(n): v for n, v in tensors.items()}
+    path = tmp_path / "bad.gguf"
+    write_gguf(path, _metadata(CFG.n_vocab), out)
+    # corrupt one tensor-info type field to an unsupported id (Q2_K=10)
+    data = bytearray(path.read_bytes())
+    import struct as _s
+
+    # find the first tensor name in the info section and break its type
+    name = b"token_embd.weight"
+    i = data.find(_s.pack("<Q", len(name)) + name)
+    assert i > 0
+    ndims_off = i + 8 + len(name)
+    (ndims,) = _s.unpack_from("<I", data, ndims_off)
+    ty_off = ndims_off + 4 + 8 * ndims
+    _s.pack_into("<I", data, ty_off, 10)
+    path.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="unsupported GGUF tensor type"):
+        GGUFFile(path)
