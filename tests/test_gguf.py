@@ -253,3 +253,18 @@ def test_unsupported_tensor_type_raises(tmp_path):
     path.write_bytes(bytes(data))
     with pytest.raises(ValueError, match="unsupported GGUF tensor type"):
         GGUFFile(path)
+
+
+def test_bpe_tokenizer_model_rejected(tmp_path):
+    """A llama-arch GGUF carrying a byte-level-BPE tokenizer ("gpt2",
+    e.g. Llama-3 conversions) must refuse loudly: applying SentencePiece
+    conventions to a BPE vocab silently tokenizes wrong."""
+    rng = np.random.default_rng(6)
+    tensors = make_ggml_weights(CFG, rng)
+    out = {_to_gguf_name(n): v for n, v in tensors.items()}
+    md = dict(_metadata(CFG.n_vocab))
+    md["tokenizer.ggml.model"] = "gpt2"
+    path = tmp_path / "bpe.gguf"
+    write_gguf(path, md, out)
+    with pytest.raises(ValueError, match="tokenizer model"):
+        GGUFFile(path)

@@ -239,3 +239,34 @@ def test_session_lru_eviction(params):
     sched.run()
     assert "a" in sched.sessions  # recently used survives
     assert "b" not in sched.sessions  # LRU evicted to make room
+
+
+def test_busy_session_does_not_starve_queue(params):
+    """A pending continuation whose session slot is busy must not block
+    unrelated requests behind it in the queue (head-of-line blocking)."""
+    sched = make_sched(params, max_batch=2, chunk=4)
+    # Turn 1 establishes the session (pins a slot).
+    t1 = Request(prompt=[1, 5, 9], max_new_tokens=3, session="s1")
+    sched.submit(t1)
+    sched.run()
+    assert "s1" in sched.sessions
+    # Turn 2 occupies the session slot for a while.
+    t2 = Request(prompt=[2, 4], max_new_tokens=12, session="s1")
+    sched.submit(t2)
+    sched.step()
+    assert sched.slots[sched.sessions["s1"].slot] is t2
+    # Turn 3 (same session, slot busy) queued AHEAD of a fresh request.
+    t3 = Request(prompt=[3, 6], max_new_tokens=3, session="s1")
+    fresh = Request(prompt=[1, 7], max_new_tokens=3)
+    sched.submit(t3)
+    sched.submit(fresh)
+    sched.step()
+    # The fresh request was admitted past the blocked continuation (it
+    # may even have finished within the step's decode chunk)...
+    assert any(r is fresh for r in sched.slots) or fresh.finish_reason
+    assert t3 in sched.pending
+    assert not t2.finish_reason  # session still busy; t3 rightly waits
+    sched.run()
+    # ...and everyone eventually completes.
+    for r in (t2, t3, fresh):
+        assert r.finish_reason in ("eos", "length")

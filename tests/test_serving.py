@@ -353,3 +353,106 @@ def test_openai_chat_bad_messages(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_chat_template_sandboxed(monkeypatch):
+    """GGUF chat templates are attacker-supplied jinja source: attribute-
+    chain escapes must raise, runaway loops must hit the render timeout,
+    and absurd output sizes must be rejected (all -> 400 at the API)."""
+    import jinja2
+
+    from tokenhawk_tpu.serving import server as server_mod
+
+    msgs = [{"role": "user", "content": "hi"}]
+    with pytest.raises(jinja2.exceptions.SecurityError):
+        server_mod._render_chat_template(
+            "{{ messages.__class__.__mro__ }}", msgs)
+    with pytest.raises(jinja2.TemplateError, match="too large"):
+        server_mod._render_chat_template(
+            "x" * (server_mod._TEMPLATE_MAX_BYTES + 1), msgs)
+    # the sandbox already rejects absurd single ranges outright
+    with pytest.raises(OverflowError):
+        server_mod._render_chat_template(
+            "{% for i in range(10**9) %}{% endfor %}", msgs)
+    # nested in-cap loops spin instead -> bounded by the render timeout
+    monkeypatch.setattr(server_mod, "_RENDER_TIMEOUT_S", 0.3)
+    with pytest.raises(jinja2.TemplateError, match="timed out"):
+        server_mod._render_chat_template(
+            "{% for i in range(99999) %}{% for j in range(99999) %}"
+            "{% endfor %}{% endfor %}", msgs)
+    monkeypatch.setattr(server_mod, "_RENDER_MAX_CHARS", 100)
+    with pytest.raises(jinja2.TemplateError, match="output too large"):
+        server_mod._render_chat_template("{{ 'x' * 200 }}", msgs)
+    # a benign template still renders
+    assert server_mod._render_chat_template(
+        "{% for m in messages %}{{ m.content }}{% endfor %}", msgs) == "hi"
+
+
+def test_malicious_chat_template_maps_to_400():
+    """End-to-end: a model file carrying an escape-attempt template gets
+    a clean 400 from /v1/chat/completions, not code execution."""
+    rng = np.random.default_rng(16)
+    params = params_from_ggml(CFG, make_ggml_weights(CFG, rng),
+                              dtype=jnp.float32)
+    sched = Scheduler(CFG, params, sampling=SamplingConfig(temperature=0.0),
+                      max_batch=1, cache_dtype=jnp.float32, decode_chunk=4)
+    evil = ("{{ messages.__class__.__mro__[1].__subclasses__() }}")
+    httpd = serve(sched, byte_fallback_vocab(), host="127.0.0.1", port=0,
+                  model_info={"model": "t", "chat_template": evil})
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({"messages": [{"role": "user", "content": "x"}],
+                             "max_tokens": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.serving_loop.stop()
+
+
+def test_session_turns_serialized():
+    """Two concurrent messages on one text-replay session must be
+    serialized on the loop thread: the second turn's replayed prompt
+    includes the first turn's output (no stale-history replay)."""
+    from tokenhawk_tpu.runtime.paged_scheduler import PagedScheduler
+    from tokenhawk_tpu.serving.server import _SENTINEL, ServingLoop
+
+    rng = np.random.default_rng(17)
+    params = params_from_ggml(CFG, make_ggml_weights(CFG, rng),
+                              dtype=jnp.float32)
+    sched = PagedScheduler(CFG, params,
+                           sampling=SamplingConfig(temperature=0.0),
+                           max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                           decode_chunk=4, page_size=8, n_pages=24)
+    tok = byte_fallback_vocab()
+    loop = ServingLoop(sched, tok).start()
+    try:
+        # Submitted back-to-back from this (handler) thread: under the
+        # old racy read both would replay empty history.
+        q1 = loop.submit_text("A", max_tokens=3, session="s")
+        q2 = loop.submit_text("B", max_tokens=3, session="s")
+
+        def drain(q):
+            parts = []
+            while True:
+                item = q.get(timeout=120)
+                if item is _SENTINEL:
+                    return "".join(parts)
+                if isinstance(item, tuple):
+                    continue
+                parts.append(item)
+
+        o1, o2 = drain(q1), drain(q2)
+        # loop-thread-owned history reflects both turns, in order
+        assert loop._session_hist["s"] == "A" + o1 + "B" + o2
+        # and the second request saw the first turn in its prompt
+        assert q2.n_prompt_tokens > q1.n_prompt_tokens
+    finally:
+        loop.stop()

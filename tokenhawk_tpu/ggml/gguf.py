@@ -140,6 +140,15 @@ def _vocab_from_metadata(md: Dict[str, Any]) -> Vocab:
     real spaces, real bytes — GGUF keeps SentencePiece's ▁ and
     <0xXX> forms, llama.cpp converts at decode time, we convert once
     here)."""
+    tok_model = md.get("tokenizer.ggml.model", "llama")
+    if tok_model != "llama":
+        # "gpt2" (byte-level BPE, e.g. Llama-3 conversions) uses a
+        # different byte<->unicode mapping and merge table; applying the
+        # SentencePiece conventions below would silently produce a wrong
+        # vocab, so refuse loudly instead.
+        raise ValueError(
+            f"unsupported GGUF tokenizer model {tok_model!r}: only "
+            "SentencePiece ('llama') vocabularies are supported")
     tokens_s: List[str] = md["tokenizer.ggml.tokens"]
     scores: List[float] = md.get(
         "tokenizer.ggml.scores", [0.0] * len(tokens_s))

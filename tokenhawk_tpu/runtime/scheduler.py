@@ -656,20 +656,27 @@ class Scheduler:
 
     def step(self):
         """Admit what fits, then run one decode chunk."""
+        # Scan the whole queue rather than stopping at the head: a
+        # request whose session slot is busy (or, once slots are full, a
+        # session continuation behind fresh requests) must not starve
+        # unrelated work behind it.  Skipped requests keep their order.
+        deferred = []
         while self.pending:
-            req = self.pending[0]
+            req = self.pending.popleft()
             sess = self.sessions.get(req.session) if req.session else None
             if sess is not None:
                 if self.slots[sess.slot] is not None:
-                    break  # session busy with its previous request
-                self.pending.popleft()
+                    deferred.append(req)  # session busy; don't block others
+                    continue
                 self._continue_one(sess.slot, req, sess)
                 continue
             slot = self._free_slot()
             if slot is None:
-                break
-            self.pending.popleft()
+                deferred.append(req)
+                continue  # later session continuations may still admit
             self._admit_one(slot, req)
+        for req in reversed(deferred):
+            self.pending.appendleft(req)
         if self.n_active == 0:
             return
 

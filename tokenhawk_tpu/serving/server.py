@@ -38,6 +38,58 @@ from tokenhawk_tpu.tokenizer import Tokenizer
 _WEB_DIR = Path(__file__).parent / "web"
 _SENTINEL = object()
 
+# Chat-template guardrails: GGUF files are untrusted input, so the
+# tokenizer.chat_template metadata they carry is attacker-controlled
+# jinja source.  Render it only inside jinja2's immutable sandbox
+# (blocks attribute-chain escapes like ''.__class__.__mro__...), cap
+# the template source size, and bound render wall-time (a template
+# can still spin, e.g. nested loops over long ranges).
+_TEMPLATE_MAX_BYTES = 64 * 1024
+_RENDER_TIMEOUT_S = 5.0
+_RENDER_MAX_CHARS = 1 << 20
+_template_cache: dict = {}
+
+
+def _render_chat_template(tmpl: str, messages) -> str:
+    import jinja2
+    import jinja2.sandbox
+
+    if len(tmpl) > _TEMPLATE_MAX_BYTES:
+        raise jinja2.TemplateError("chat template too large")
+    compiled = _template_cache.get(tmpl)
+    if compiled is None:
+        env = jinja2.sandbox.ImmutableSandboxedEnvironment()
+
+        def raise_exception(msg):
+            raise jinja2.TemplateError(msg)
+
+        env.globals["raise_exception"] = raise_exception
+        compiled = env.from_string(tmpl)
+        _template_cache.clear()  # one model per server; keep one entry
+        _template_cache[tmpl] = compiled
+
+    result: list = []
+
+    def run():
+        try:
+            result.append(compiled.render(
+                messages=messages, add_generation_prompt=True,
+                bos_token="<s>", eos_token="</s>",
+            ))
+        except BaseException as e:  # surfaced on the caller thread
+            result.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(_RENDER_TIMEOUT_S)
+    if t.is_alive():
+        raise jinja2.TemplateError("chat template render timed out")
+    if isinstance(result[0], BaseException):
+        raise result[0]
+    if len(result[0]) > _RENDER_MAX_CHARS:
+        raise jinja2.TemplateError("chat template output too large")
+    return result[0]
+
 
 class ServingLoop:
     """Owns the Scheduler on a dedicated thread; thread-safe submit()."""
@@ -56,10 +108,18 @@ class ServingLoop:
         # (the dense scheduler bounds its sessions by slot eviction; this
         # map must not grow per client forever).  The replay re-prefills,
         # but with the prefix cache on, only the new tokens compute.
-        from collections import OrderedDict
+        from collections import OrderedDict, defaultdict, deque
 
         self._session_hist: "OrderedDict[str, str]" = OrderedDict()
         self.MAX_SESSIONS = 256
+        # Per-session serialization for text-replay sessions: history is
+        # read and written only on the loop thread, and a second message
+        # on a session waits until the first completes, so concurrent
+        # messages can never replay stale history (each turn sees the
+        # previous turn's output).
+        self._session_inflight: set = set()
+        self._session_waitq: "dict[str, deque]" = defaultdict(deque)
+        self._session_gen: "dict[str, int]" = defaultdict(int)
         self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         import time as _time
@@ -124,15 +184,20 @@ class ServingLoop:
             self._wake.set()
             return out
         native = getattr(self.scheduler, "native_sessions", True)
+        ids = None
         if isinstance(prompt, list):
             # Pre-tokenized prompt (OpenAI accepts token-id arrays).
             ids = [int(t) for t in prompt]
             prompt = self.tokenizer.decode(ids)
-        else:
-            if session is not None and not native:
-                # Replay the conversation text: correct on any scheduler —
-                # the paged prefix cache turns the replay into page reuse.
-                prompt = self._session_hist.get(session, "") + prompt
+        if session is not None and not native:
+            # Text-replay session: history is owned by the loop thread,
+            # so resolve the replayed prompt there (and serialize turns
+            # per session) instead of racing on _session_hist here.
+            self._inbox.put(("session_submit", session, prompt, max_tokens,
+                             sampling, stop, out))
+            self._wake.set()
+            return out
+        if ids is None:
             is_continuation = (
                 native and session is not None
                 and session in self.scheduler.sessions
@@ -146,13 +211,6 @@ class ServingLoop:
 
         def on_done(req: Request):
             self.stats["completed"] += 1
-            if session is not None and not native \
-                    and not req.finish_reason.startswith("error"):
-                self._session_hist[session] = (
-                    prompt + self.tokenizer.decode(req.output))
-                self._session_hist.move_to_end(session)
-                while len(self._session_hist) > self.MAX_SESSIONS:
-                    self._session_hist.popitem(last=False)
             out.put(("__done__", req.finish_reason))
             out.put(_SENTINEL)
 
@@ -165,6 +223,48 @@ class ServingLoop:
         self._inbox.put(req)
         self._wake.set()
         return out
+
+    def _submit_session_now(self, session: str, prompt: str,
+                            max_tokens: int, sampling, stop,
+                            out: "queue.Queue") -> None:
+        """Loop-thread half of a text-replay session submission: resolve
+        the replayed prompt against the (loop-thread-owned) history and
+        submit.  Callers must have marked the session in-flight."""
+        gen = self._session_gen[session]
+        full = self._session_hist.get(session, "") + prompt
+        ids = self.tokenizer.encode_prompt(full, add_bos=True)
+        out.n_prompt_tokens = len(ids)
+
+        def on_text(b: bytes):
+            out.put(b.decode("utf-8", "replace"))
+
+        def on_done(req: Request):
+            self.stats["completed"] += 1
+            # on_done runs on the loop thread (inside scheduler.step).
+            if (not req.finish_reason.startswith("error")
+                    and self._session_gen.get(session, -1) == gen):
+                self._session_hist[session] = (
+                    full + self.tokenizer.decode(req.output))
+                self._session_hist.move_to_end(session)
+                while len(self._session_hist) > self.MAX_SESSIONS:
+                    self._session_hist.popitem(last=False)
+            waitq = self._session_waitq.get(session)
+            if waitq:
+                self._submit_session_now(session, *waitq.popleft())
+            else:
+                self._session_inflight.discard(session)
+                self._session_waitq.pop(session, None)
+            out.put(("__done__", req.finish_reason))
+            out.put(_SENTINEL)
+
+        req = Request(prompt=ids, max_new_tokens=max_tokens,
+                      sampling=sampling, session=session,
+                      stop=[x.encode("utf-8") for x in stop] if stop else None,
+                      detok=self.tokenizer.decode_token_bytes,
+                      on_text=on_text, on_done=on_done)
+        out.request = req
+        self.stats["requests"] += 1
+        self.scheduler.submit(req)
 
     def cancel(self, req: Request) -> None:
         """Abort a request from any thread (routed via the inbox so all
@@ -184,9 +284,22 @@ class ServingLoop:
                     _, sid, out = item
                     self.scheduler.reset_session(sid)
                     self._session_hist.pop(sid, None)
+                    self._session_gen[sid] += 1  # in-flight turn won't write
+                    for parked in self._session_waitq.pop(sid, ()):
+                        parked[-1].put(("__done__", "reset"))
+                        parked[-1].put(_SENTINEL)
                     out.put("LLM context reset.")
                     out.put(("__done__", "reset"))
                     out.put(_SENTINEL)
+                elif isinstance(item, tuple) and item[0] == "session_submit":
+                    _, sid, prompt, max_tokens, sampling, stop, out = item
+                    if sid in self._session_inflight:
+                        self._session_waitq[sid].append(
+                            (prompt, max_tokens, sampling, stop, out))
+                    else:
+                        self._session_inflight.add(sid)
+                        self._submit_session_now(
+                            sid, prompt, max_tokens, sampling, stop, out)
                 elif isinstance(item, tuple) and item[0] == "cancel":
                     self.scheduler.cancel(item[1])
                 else:
@@ -393,18 +506,7 @@ def _make_handler(loop: ServingLoop, model_info: dict):
             chat template (GGUF metadata) or a role-tagged fallback."""
             tmpl = model_info.get("chat_template")
             if tmpl:
-                import jinja2
-
-                env = jinja2.Environment()
-
-                def raise_exception(msg):
-                    raise jinja2.TemplateError(msg)
-
-                return env.from_string(tmpl).render(
-                    messages=messages, add_generation_prompt=True,
-                    bos_token="<s>", eos_token="</s>",
-                    raise_exception=raise_exception,
-                )
+                return _render_chat_template(tmpl, messages)
             parts = []
             for m in messages:
                 parts.append(f"{m['role']}: {m['content']}")
