@@ -1,0 +1,139 @@
+"""Fused gated-FFN decode kernel (ops/pallas/ffn.py) vs the unfused path.
+
+The kernel computes x + silu(norm(x)@W1)*(norm(x)@W3)@W2 in one
+weight-streaming pass; outputs must match the separate-matmul form to
+bf16 rounding (the fused form keeps the intermediate in f32 where the
+unfused one round-trips it through bf16 — so comparison is vs a float
+reference over the same dequantized weights, not bit-exactness).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tokenhawk_tpu.ops.pallas.ffn import BLOCK_F, can_fuse_ffn, fused_ffn
+from tokenhawk_tpu.ops.qweight import quantize_array
+
+D, F = 256, 512
+
+
+def _make(rng, kind="q8_0"):
+    w1 = (rng.standard_normal((D, F)) * 0.05).astype(np.float32)
+    w3 = (rng.standard_normal((D, F)) * 0.05).astype(np.float32)
+    w2 = (rng.standard_normal((F, D)) * 0.05).astype(np.float32)
+    gain = 1.0 + 0.1 * rng.standard_normal(D).astype(np.float32)
+    q13 = quantize_array(np.concatenate([w1, w3], 1), kind)
+    q2 = quantize_array(w2, kind)
+    return q13, q2, jnp.asarray(gain)
+
+
+def _float_ref(x, q13, q2, gain, eps=1e-6):
+    """Reference over the dequantized weights, f32 throughout."""
+    xf = np.asarray(x, np.float32)
+    w13 = np.asarray(q13.dequantize(), np.float32)
+    w2 = np.asarray(q2.dequantize(), np.float32)
+    g = np.asarray(gain, np.float32)
+    inv = 1.0 / np.sqrt((xf * xf).mean(-1, keepdims=True) + eps)
+    xn = xf * inv * g
+    gu = xn @ w13
+    gg, u = gu[..., :F], gu[..., F:]
+    h = gg / (1.0 + np.exp(-gg)) * u
+    return xf + h @ w2
+
+
+@pytest.mark.parametrize("rows", [1, 3, 8])
+def test_fused_matches_reference(rng, rows):
+    q13, q2, gain = _make(rng)
+    x = jnp.asarray(
+        rng.standard_normal((rows, D)).astype(np.float32), dtype=jnp.bfloat16
+    )
+    assert can_fuse_ffn(q13, q2, rows)
+    y = fused_ffn(x, q13, q2, gain, interpret=True)
+    assert y.shape == (rows, D)
+    ref = _float_ref(x, q13, q2, gain)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), ref, atol=3e-2, rtol=3e-2
+    )
+
+
+def test_fused_leading_dims(rng):
+    q13, q2, gain = _make(rng)
+    x = jnp.asarray(
+        rng.standard_normal((2, 1, D)).astype(np.float32), dtype=jnp.bfloat16
+    )
+    y = fused_ffn(x, q13, q2, gain, interpret=True)
+    assert y.shape == (2, 1, D)
+    ref = _float_ref(x.reshape(2, D), q13, q2, gain).reshape(2, 1, D)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), ref, atol=3e-2, rtol=3e-2
+    )
+
+
+def test_gate_conditions(rng):
+    q13, q2, _ = _make(rng)
+    assert not can_fuse_ffn(q13, q2, 9)  # prefill row counts
+    assert not can_fuse_ffn(q13.qs, q2, 1)  # dense array
+    q13_q4 = quantize_array(
+        np.asarray(q13.dequantize(), np.float32), "q4_0"
+    )
+    assert not can_fuse_ffn(q13_q4, q2, 1)  # mixed kinds
+    # F not a multiple of BLOCK_F
+    if BLOCK_F > 128:
+        w_small = (np.random.default_rng(1).standard_normal((D, 2 * 128)) * 0.05)
+        q13s = quantize_array(w_small.astype(np.float32), "q8_0")
+        q2s = quantize_array(
+            (np.random.default_rng(2).standard_normal((128, D)) * 0.05).astype(
+                np.float32
+            ),
+            "q8_0",
+        )
+        assert not can_fuse_ffn(q13s, q2s, 1)
+
+
+def test_model_forward_uses_fused_path(rng):
+    """End-to-end: a tiny q8_0 model decode step under the interpret
+    backend (fused path taken) matches the XLA backend forward."""
+    from helpers import make_ggml_weights
+    from tokenhawk_tpu.config import LlamaConfig
+    from tokenhawk_tpu.ggml import quants as hq
+    from tokenhawk_tpu.ggml.format import GGMLType
+    from tokenhawk_tpu.models import llama as M
+    from tokenhawk_tpu.ops import dispatch
+
+    cfg = LlamaConfig(
+        n_vocab=64, n_embd=D, n_head=2, n_kv_head=2, n_layer=2,
+        n_ff=F, n_ctx=16,
+    )
+    tensors = make_ggml_weights(cfg, rng)
+    qtensors = {
+        k: (hq.quantize(v, GGMLType.Q8_0)
+            if v.ndim == 2 and "norm" not in k and "tok_embeddings" not in k
+            else v)
+        for k, v in tensors.items()
+    }
+    params = M.fuse_params(M.params_from_ggml(cfg, qtensors))
+    assert can_fuse_ffn(
+        jax.tree_util.tree_map(lambda a: a[0], params.layers.w13),
+        jax.tree_util.tree_map(lambda a: a[0], params.layers.w2),
+        rows=2,
+    )
+    tok = jnp.asarray([[5], [9]], jnp.int32)
+    off = jnp.asarray([3, 3], jnp.int32)
+
+    def run():
+        cache = M.KVCache.create(cfg, batch=2, max_seq=16)
+        h, _ = M.forward(cfg, params, tok, cache, off)
+        return np.asarray(h, np.float32)
+
+    old = dispatch.get_backend()
+    try:
+        dispatch.set_backend("xla")
+        ref = run()
+        dispatch.set_backend("pallas_interpret")
+        got = run()
+    finally:
+        dispatch.set_backend(old)
+    np.testing.assert_allclose(got, ref, atol=6e-2, rtol=6e-2)

@@ -185,6 +185,37 @@ def _attend_and_update(cfg, q, k, v, lcache, offsets, positions,
     return ctx, (kc, ksc, vc, vsc)
 
 
+def _ffn_block(cfg: LlamaConfig, x, lp: LayerParams):
+    """SwiGLU MLP with residual: x + silu(norm(x)@w1)*(norm(x)@w3) @ w2.
+
+    At decode row counts with symmetric quantized weights the whole block
+    runs as ONE Pallas kernel (ops/pallas/ffn.py) — w13, the elementwise
+    gate, w2, and the residual add stream in a single pass, removing a
+    kernel boundary per layer from the hot loop.  Prefill and dense/
+    affine weights keep the separate-matmul form.
+    """
+    F = cfg.n_ff
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if lp.w13 is not None:
+        from tokenhawk_tpu.ops.dispatch import pallas_mode
+        from tokenhawk_tpu.ops.pallas.ffn import can_fuse_ffn, fused_ffn
+
+        mode = pallas_mode()
+        if mode is not None and can_fuse_ffn(lp.w13, lp.w2, rows):
+            return fused_ffn(x, lp.w13, lp.w2, lp.ffn_norm,
+                             eps=cfg.rms_norm_eps,
+                             interpret=(mode == "interpret"))
+        gate_up = matmul(x, lp.w13, lp.ffn_norm, eps=cfg.rms_norm_eps)
+        g, u = gate_up[..., :F], gate_up[..., F:]
+    else:
+        g = matmul(x, lp.w1, lp.ffn_norm, eps=cfg.rms_norm_eps)
+        u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
+    gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+    return x + matmul(gate * u, lp.w2)
+
+
 def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, lcache, cos, sin, offsets, positions):
     B, T, D = x.shape
     H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
@@ -214,18 +245,7 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, lcache, cos, sin, offse
                                      prefer_append=quantized)
     x = x + matmul(ctx.reshape(B, T, D), lp.wo)
 
-    F = cfg.n_ff
-    if lp.w13 is not None:
-        gate_up = matmul(x, lp.w13, lp.ffn_norm,
-                         eps=cfg.rms_norm_eps)  # [B, T, 2F]
-        g = gate_up[..., :F]
-        u = gate_up[..., F:]
-    else:
-        g = matmul(x, lp.w1, lp.ffn_norm, eps=cfg.rms_norm_eps)
-        u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
-    gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
-    x = x + matmul(gate * u, lp.w2)
-    return x, lcache
+    return _ffn_block(cfg, x, lp), lcache
 
 
 class QuantKVCache(NamedTuple):
@@ -505,17 +525,7 @@ def forward_paged_decode(
             ctx = attend_paged_layer(q, k_l, v_l, page_table, lengths + 1)
             lcache = (k_l, v_l)
         x = x + matmul(ctx.reshape(B, 1, D), lp.wo)
-
-        F = cfg.n_ff
-        if lp.w13 is not None:
-            gate_up = matmul(x, lp.w13, lp.ffn_norm, eps=cfg.rms_norm_eps)
-            g, u = gate_up[..., :F], gate_up[..., F:]
-        else:
-            g = matmul(x, lp.w1, lp.ffn_norm, eps=cfg.rms_norm_eps)
-            u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
-        gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
-        x = x + matmul(gate * u, lp.w2)
-        return x, lcache
+        return _ffn_block(cfg, x, lp), lcache
 
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)
@@ -586,17 +596,7 @@ def forward_paged_prefill(
             v_l = paginate_fragment_layer(v_l, v_b, page_table)
             lcache = (k_l, v_l)
         x = x + matmul(ctx.reshape(B, T, H * Dh), lp.wo)
-
-        F = cfg.n_ff
-        if lp.w13 is not None:
-            gu = matmul(x, lp.w13, lp.ffn_norm, eps=cfg.rms_norm_eps)
-            g, u = gu[..., :F], gu[..., F:]
-        else:
-            g = matmul(x, lp.w1, lp.ffn_norm, eps=cfg.rms_norm_eps)
-            u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
-        gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
-        x = x + matmul(gate * u, lp.w2)
-        return x, lcache
+        return _ffn_block(cfg, x, lp), lcache
 
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)
@@ -694,17 +694,7 @@ def forward_paged_prefill_cont(
                 B, Hkv, mp * ps, Dh)
         ctx = attend_cache(q, kg, vg, positions)
         x = x + matmul(ctx.reshape(B, C, H * Dh), lp.wo)
-
-        F = cfg.n_ff
-        if lp.w13 is not None:
-            gu = matmul(x, lp.w13, lp.ffn_norm, eps=cfg.rms_norm_eps)
-            g, u = gu[..., :F], gu[..., F:]
-        else:
-            g = matmul(x, lp.w1, lp.ffn_norm, eps=cfg.rms_norm_eps)
-            u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
-        gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
-        x = x + matmul(gate * u, lp.w2)
-        return x, lcache
+        return _ffn_block(cfg, x, lp), lcache
 
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)
@@ -768,17 +758,7 @@ def forward_paged_verify(
             B, Hkv, mp * ps, Dh)
         ctx = attend_cache(q, kg, vg, positions)
         x = x + matmul(ctx.reshape(B, T, H * Dh), lp.wo)
-
-        F = cfg.n_ff
-        if lp.w13 is not None:
-            gu = matmul(x, lp.w13, lp.ffn_norm, eps=cfg.rms_norm_eps)
-            g, u = gu[..., :F], gu[..., F:]
-        else:
-            g = matmul(x, lp.w1, lp.ffn_norm, eps=cfg.rms_norm_eps)
-            u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
-        gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
-        x = x + matmul(gate * u, lp.w2)
-        return x, (k_l, v_l)
+        return _ffn_block(cfg, x, lp), (k_l, v_l)
 
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)

@@ -1,0 +1,223 @@
+"""Fused gated-FFN decode kernel: one Pallas call for the whole MLP.
+
+Computes  y = x + silu(norm(x) @ W1) * (norm(x) @ W3) @ W2  for
+quantized W1|W3 (fused [D, 2F] layout) and W2 [F, D], streaming every
+weight byte exactly once.  Because SwiGLU is elementwise over the
+intermediate dim F, the output decomposes over F-tiles:
+
+    y = x + sum_t  h_t @ W2[t]        h_t = silu(xn @ W1[:, t]) * (xn @ W3[:, t])
+
+so the kernel walks F in `block_f` tiles, producing each intermediate
+tile and immediately consuming it against the matching W2 row-slab while
+the Pallas pipeline prefetches the next tiles.  vs the two-kernel form
+(w13 matmul -> XLA silu*mul -> w2 matmul) this removes one kernel
+boundary per layer per step (32/token of cross-kernel prefetch bubbles,
+the dominant decode "glue" in the round-2 trace), the [B, 2F]
+intermediate round-trip through HBM, and w2's ragged-K sub-chunk tail
+(K=11008 has no even 256-multiple split; here w2 is tiled along F by
+construction).
+
+The reference computes the same MLP as three separate GEMV dispatches
+plus two elementwise passes (/root/reference/th-llama.cpp:393-430);
+fusing them is only possible because the TPU kernel owns the whole
+pipeline stage rather than enqueueing fixed-function dispatches.
+
+Decode-only: activation rows <= 8, f32 MXU dots (same DOT_F32 rationale
+as qmatmul.py).  Prefill keeps the separate bf16-dot matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tokenhawk_tpu.ops.pallas.qmatmul import GROUP, _apply_scales, _pick_sub
+
+# Intermediate-dim tile. 256 is the largest clean divisor of LLaMA's
+# F=11008 (= 256*43) that keeps w2's scale slab at the (8, 128) min tile;
+# the bn=256 DMA cost vs 512 measured ~2% in-kernel (qkernel_bench).
+BLOCK_F = int(_os.environ.get("THAWK_FFN_BLOCK_F", "256"))
+
+
+def _dequant(q_ref, s_ref, rows, cols, group=GROUP):
+    """Dequantize q_ref[rows, cols] with group scales along the rows."""
+    w = q_ref[rows, cols].astype(jnp.float32)
+    s = s_ref[rows.start // group : rows.stop // group, cols].astype(jnp.float32)
+    return _apply_scales(w, s, group)
+
+
+def _ffn_kernel(
+    x_ref, w1_ref, w3_ref, s1_ref, s3_ref, w2_ref, s2_ref, g_ref,
+    o_ref, acc_ref, xn_ref, *, n_tiles, eps, d_sub, o_sub,
+):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        xf = x_ref[...].astype(jnp.float32)
+        inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
+        xn_ref[...] = xf * inv * g_ref[...].astype(jnp.float32)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xn = xn_ref[...]
+    D = w1_ref.shape[0]
+
+    # Gate/up projections for this F-tile: whole-K (= D) dots, f32
+    # dequant bounded by d_sub chunks exactly like qmatmul's K loop.
+    g = None
+    u = None
+    for j in range(0, D, d_sub):
+        sub = min(d_sub, D - j)
+        rows = slice(j, j + sub)
+        cols = slice(None)
+        xj = xn[:, j : j + sub]
+        gj = jax.lax.dot_general(
+            xj, _dequant(w1_ref, s1_ref, rows, cols),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        uj = jax.lax.dot_general(
+            xj, _dequant(w3_ref, s3_ref, rows, cols),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        g = gj if g is None else g + gj
+        u = uj if u is None else u + uj
+
+    h = g * jax.lax.logistic(g) * u  # silu(g) * u, [B, bf] f32
+
+    # Down projection: this F-tile's W2 row-slab feeds the accumulator.
+    Dout = w2_ref.shape[1]
+    for j in range(0, Dout, o_sub):
+        sub = min(o_sub, Dout - j)
+        cols = slice(j, j + sub)
+        w2j = _apply_scales(
+            w2_ref[:, cols].astype(jnp.float32),
+            s2_ref[:, cols].astype(jnp.float32),
+        )
+        acc_ref[:, cols] += jax.lax.dot_general(
+            h, w2j, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        # Residual add rides the epilogue: x is already resident.
+        o_ref[...] = (
+            x_ref[...].astype(jnp.float32) + acc_ref[...]
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "block_f", "interpret")
+)
+def _fused_ffn(
+    x,  # [B, D] (B <= 8, padded to 8 by the wrapper)
+    w13_qs,  # int4/int8 [D, 2F]
+    w13_s,  # [D//32, 2F]
+    w2_qs,  # int4/int8 [F, D]
+    w2_s,  # [F//32, D]
+    gain,  # [1, D] ffn_norm
+    *,
+    eps: float,
+    block_f: int,
+    interpret: bool,
+):
+    B, D = x.shape
+    F2 = w13_qs.shape[1]
+    F = F2 // 2
+    bf = block_f
+    nf = F // bf
+    sg_d = D // GROUP
+    sg_f = bf // GROUP
+
+    d_sub = _pick_sub(D, 2048)
+    grid = (nf,)
+    kernel = functools.partial(
+        _ffn_kernel, n_tiles=nf, eps=eps, d_sub=d_sub, o_sub=2048,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, D), lambda t: (0, 0)),  # x (resident)
+            pl.BlockSpec((D, bf), lambda t: (0, t)),  # w1 tile
+            pl.BlockSpec((D, bf), lambda t, _n=nf: (0, t + _n)),  # w3 tile
+            pl.BlockSpec((sg_d, bf), lambda t: (0, t)),  # w1 scales
+            pl.BlockSpec((sg_d, bf), lambda t, _n=nf: (0, t + _n)),  # w3 scales
+            pl.BlockSpec((bf, D), lambda t: (t, 0)),  # w2 row-slab
+            pl.BlockSpec((sg_f, D), lambda t: (t, 0)),  # w2 scales
+            pl.BlockSpec((1, D), lambda t: (0, 0)),  # ffn_norm gain
+        ],
+        out_specs=pl.BlockSpec((B, D), lambda t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, D), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B, D), jnp.float32),  # accumulator
+            pltpu.VMEM((B, D), jnp.float32),  # normed activations
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * D * F,
+            bytes_accessed=(
+                w13_qs.size // (2 if w13_qs.dtype in (jnp.int4, jnp.uint4) else 1)
+                + w2_qs.size // (2 if w2_qs.dtype in (jnp.int4, jnp.uint4) else 1)
+                + (w13_s.size + w2_s.size) * w13_s.dtype.itemsize
+            ),
+            transcendentals=B * F,
+        ),
+        interpret=interpret,
+    )(x, w13_qs, w13_qs, w13_s, w13_s, w2_qs, w2_s, gain)
+
+
+_FFN_ENABLED = _os.environ.get("THAWK_FUSED_FFN", "1") == "1"
+
+
+def can_fuse_ffn(w13, w2, rows: int) -> bool:
+    """Gate: quantized symmetric kinds, decode row counts, clean tiling."""
+    from tokenhawk_tpu.ops.qweight import QWeight
+
+    if not _FFN_ENABLED or rows > 8:
+        return False
+    if not (isinstance(w13, QWeight) and isinstance(w2, QWeight)):
+        return False
+    if w13.kind != w2.kind or w13.kind not in ("q8_0", "q4_0_i4"):
+        return False
+    if w13.mins is not None or w2.mins is not None:
+        return False
+    D, F2 = w13.qs.shape
+    F, D2 = w2.qs.shape
+    if D != D2 or F2 != 2 * F:
+        return False
+    bf = BLOCK_F
+    # bf must divide F and keep w2's scale slab >= 8 sublanes.
+    return F % bf == 0 and bf % (8 * GROUP) == 0 and D % 256 == 0
+
+
+def fused_ffn(x, w13, w2, norm_gain, *, eps: float = 1e-6,
+              interpret: bool = False):
+    """x [..., D] -> x + SwiGLU-MLP(norm(x)); residual included.
+
+    Caller must have checked `can_fuse_ffn(w13, w2, rows)`.
+    """
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    xb = x.reshape(-1, D)
+    B = xb.shape[0]
+    Bp = max(8, -(-B // 8) * 8)
+    if Bp != B:
+        # Zero rows stay zero through the whole pipe (norm of 0 is 0,
+        # silu(0)*0 = 0, residual 0) and are sliced off below.
+        xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
+    y = _fused_ffn(
+        xb, w13.qs, w13.scales, w2.qs, w2.scales,
+        norm_gain.reshape(1, D),
+        eps=eps, block_f=BLOCK_F, interpret=interpret,
+    )
+    if Bp != B:
+        y = y[:B]
+    return y.reshape(*lead, D)
