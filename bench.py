@@ -204,6 +204,9 @@ def main(argv=None) -> int:
                    help="serve mode: enable automatic prefix caching")
     p.add_argument("--kv", choices=["bf16", "int8"], default="bf16",
                    help="KV cache dtype (int8 halves KV traffic at long ctx)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the "
+                        "steady-state decode into DIR")
     p.add_argument("--rope", choices=["half", "interleaved"], default="half",
                    help="rope style; production loads permute wq/wk to "
                         "'half' (rope_half_params), so that is the default")
@@ -435,6 +438,15 @@ def main(argv=None) -> int:
         return (cache2, toks2, new_off, last_n2, jnp.zeros_like(done2))
 
     _, state = run_chunks(1, *state)  # throwaway (post-compile one-offs)
+    if args.trace:
+        from tokenhawk_tpu.utils.profiling import trace as _trace
+
+        with _trace(args.trace):
+            _, state = run_chunks(max(1, n2 // 2), *state)
+        state = recycle(state)
+        print(f"trace written to {args.trace} "
+              f"(summarize: python experiments/trace_summarize.py "
+              f"{args.trace} {max(1, n2 // 2) * args.chunk})", file=sys.stderr)
     times = []
     for trial in range(3):
         t, state = run_chunks(n2, *state)

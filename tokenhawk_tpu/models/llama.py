@@ -22,6 +22,7 @@ norm.weight, output.weight.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import Dict, NamedTuple, Optional, Tuple, Union
 
 import jax
@@ -241,9 +242,37 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, lcache, cos, sin, offse
     k = apply_rope(k, cos, sin, cfg.rope_style)
 
     quantized = isinstance(lp.wqkv if lp.wqkv is not None else lp.wq, QWeight)
-    ctx, lcache = _attend_and_update(cfg, q, k, v, lcache, offsets, positions,
-                                     prefer_append=quantized)
-    x = x + matmul(ctx.reshape(B, T, D), lp.wo)
+    fused_attn = False
+    if (quantized and T == 1 and B == 1 and H == Hkv and len(lcache) == 2
+            and _os.environ.get("THAWK_FUSED_ATTN", "0") == "1"):
+        # Fused append+attend+Wo+residual kernel (ops/pallas/attn_block).
+        # NEGATIVE RESULT, default OFF: measured 152.8-154.4 vs 157.2
+        # tok/s for the separate-kernel form (7B q4, v5e, same band) —
+        # XLA's memory-space assignment prefetches the Wo slices across
+        # kernel AND layer boundaries, which beats both the in-kernel
+        # DMA ring and the 1-deep BlockSpec pipeline. Kept env-gated for
+        # re-evaluation if the MSA behavior changes.
+        from tokenhawk_tpu.ops.dispatch import pallas_mode
+        from tokenhawk_tpu.ops.pallas.attn_block import (
+            can_fuse_attn_out,
+            fused_attn_out,
+        )
+
+        mode = pallas_mode()
+        kc, vc = lcache
+        S = kc.shape[2]
+        if mode is not None and can_fuse_attn_out(lp.wo, B, T, 1, Dh, S):
+            lengths = jnp.minimum(positions[:, 0] + 1, S).astype(jnp.int32)
+            x, kc, vc = fused_attn_out(
+                x, q, k, v, kc, vc, lengths, lp.wo,
+                interpret=(mode == "interpret"),
+            )
+            lcache = (kc, vc)
+            fused_attn = True
+    if not fused_attn:
+        ctx, lcache = _attend_and_update(cfg, q, k, v, lcache, offsets,
+                                         positions, prefer_append=quantized)
+        x = x + matmul(ctx.reshape(B, T, D), lp.wo)
 
     return _ffn_block(cfg, x, lp), lcache
 
