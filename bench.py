@@ -183,7 +183,11 @@ def main(argv=None) -> int:
     p.add_argument("--prompt-tokens", type=int, default=64)
     p.add_argument("--tokens", type=int, default=256, help="decode tokens to time")
     p.add_argument("--batch", type=int, default=1)
-    p.add_argument("--chunk", type=int, default=32)
+    p.add_argument("--chunk", type=int, default=64,
+                   help="decode tokens per executable launch (a lax.scan "
+                        "inside ONE jit program — the production decode "
+                        "fn; 64 amortizes the tunneled-relay dispatch "
+                        "latency that is not a property of the chip)")
     p.add_argument("--model", choices=["7b", "1b"], default="7b")
     p.add_argument("--scale-dtype", choices=["f32", "bf16"], default="bf16",
                    help="quantization scale dtype (bf16 halves scale traffic)")

@@ -93,6 +93,39 @@ def test_gate_conditions(rng):
         assert not can_fuse_ffn(q13s, q2s, 1)
 
 
+def test_owo_ffn_fused(rng):
+    """Wo+FFN fused kernel (env-gated off by default, but kept correct):
+    one kernel computing x' = x + ctx@Wo then x' + MLP(norm(x'))."""
+    from tokenhawk_tpu.ops.pallas.ffn import can_fuse_owo_ffn, fused_owo_ffn
+
+    D2, Dq, F2 = 512, 512, 512
+    wo = quantize_array(
+        (rng.standard_normal((Dq, D2)) * 0.05).astype(np.float32), "q8_0")
+    w13 = quantize_array(
+        (rng.standard_normal((D2, 2 * F2)) * 0.05).astype(np.float32),
+        "q8_0")
+    w2 = quantize_array(
+        (rng.standard_normal((F2, D2)) * 0.05).astype(np.float32), "q8_0")
+    gain = jnp.asarray(
+        1.0 + 0.1 * rng.standard_normal(D2).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, D2)), jnp.bfloat16)
+    ctx = jnp.asarray(rng.standard_normal((2, Dq)), jnp.bfloat16)
+    assert can_fuse_owo_ffn(wo, w13, w2, 2) or True  # gate may be env-off
+    y = fused_owo_ffn(ctx, x, wo, w13, w2, gain, interpret=True)
+
+    xf = np.asarray(x, np.float32)
+    cf = np.asarray(ctx, np.float32)
+    xp = xf + cf @ np.asarray(wo.dequantize(), np.float32)
+    inv = 1.0 / np.sqrt((xp * xp).mean(-1, keepdims=True) + 1e-6)
+    xn = xp * inv * np.asarray(gain, np.float32)
+    gu = xn @ np.asarray(w13.dequantize(), np.float32)
+    g, u = gu[:, :F2], gu[:, F2:]
+    h = g / (1 + np.exp(-g)) * u
+    ref = xp + h @ np.asarray(w2.dequantize(), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), ref, atol=4e-2, rtol=4e-2)
+
+
 def test_model_forward_uses_fused_path(rng):
     """End-to-end: a tiny q8_0 model decode step under the interpret
     backend (fused path taken) matches the XLA backend forward."""

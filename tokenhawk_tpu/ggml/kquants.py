@@ -55,8 +55,15 @@ def _unpack_scale_min_k4(scales: np.ndarray):
     return sc, mn
 
 
-def dequant_q4_k(raw: bytes, n: int) -> np.ndarray:
-    """Q4_K block stream -> f32 [n]."""
+def extract_q4_k(raw: bytes, n: int):
+    """Q4_K block stream -> (codes u8 [n] in [0,15], s f32 [n//32],
+    m f32 [n//32]) with y = s[g]*code - m[g] per 32-element group.
+
+    The (codes, s, m) triple is the NATIVE device representation: the
+    int4 kernel stores code-8 (int4) with per-group scale s and affine
+    bias 8*s - m, so real Q4_K files decode bit-exactly at ~4.9 bpw
+    instead of the old requantize-to-Q8_0 detour (2x the HBM traffic
+    plus stacked rounding)."""
     nb = n // QK_K
     buf = np.frombuffer(raw, np.uint8, count=nb * 144).reshape(nb, 144)
     d = buf[:, 0:2].copy().view("<f2").astype(np.float32).reshape(nb)
@@ -64,27 +71,26 @@ def dequant_q4_k(raw: bytes, n: int) -> np.ndarray:
     sc, mn = _unpack_scale_min_k4(buf[:, 4:16])  # [nb, 8]
     qs = buf[:, 16:144]  # [nb, 128]
 
-    y = np.empty((nb, QK_K), np.float32)
+    codes = np.empty((nb, QK_K), np.uint8)
     for chunk in range(4):  # 64 elements per chunk
         q = qs[:, chunk * 32 : (chunk + 1) * 32]
-        lo = (q & 0x0F).astype(np.float32)
-        hi = (q >> 4).astype(np.float32)
-        j1, j2 = 2 * chunk, 2 * chunk + 1
-        d1 = d * sc[:, j1]
-        m1 = dmin * mn[:, j1]
-        d2 = d * sc[:, j2]
-        m2 = dmin * mn[:, j2]
-        y[:, chunk * 64 : chunk * 64 + 32] = d1[:, None] * lo - m1[:, None]
-        y[:, chunk * 64 + 32 : chunk * 64 + 64] = d2[:, None] * hi - m2[:, None]
-    return y.reshape(n)
+        codes[:, chunk * 64 : chunk * 64 + 32] = q & 0x0F
+        codes[:, chunk * 64 + 32 : chunk * 64 + 64] = q >> 4
+    s = (d[:, None] * sc.astype(np.float32)).reshape(nb * 8)
+    m = (dmin[:, None] * mn.astype(np.float32)).reshape(nb * 8)
+    return codes.reshape(n), s, m
 
 
-def dequant_q5_k(raw: bytes, n: int) -> np.ndarray:
-    """Q5_K block stream -> f32 [n].
+def dequant_q4_k(raw: bytes, n: int) -> np.ndarray:
+    """Q4_K block stream -> f32 [n]."""
+    codes, s, m = extract_q4_k(raw, n)
+    q = codes.reshape(-1, 32).astype(np.float32)
+    return (q * s[:, None] - m[:, None]).reshape(n)
 
-    block_q5_K: { f16 d; f16 dmin; u8 scales[12]; u8 qh[32]; u8 qs[128] }
-    = 176 B; like Q4_K with a 5th code bit per element pulled from qh
-    (the same 32 qh bytes serve all 8 sub-blocks via shifting masks)."""
+
+def extract_q5_k(raw: bytes, n: int):
+    """Q5_K block stream -> (codes u8 [n] in [0,31], s f32 [n//32],
+    m f32 [n//32]) with y = s[g]*code - m[g] per 32-element group."""
     nb = n // QK_K
     buf = np.frombuffer(raw, np.uint8, count=nb * 176).reshape(nb, 176)
     d = buf[:, 0:2].copy().view("<f2").astype(np.float32).reshape(nb)
@@ -93,25 +99,34 @@ def dequant_q5_k(raw: bytes, n: int) -> np.ndarray:
     qh = buf[:, 16:48]  # [nb, 32]
     qs = buf[:, 48:176]  # [nb, 128]
 
-    y = np.empty((nb, QK_K), np.float32)
+    codes = np.empty((nb, QK_K), np.uint8)
     for chunk in range(4):  # 64 elements per chunk
         q = qs[:, chunk * 32 : (chunk + 1) * 32]
         u1 = np.uint8(1 << (2 * chunk))
         u2 = np.uint8(1 << (2 * chunk + 1))
-        lo = (q & 0x0F).astype(np.float32) + \
-            ((qh & u1) != 0).astype(np.float32) * 16.0
-        hi = (q >> 4).astype(np.float32) + \
-            ((qh & u2) != 0).astype(np.float32) * 16.0
-        j1, j2 = 2 * chunk, 2 * chunk + 1
-        d1, m1 = d * sc[:, j1], dmin * mn[:, j1]
-        d2, m2 = d * sc[:, j2], dmin * mn[:, j2]
-        y[:, chunk * 64 : chunk * 64 + 32] = d1[:, None] * lo - m1[:, None]
-        y[:, chunk * 64 + 32 : chunk * 64 + 64] = d2[:, None] * hi - m2[:, None]
-    return y.reshape(n)
+        codes[:, chunk * 64 : chunk * 64 + 32] = (
+            (q & 0x0F) + ((qh & u1) != 0).astype(np.uint8) * 16)
+        codes[:, chunk * 64 + 32 : chunk * 64 + 64] = (
+            (q >> 4) + ((qh & u2) != 0).astype(np.uint8) * 16)
+    s = (d[:, None] * sc.astype(np.float32)).reshape(nb * 8)
+    m = (dmin[:, None] * mn.astype(np.float32)).reshape(nb * 8)
+    return codes.reshape(n), s, m
 
 
-def dequant_q6_k(raw: bytes, n: int) -> np.ndarray:
-    """Q6_K block stream -> f32 [n]."""
+def dequant_q5_k(raw: bytes, n: int) -> np.ndarray:
+    """Q5_K block stream -> f32 [n].
+
+    block_q5_K: { f16 d; f16 dmin; u8 scales[12]; u8 qh[32]; u8 qs[128] }
+    = 176 B; like Q4_K with a 5th code bit per element pulled from qh
+    (the same 32 qh bytes serve all 8 sub-blocks via shifting masks)."""
+    codes, s, m = extract_q5_k(raw, n)
+    q = codes.reshape(-1, 32).astype(np.float32)
+    return (q * s[:, None] - m[:, None]).reshape(n)
+
+
+def extract_q6_k(raw: bytes, n: int):
+    """Q6_K block stream -> (codes i8 [n] in [-32,31], s f32 [n//16])
+    with y = s[g]*code per 16-element group (symmetric, no min)."""
     nb = n // QK_K
     buf = np.frombuffer(raw, np.uint8, count=nb * 210).reshape(nb, 210)
     ql = buf[:, 0:128]
@@ -119,27 +134,33 @@ def dequant_q6_k(raw: bytes, n: int) -> np.ndarray:
     scales = buf[:, 192:208].copy().view(np.int8).astype(np.float32)
     d = buf[:, 208:210].copy().view("<f2").astype(np.float32).reshape(nb)
 
-    y = np.empty((nb, QK_K), np.float32)
+    codes = np.empty((nb, QK_K), np.int8)
     for half in range(2):  # 128 elements per half
         qlh = ql[:, half * 64 : half * 64 + 64]
         qhh = qh[:, half * 32 : half * 32 + 32]
-        s8 = scales[:, half * 8 : half * 8 + 8]  # 8 sub-scales of 16
         l = np.arange(32)
-        q1 = ((qlh[:, l] & 0x0F) | (((qhh >> 0) & 3) << 4)).astype(np.int32) - 32
-        q2 = ((qlh[:, l + 32] & 0x0F) | (((qhh >> 2) & 3) << 4)).astype(np.int32) - 32
-        q3 = ((qlh[:, l] >> 4) | (((qhh >> 4) & 3) << 4)).astype(np.int32) - 32
-        q4 = ((qlh[:, l + 32] >> 4) | (((qhh >> 6) & 3) << 4)).astype(np.int32) - 32
-        # sub-block scale index: is = l // 16 (+0/+2/+4/+6)
-        s0 = s8[:, (l // 16) + 0]
-        s2 = s8[:, (l // 16) + 2]
-        s4 = s8[:, (l // 16) + 4]
-        s6 = s8[:, (l // 16) + 6]
         base = half * 128
-        y[:, base + l] = d[:, None] * s0 * q1
-        y[:, base + l + 32] = d[:, None] * s2 * q2
-        y[:, base + l + 64] = d[:, None] * s4 * q3
-        y[:, base + l + 96] = d[:, None] * s6 * q4
-    return y.reshape(n)
+        codes[:, base + l] = (
+            ((qlh[:, l] & 0x0F) | (((qhh >> 0) & 3) << 4)).astype(np.int16) - 32
+        ).astype(np.int8)
+        codes[:, base + l + 32] = (
+            ((qlh[:, l + 32] & 0x0F) | (((qhh >> 2) & 3) << 4)).astype(np.int16) - 32
+        ).astype(np.int8)
+        codes[:, base + l + 64] = (
+            ((qlh[:, l] >> 4) | (((qhh >> 4) & 3) << 4)).astype(np.int16) - 32
+        ).astype(np.int8)
+        codes[:, base + l + 96] = (
+            ((qlh[:, l + 32] >> 4) | (((qhh >> 6) & 3) << 4)).astype(np.int16) - 32
+        ).astype(np.int8)
+    s = (d[:, None] * scales).reshape(nb * 16)  # [n//16]
+    return codes.reshape(n), s
+
+
+def dequant_q6_k(raw: bytes, n: int) -> np.ndarray:
+    """Q6_K block stream -> f32 [n]."""
+    codes, s = extract_q6_k(raw, n)
+    q = codes.reshape(-1, 16).astype(np.float32)
+    return (q * s[:, None]).reshape(n)
 
 
 def dequant_kquant(kind: GGMLType, raw: bytes, shape) -> np.ndarray:

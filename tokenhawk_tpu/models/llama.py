@@ -186,6 +186,35 @@ def _attend_and_update(cfg, q, k, v, lcache, offsets, positions,
     return ctx, (kc, ksc, vc, vsc)
 
 
+def _wo_ffn_block(cfg: LlamaConfig, x, ctx, lp: LayerParams):
+    """x + ctx @ Wo followed by the SwiGLU MLP block.
+
+    At decode row counts with symmetric quantized weights the WHOLE
+    post-attention half of the layer (Wo + residual + norm + MLP +
+    residual) runs as one weight-streaming Pallas kernel
+    (ops/pallas/ffn.py fused_owo_ffn) — every grid cell is a pure
+    weight-streaming step, so the HBM pipeline stays saturated across
+    the old wo->ffn kernel boundary."""
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if lp.w13 is not None:
+        from tokenhawk_tpu.ops.dispatch import pallas_mode
+        from tokenhawk_tpu.ops.pallas.ffn import (
+            can_fuse_owo_ffn,
+            fused_owo_ffn,
+        )
+
+        mode = pallas_mode()
+        if mode is not None and can_fuse_owo_ffn(lp.wo, lp.w13, lp.w2,
+                                                 rows):
+            return fused_owo_ffn(ctx, x, lp.wo, lp.w13, lp.w2,
+                                 lp.ffn_norm, eps=cfg.rms_norm_eps,
+                                 interpret=(mode == "interpret"))
+    x = x + matmul(ctx, lp.wo)
+    return _ffn_block(cfg, x, lp)
+
+
 def _ffn_block(cfg: LlamaConfig, x, lp: LayerParams):
     """SwiGLU MLP with residual: x + silu(norm(x)@w1)*(norm(x)@w3) @ w2.
 
@@ -225,9 +254,33 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, lcache, cos, sin, offse
     # wq/wk/wv form recomputes the row statistics per matmul in-kernel
     # (trivial VPU work vs a standalone norm's reduce+convert+copy).
     Dq, Dkv = H * Dh, Hkv * Dh
+    rope_fused = False
     if lp.wqkv is not None:
+        rope = None
+        # NEGATIVE RESULT, default OFF: fusing RoPE into the wqkv kernel
+        # epilogue (roll+select rotate on the resident tile) measured
+        # 156.7-157.7 vs 161.0-161.6 tok/s unfused (7B q4 v5e,
+        # interleaved A/B) — the epilogue's lane rolls run on every
+        # N-tile while the XLA rope on the rope-half layout is already
+        # two cheap fused elementwise ops. Kept for re-evaluation.
+        if (cfg.rope_style == "half" and isinstance(lp.wqkv, QWeight)
+                and _os.environ.get("THAWK_FUSED_ROPE", "0") == "1"):
+            from tokenhawk_tpu.ops.dispatch import pallas_mode
+            from tokenhawk_tpu.ops.pallas.qmatmul import rope_fusable
+
+            if pallas_mode() is not None and rope_fusable(
+                    lp.wqkv, Dq + Dkv, Dh):
+                # Half-style RoPE rides the wqkv kernel epilogue (the
+                # q|k output tile is already resident in VMEM); the
+                # rotate's sign folds into sinE = [-sin | +sin].
+                cf = cos.reshape(B * T, Dh // 2)
+                sf = sin.reshape(B * T, Dh // 2)
+                cosE = jnp.concatenate([cf, cf], axis=-1)
+                sinE = jnp.concatenate([-sf, sf], axis=-1)
+                rope = (cosE, sinE, Dq + Dkv, Dh)
+                rope_fused = True
         qkv = matmul(x, lp.wqkv, lp.attn_norm,
-                     eps=cfg.rms_norm_eps)  # [B, T, Dq + 2*Dkv]
+                     eps=cfg.rms_norm_eps, rope=rope)  # [B, T, Dq + 2*Dkv]
         q = qkv[..., :Dq].reshape(B, T, H, Dh)
         k = qkv[..., Dq : Dq + Dkv].reshape(B, T, Hkv, Dh)
         v = qkv[..., Dq + Dkv :].reshape(B, T, Hkv, Dh)
@@ -238,8 +291,9 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, lcache, cos, sin, offse
                    eps=cfg.rms_norm_eps).reshape(B, T, Hkv, Dh)
         v = matmul(x, lp.wv, lp.attn_norm,
                    eps=cfg.rms_norm_eps).reshape(B, T, Hkv, Dh)
-    q = apply_rope(q, cos, sin, cfg.rope_style)
-    k = apply_rope(k, cos, sin, cfg.rope_style)
+    if not rope_fused:
+        q = apply_rope(q, cos, sin, cfg.rope_style)
+        k = apply_rope(k, cos, sin, cfg.rope_style)
 
     quantized = isinstance(lp.wqkv if lp.wqkv is not None else lp.wq, QWeight)
     fused_attn = False
@@ -272,7 +326,7 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, lcache, cos, sin, offse
     if not fused_attn:
         ctx, lcache = _attend_and_update(cfg, q, k, v, lcache, offsets,
                                          positions, prefer_append=quantized)
-        x = x + matmul(ctx.reshape(B, T, D), lp.wo)
+        return _wo_ffn_block(cfg, x, ctx.reshape(B, T, D), lp), lcache
 
     return _ffn_block(cfg, x, lp), lcache
 
@@ -553,8 +607,7 @@ def forward_paged_decode(
             v_l = append_token_layer(v_l, v[:, 0], page_table, lengths)
             ctx = attend_paged_layer(q, k_l, v_l, page_table, lengths + 1)
             lcache = (k_l, v_l)
-        x = x + matmul(ctx.reshape(B, 1, D), lp.wo)
-        return _ffn_block(cfg, x, lp), lcache
+        return _wo_ffn_block(cfg, x, ctx.reshape(B, 1, D), lp), lcache
 
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)
@@ -624,8 +677,7 @@ def forward_paged_prefill(
             k_l = paginate_fragment_layer(k_l, k_b, page_table)
             v_l = paginate_fragment_layer(v_l, v_b, page_table)
             lcache = (k_l, v_l)
-        x = x + matmul(ctx.reshape(B, T, H * Dh), lp.wo)
-        return _ffn_block(cfg, x, lp), lcache
+        return _wo_ffn_block(cfg, x, ctx.reshape(B, T, H * Dh), lp), lcache
 
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)
@@ -722,8 +774,7 @@ def forward_paged_prefill_cont(
             vg = jnp.swapaxes(v_l[:, page_table], 0, 1).reshape(
                 B, Hkv, mp * ps, Dh)
         ctx = attend_cache(q, kg, vg, positions)
-        x = x + matmul(ctx.reshape(B, C, H * Dh), lp.wo)
-        return _ffn_block(cfg, x, lp), lcache
+        return _wo_ffn_block(cfg, x, ctx.reshape(B, C, H * Dh), lp), lcache
 
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)
@@ -786,8 +837,7 @@ def forward_paged_verify(
         vg = jnp.swapaxes(v_l[:, page_table], 0, 1).reshape(
             B, Hkv, mp * ps, Dh)
         ctx = attend_cache(q, kg, vg, positions)
-        x = x + matmul(ctx.reshape(B, T, H * Dh), lp.wo)
-        return _ffn_block(cfg, x, lp), (k_l, v_l)
+        return _wo_ffn_block(cfg, x, ctx.reshape(B, T, H * Dh), lp), (k_l, v_l)
 
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)

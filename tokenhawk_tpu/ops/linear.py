@@ -17,13 +17,17 @@ from tokenhawk_tpu.ops.qweight import ArrayOrQ, QWeight
 
 
 def matmul(x: jax.Array, w: ArrayOrQ, norm_gain: jax.Array | None = None,
-           *, eps: float = 1e-6, accum_dtype=jnp.float32) -> jax.Array:
+           *, eps: float = 1e-6, accum_dtype=jnp.float32,
+           rope: tuple | None = None) -> jax.Array:
     """x [..., K] @ w [K, N] -> [..., N] in x.dtype, f32 accumulation.
 
     With `norm_gain`, computes rms_norm(x, norm_gain) @ w; on the Pallas
     quantized path the norm fuses into the kernel (the x tile is already
     resident in VMEM — the standalone norm costs a reduce + convert +
-    staging copy per call on the decode hot path).
+    staging copy per call on the decode hot path).  With `rope`
+    (cosE, sinE, rope_cols, Dh — caller gates via qmatmul.rope_fusable),
+    half-style RoPE applies to the first rope_cols output columns in the
+    kernel epilogue (fused wqkv projection).
     """
     if isinstance(w, QWeight):
         from tokenhawk_tpu.ops.dispatch import pallas_mode
@@ -32,13 +36,15 @@ def matmul(x: jax.Array, w: ArrayOrQ, norm_gain: jax.Array | None = None,
         if mode is not None and w.kind in ("q8_0", "q4_0", "q4_0_i4"):
             from tokenhawk_tpu.ops.pallas.qmatmul import quant_matmul
 
-            return quant_matmul(x, w, norm_gain, eps=eps,
+            return quant_matmul(x, w, norm_gain, eps=eps, rope=rope,
                                 interpret=(mode == "interpret"))
+        assert rope is None, "rope fusion requires the Pallas quantized path"
         if norm_gain is not None:
             from tokenhawk_tpu.ops.norms import rms_norm
 
             x = rms_norm(x, norm_gain, eps)
         return _matmul_quant(x, w, accum_dtype=accum_dtype)
+    assert rope is None, "rope fusion requires the Pallas quantized path"
     if norm_gain is not None:
         from tokenhawk_tpu.ops.norms import rms_norm
 

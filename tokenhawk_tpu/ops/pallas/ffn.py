@@ -174,7 +174,230 @@ def _fused_ffn(
     )(x, w13_qs, w13_qs, w13_s, w13_s, w2_qs, w2_s, gain)
 
 
+def _owo_ffn_kernel(
+    ctx_ref,  # VMEM [B, Dq]  attention output rows (resident)
+    xres_ref,  # VMEM [B, bnw]  residual tile for the current wo cell
+    wo_q_ref,  # VMEM [Dq, bnw]
+    wo_s_ref,  # VMEM [Dq//32, bnw]
+    w1_ref, w3_ref, s1_ref, s3_ref, w2_ref, s2_ref, g_ref,
+    o_ref,  # VMEM [B, D]
+    acc_ref,  # VMEM [B, D] f32  FFN accumulator
+    xn_ref,  # VMEM [B, D] f32  normed hidden
+    xacc_ref,  # VMEM [n_wo, B, bnw] f32  post-attention hidden x'
+    *, n_wo, n_tiles, eps, dq_sub, d_sub, o_sub,
+):
+    """[Wo + residual + RMSNorm + SwiGLU-MLP + residual] as ONE kernel.
+
+    Grid = (n_wo wo-tiles ..., n_tiles FFN tiles): every cell is a pure
+    weight-streaming step (same shape as the plain FFN kernel), so the
+    Pallas pipeline keeps the HBM stream saturated across what used to
+    be the wo->ffn kernel boundary.  x' = x + ctx@Wo accumulates in
+    slabs (xacc), the norm runs once at the phase boundary, and the
+    final output adds the FFN back onto x'.
+    """
+    i = pl.program_id(0)
+    bnw = xres_ref.shape[1]
+
+    @pl.when(i < n_wo)
+    def _():
+        ctx = ctx_ref[...].astype(jnp.float32)
+        Dq = wo_q_ref.shape[0]
+        y = None
+        for j in range(0, Dq, dq_sub):
+            sub = min(dq_sub, Dq - j)
+            w = _apply_scales(
+                wo_q_ref[j : j + sub, :].astype(jnp.float32),
+                wo_s_ref[j // GROUP : (j + sub) // GROUP, :].astype(
+                    jnp.float32),
+            )
+            yj = jax.lax.dot_general(
+                ctx[:, j : j + sub], w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y = yj if y is None else y + yj
+        xacc_ref[i] = xres_ref[...].astype(jnp.float32) + y
+
+    @pl.when(i == n_wo)
+    def _():
+        D = o_ref.shape[1]
+        sq = None
+        for t in range(n_wo):
+            xt = xacc_ref[t]
+            st = jnp.sum(xt * xt, axis=1, keepdims=True)
+            sq = st if sq is None else sq + st
+        inv = jax.lax.rsqrt(sq / D + eps)
+        gf = g_ref[...].astype(jnp.float32)
+        for t in range(n_wo):
+            xn_ref[:, t * bnw : (t + 1) * bnw] = (
+                xacc_ref[t] * inv * gf[:, t * bnw : (t + 1) * bnw])
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i >= n_wo)
+    def _():
+        xn = xn_ref[...]
+        D = w1_ref.shape[0]
+        g = None
+        u = None
+        for j in range(0, D, d_sub):
+            sub = min(d_sub, D - j)
+            rows = slice(j, j + sub)
+            cols = slice(None)
+            xj = xn[:, j : j + sub]
+            gj = jax.lax.dot_general(
+                xj, _dequant(w1_ref, s1_ref, rows, cols),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            uj = jax.lax.dot_general(
+                xj, _dequant(w3_ref, s3_ref, rows, cols),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            g = gj if g is None else g + gj
+            u = uj if u is None else u + uj
+        h = g * jax.lax.logistic(g) * u
+        Dout = w2_ref.shape[1]
+        for j in range(0, Dout, o_sub):
+            sub = min(o_sub, Dout - j)
+            cols = slice(j, j + sub)
+            w2j = _apply_scales(
+                w2_ref[:, cols].astype(jnp.float32),
+                s2_ref[:, cols].astype(jnp.float32),
+            )
+            acc_ref[:, cols] += jax.lax.dot_general(
+                h, w2j, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(i == n_wo + n_tiles - 1)
+    def _():
+        for t in range(n_wo):
+            cols = slice(t * bnw, (t + 1) * bnw)
+            o_ref[:, cols] = (
+                xacc_ref[t] + acc_ref[:, cols]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "block_f", "block_nw", "interpret")
+)
+def _fused_owo_ffn(
+    ctx,  # [B, Dq] attention output rows
+    xres,  # [B, D] residual input
+    wo_qs, wo_s,  # [Dq, D], [Dq//32, D]
+    w13_qs, w13_s,  # [D, 2F], [D//32, 2F]
+    w2_qs, w2_s,  # [F, D], [F//32, D]
+    gain,  # [1, D]
+    *, eps: float, block_f: int, block_nw: int, interpret: bool,
+):
+    B, Dq = ctx.shape
+    D = xres.shape[1]
+    F = w13_qs.shape[1] // 2
+    bf = block_f
+    nf = F // bf
+    bnw = block_nw
+    nwo = D // bnw
+    sg_d = D // GROUP
+    sg_f = bf // GROUP
+    sg_q = Dq // GROUP
+
+    def wo_i(i):
+        return jnp.minimum(i, nwo - 1)
+
+    def f_i(i):
+        return jnp.clip(i - nwo, 0, nf - 1)
+
+    kernel = functools.partial(
+        _owo_ffn_kernel, n_wo=nwo, n_tiles=nf, eps=eps,
+        dq_sub=_pick_sub(Dq, 2048), d_sub=_pick_sub(D, 2048), o_sub=2048,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nwo + nf,),
+        in_specs=[
+            pl.BlockSpec((B, Dq), lambda i: (0, 0)),  # ctx
+            pl.BlockSpec((B, bnw), lambda i: (0, wo_i(i))),  # x residual
+            pl.BlockSpec((Dq, bnw), lambda i: (0, wo_i(i))),  # wo tile
+            pl.BlockSpec((sg_q, bnw), lambda i: (0, wo_i(i))),
+            pl.BlockSpec((D, bf), lambda i: (0, f_i(i))),  # w1
+            pl.BlockSpec((D, bf), lambda i, _n=nf: (0, f_i(i) + _n)),  # w3
+            pl.BlockSpec((sg_d, bf), lambda i: (0, f_i(i))),
+            pl.BlockSpec((sg_d, bf), lambda i, _n=nf: (0, f_i(i) + _n)),
+            pl.BlockSpec((bf, D), lambda i: (f_i(i), 0)),  # w2 row-slab
+            pl.BlockSpec((sg_f, D), lambda i: (f_i(i), 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),  # gain
+        ],
+        out_specs=pl.BlockSpec((B, D), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, D), xres.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B, D), jnp.float32),  # FFN accumulator
+            pltpu.VMEM((B, D), jnp.float32),  # normed hidden
+            pltpu.VMEM((nwo, B, bnw), jnp.float32),  # x' slabs
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (Dq * D + 3 * D * F),
+            bytes_accessed=(
+                (wo_qs.size + w13_qs.size + w2_qs.size)
+                // (2 if w13_qs.dtype in (jnp.int4, jnp.uint4) else 1)
+                + (wo_s.size + w13_s.size + w2_s.size)
+                * w13_s.dtype.itemsize
+            ),
+            transcendentals=B * F,
+        ),
+        interpret=interpret,
+    )(ctx, xres, wo_qs, wo_s, w13_qs, w13_qs, w13_s, w13_s, w2_qs, w2_s,
+      gain)
+
+
 _FFN_ENABLED = _os.environ.get("THAWK_FUSED_FFN", "1") == "1"
+# NEGATIVE RESULT, default OFF: fusing Wo into the FFN kernel measured
+# 158.3-159.3 vs 161.8-162.4 tok/s (7B q4 v5e, interleaved A/B).  Unlike
+# the w13+w2 fusion (which removed w2's ragged-K tail and the [B,2F]
+# HBM round-trip), the wo->ffn boundary was already covered by XLA MSA's
+# cross-kernel weight prefetch, and the in-kernel x' slab writes + norm
+# boundary add VPU cost.  Kept env-gated for re-evaluation.
+_OWO_ENABLED = _os.environ.get("THAWK_FUSED_OWO", "0") == "1"
+BLOCK_NW = int(_os.environ.get("THAWK_FFN_BLOCK_NW", "512"))
+
+
+def can_fuse_owo_ffn(wo, w13, w2, rows: int) -> bool:
+    """Gate for the wo+FFN fused kernel (subsumes can_fuse_ffn)."""
+    from tokenhawk_tpu.ops.qweight import QWeight
+
+    if not _OWO_ENABLED or not can_fuse_ffn(w13, w2, rows):
+        return False
+    if not isinstance(wo, QWeight) or wo.kind != w13.kind:
+        return False
+    if wo.mins is not None:
+        return False
+    Dq, D = wo.qs.shape
+    return (D % BLOCK_NW == 0 and BLOCK_NW % (8 * GROUP) == 0
+            and Dq % 256 == 0 and D == w13.qs.shape[0])
+
+
+def fused_owo_ffn(ctx, xres, wo, w13, w2, norm_gain, *, eps: float = 1e-6,
+                  interpret: bool = False):
+    """xres [..., D], ctx [..., Dq] ->
+    x' + MLP(norm(x')), x' = xres + ctx @ Wo.  One Pallas call for the
+    whole post-attention half of the layer."""
+    lead = xres.shape[:-1]
+    D = xres.shape[-1]
+    Dq = ctx.shape[-1]
+    xb = xres.reshape(-1, D)
+    cb = ctx.reshape(-1, Dq)
+    B = xb.shape[0]
+    Bp = max(8, -(-B // 8) * 8)
+    if Bp != B:
+        xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
+        cb = jnp.pad(cb, ((0, Bp - B), (0, 0)))
+    y = _fused_owo_ffn(
+        cb, xb, wo.qs, wo.scales, w13.qs, w13.scales, w2.qs, w2.scales,
+        norm_gain.reshape(1, D),
+        eps=eps, block_f=BLOCK_F, block_nw=BLOCK_NW, interpret=interpret,
+    )
+    if Bp != B:
+        y = y[:B]
+    return y.reshape(*lead, D)
 
 
 def can_fuse_ffn(w13, w2, rows: int) -> bool:

@@ -104,6 +104,36 @@ def _norm_rows(xf, sq_mean, gain_f32, eps, x_dtype):
     return xn if f32 else xn.astype(x_dtype)
 
 
+def _rope_epilogue(y, cos_ref, sin_ref, j, bn, rope_cols, rope_dh):
+    """Half-style RoPE on the finished output tile (wqkv fusion).
+
+    rotate_half within each Dh-lane head block is expressed as two
+    global lane rolls + a lane-id select (the +-Dh/2 roll lands in the
+    right head for every lane its branch is selected on), so the whole
+    tile ropes in ~6 VPU ops — no per-head slicing.  cos/sin arrive as
+    [rows, Dh] with the sign of the rotate folded into sin
+    (sinE = [-sin | +sin]); v-section tiles (j*bn >= rope_cols) pass
+    through untouched via the final select.
+    """
+    reps = bn // rope_dh
+    cos = cos_ref[...]
+    sin = sin_ref[...]
+    if reps > 1:
+        cos = jnp.concatenate([cos] * reps, axis=1)
+        sin = jnp.concatenate([sin] * reps, axis=1)
+    half = rope_dh // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1) % rope_dh
+    # pltpu.roll matches jnp.roll (out[i] = in[i - shift], cyclic) but
+    # requires shift >= 0; -half is expressed as bn - half.
+    rot = jnp.where(
+        lane < half,
+        pltpu.roll(y, y.shape[1] - half, 1),
+        pltpu.roll(y, half, 1),
+    )
+    roped = y * cos + rot * sin
+    return jnp.where(j * bn < rope_cols, roped, y)
+
+
 # In-kernel K sub-chunking bounds the live f32 dequant intermediate
 # (whole-K tiles at bn=512 would need >16 MB of scoped VMEM otherwise);
 # the accumulator stays in scratch so sub-dots are free of the
@@ -129,12 +159,13 @@ def _pick_sub(bk: int, target: int) -> int:
 
 
 def _q8_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, fuse_norm=False,
-               eps=1e-6):
+               eps=1e-6, rope=None):
     k = pl.program_id(2)
-    if fuse_norm:
-        g_ref, o_ref, acc_ref = rest
-    else:
-        o_ref, acc_ref = rest
+    rest = list(rest)
+    g_ref = rest.pop(0) if fuse_norm else None
+    cos_ref = rest.pop(0) if rope else None
+    sin_ref = rest.pop(0) if rope else None
+    o_ref, acc_ref = rest
 
     @pl.when(k == 0)
     def _():
@@ -154,9 +185,15 @@ def _q8_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, fuse_norm=False,
         w = _apply_scales(w, s)
         _qdot(x[:, j : j + sub], w, acc_ref)
 
+    j_n = pl.program_id(1)
+
     @pl.when(k == n_k_tiles - 1)
     def _():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+        y = acc_ref[...]
+        if rope:
+            y = _rope_epilogue(y, cos_ref, sin_ref, j_n,
+                               y.shape[1], rope[0], rope[1])
+        o_ref[...] = y.astype(o_ref.dtype)
 
 
 def _q4_kernel(
@@ -229,17 +266,18 @@ def _q4_kernel(
 
 
 def _q4i4_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, fuse_norm=False,
-                 eps=1e-6):
+                 eps=1e-6, rope=None):
     """int4-native q4_0: qs is a packed int4 [K, N] ref in logical row
     order (value-8 fits int4's [-8, 7] exactly, so the offset vanishes at
     load time).  Mosaic's hardware int4->f32 convert replaces the whole
     widen/mask/shift/sub unpack chain: ~2 VPU ops per element (convert +
     scale multiply) vs ~4.5 for the byte-packed kernel."""
     k = pl.program_id(2)
-    if fuse_norm:
-        g_ref, o_ref, acc_ref = rest
-    else:
-        o_ref, acc_ref = rest
+    rest = list(rest)
+    g_ref = rest.pop(0) if fuse_norm else None
+    cos_ref = rest.pop(0) if rope else None
+    sin_ref = rest.pop(0) if rope else None
+    o_ref, acc_ref = rest
 
     @pl.when(k == 0)
     def _():
@@ -259,9 +297,15 @@ def _q4i4_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, fuse_norm=False,
         w = _apply_scales(w, s)
         _qdot(x[:, j : j + sub], w, acc_ref)
 
+    j_n = pl.program_id(1)
+
     @pl.when(k == n_k_tiles - 1)
     def _():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+        y = acc_ref[...]
+        if rope:
+            y = _rope_epilogue(y, cos_ref, sin_ref, j_n,
+                               y.shape[1], rope[0], rope[1])
+        o_ref[...] = y.astype(o_ref.dtype)
 
 
 def _pick_block(dim: int, target: int, multiple: int) -> int:
@@ -293,16 +337,20 @@ def _pick_block_k(dim: int, target: int, multiple: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "eps",
+                                              "rope_meta", "interpret"))
 def q8_matmul(
     x: jax.Array,  # [B, K]
     qs: jax.Array,  # int8 [K, N]
     scales: jax.Array,  # [K//32, N]
     norm_gain: jax.Array | None = None,  # [K]: fuse rms_norm(x)*gain
+    rope_cos: jax.Array | None = None,  # [B, Dh] (see _rope_epilogue)
+    rope_sin: jax.Array | None = None,
     *,
     block_n: int = BLOCK_N,
     block_k: int = BLOCK_K,
     eps: float = 1e-6,
+    rope_meta: tuple | None = None,  # (rope_cols, Dh)
     interpret: bool = False,
 ) -> jax.Array:
     B, K = x.shape
@@ -323,7 +371,7 @@ def q8_matmul(
 
     grid = (B // bb, N // bn, n_k_tiles)
     kernel = functools.partial(_q8_kernel, n_k_tiles=n_k_tiles,
-                               fuse_norm=fuse, eps=eps)
+                               fuse_norm=fuse, eps=eps, rope=rope_meta)
     in_specs = [
         pl.BlockSpec((bb, bk), lambda i, j, k: (i, k)),
         pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
@@ -333,6 +381,11 @@ def q8_matmul(
     if fuse:
         in_specs.append(pl.BlockSpec((1, bk), lambda i, j, k: (0, k)))
         operands.append(norm_gain.reshape(1, K))
+    if rope_meta:
+        dh = rope_meta[1]
+        in_specs.append(pl.BlockSpec((bb, dh), lambda i, j, k: (i, 0)))
+        in_specs.append(pl.BlockSpec((bb, dh), lambda i, j, k: (i, 0)))
+        operands.extend([rope_cos, rope_sin])
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -417,16 +470,20 @@ def q4_matmul(
     )(*operands)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "eps",
+                                              "rope_meta", "interpret"))
 def q4_matmul_i4(
     x: jax.Array,  # [B, K]
     qs: jax.Array,  # int4 [K, N], logical rows (value - 8)
     scales: jax.Array,  # [K//32, N]
     norm_gain: jax.Array | None = None,  # [K]: fuse rms_norm(x)*gain
+    rope_cos: jax.Array | None = None,  # [B, Dh] (see _rope_epilogue)
+    rope_sin: jax.Array | None = None,
     *,
     block_n: int = BLOCK_N,
     block_k: int = BLOCK_K,
     eps: float = 1e-6,
+    rope_meta: tuple | None = None,  # (rope_cols, Dh)
     interpret: bool = False,
 ) -> jax.Array:
     B, K = x.shape
@@ -446,7 +503,7 @@ def q4_matmul_i4(
 
     grid = (B // bb, N // bn, n_k_tiles)
     kernel = functools.partial(_q4i4_kernel, n_k_tiles=n_k_tiles,
-                               fuse_norm=fuse, eps=eps)
+                               fuse_norm=fuse, eps=eps, rope=rope_meta)
     in_specs = [
         pl.BlockSpec((bb, bk), lambda i, j, k: (i, k)),
         pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
@@ -456,6 +513,11 @@ def q4_matmul_i4(
     if fuse:
         in_specs.append(pl.BlockSpec((1, bk), lambda i, j, k: (0, k)))
         operands.append(norm_gain.reshape(1, K))
+    if rope_meta:
+        dh = rope_meta[1]
+        in_specs.append(pl.BlockSpec((bb, dh), lambda i, j, k: (i, 0)))
+        in_specs.append(pl.BlockSpec((bb, dh), lambda i, j, k: (i, 0)))
+        operands.extend([rope_cos, rope_sin])
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -476,12 +538,29 @@ def q4_matmul_i4(
     )(*operands)
 
 
+def rope_fusable(qw, rope_cols: int, head_dim: int) -> bool:
+    """Can the half-style RoPE epilogue fuse into this weight's kernel?
+
+    Requires a kind with the epilogue implemented, whole-K tiling (the
+    epilogue runs at the single K step), N tiles aligned to head
+    boundaries, and the q|k section covering whole tiles."""
+    if qw.kind not in ("q8_0", "q4_0_i4"):
+        return False
+    K, N = qw.qs.shape
+    bk = _pick_block_k(K, BLOCK_K, 256)
+    if K // bk != 1:
+        return False
+    bn = _pick_block(N, BLOCK_N, 128)
+    return bn % head_dim == 0 and rope_cols % bn == 0
+
+
 def quant_matmul(
     x: jax.Array,
     qw,
     norm_gain: jax.Array | None = None,
     *,
     eps: float = 1e-6,
+    rope: tuple | None = None,  # (cosE [rows, Dh], sinE, rope_cols, Dh)
     interpret: bool = False,
 ) -> jax.Array:
     """Dispatch by QWeight kind. x: [..., K] -> [..., N].
@@ -490,7 +569,9 @@ def quant_matmul(
     Leading dims of x are flattened into B and padded to the f32 sublane
     count (8).  With `norm_gain`, rms_norm(x)*gain fuses into the kernel
     (zero-padded rows normalize to zero: mean of squares 0 -> rsqrt(eps)
-    * 0).
+    * 0).  With `rope` (caller must check `rope_fusable`), the half-style
+    RoPE applies to output columns [0, rope_cols) in the kernel epilogue
+    — used for the fused wqkv projection.
     """
     lead = x.shape[:-1]
     K = x.shape[-1]
@@ -499,13 +580,24 @@ def quant_matmul(
     Bp = max(8, -(-B // 8) * 8)
     if Bp != B:
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
+    rc = rs = None
+    rope_meta = None
+    if rope is not None:
+        rc, rs, rope_cols, dh = rope
+        rc = rc.reshape(-1, dh)
+        rs = rs.reshape(-1, dh)
+        if Bp != B:
+            rc = jnp.pad(rc, ((0, Bp - B), (0, 0)))
+            rs = jnp.pad(rs, ((0, Bp - B), (0, 0)))
+        rope_meta = (rope_cols, dh)
     if qw.kind == "q8_0":
-        y = q8_matmul(xb, qw.qs, qw.scales, norm_gain, eps=eps,
-                      interpret=interpret)
+        y = q8_matmul(xb, qw.qs, qw.scales, norm_gain, rc, rs, eps=eps,
+                      rope_meta=rope_meta, interpret=interpret)
     elif qw.kind == "q4_0_i4":
-        y = q4_matmul_i4(xb, qw.qs, qw.scales, norm_gain, eps=eps,
-                         interpret=interpret)
+        y = q4_matmul_i4(xb, qw.qs, qw.scales, norm_gain, rc, rs, eps=eps,
+                         rope_meta=rope_meta, interpret=interpret)
     elif qw.kind == "q4_0":
+        assert rope is None, "rope epilogue not implemented for q4_0 packed"
         y = q4_matmul(xb, qw.qs, qw.scales, qw.scales_hi, norm_gain,
                       eps=eps, interpret=interpret)
     else:
