@@ -45,6 +45,15 @@ def synth_qweight(key, K, N, kind, scale_dtype):
                       (K // 2) * N // 256).reshape(K // 2, N)
         return QWeight(qs=qs, scales=scales(K // 64), mins=None,
                        scales_hi=scales(K // 64), kind=kind)
+    if kind == "q4_k":
+        # Native Q4_K device layout: int4 codes + per-group affine
+        # (scale, bias) — ~4.9 bpw on device (ops/qweight.from_kquant_raw)
+        qs = jnp.tile(
+            (jnp.arange(16, dtype=jnp.int32) - 8).astype(jnp.int4),
+            K * N // 16,
+        ).reshape(K, N)
+        return QWeight(qs=qs, scales=scales(K // 32),
+                       mins=scales(K // 32), kind="qk_i4", group=32)
     raise ValueError(kind)
 
 
@@ -177,8 +186,10 @@ def _wait_for_backend(total_s: float = 900.0, probe_timeout: float = 150.0):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--quant", choices=["f16", "q8_0", "q4_0"], default="q4_0",
-                   help="f16 = dense bf16 weights (BASELINE config 1)")
+    p.add_argument("--quant", choices=["f16", "q8_0", "q4_0", "q4_k"],
+                   default="q4_0",
+                   help="f16 = dense bf16 weights (BASELINE config 1); "
+                        "q4_k = native Q4_K affine int4 layout")
     p.add_argument("--ctx", type=int, default=512)
     p.add_argument("--prompt-tokens", type=int, default=64)
     p.add_argument("--tokens", type=int, default=256, help="decode tokens to time")

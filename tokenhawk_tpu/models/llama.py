@@ -856,6 +856,18 @@ def fuse_params(params: LlamaParams) -> LlamaParams:
     layouts; for tensor-parallel layouts fusion must interleave per shard
     — use the unfused form there)."""
 
+    def fusable(ws):
+        """Mixed quant kinds (e.g. Q4_K wq/wk with a Q6_K wv in a
+        Q4_K_M file) cannot concatenate; keep those separate."""
+        qws = [w for w in ws if isinstance(w, QWeight)]
+        if not qws:
+            return True
+        if len(qws) != len(ws):
+            return False
+        return (len({w.kind for w in qws}) == 1
+                and len({w.group for w in qws}) == 1
+                and len({w.mins is None for w in qws}) == 1)
+
     def cat(ws):
         if isinstance(ws[0], QWeight):
             from tokenhawk_tpu.ops.qweight import concat_qweights
@@ -863,12 +875,14 @@ def fuse_params(params: LlamaParams) -> LlamaParams:
             return concat_qweights(ws)
         return jnp.concatenate(ws, axis=-1)
 
-    layers = dataclasses.replace(
-        params.layers,
-        wqkv=cat([params.layers.wq, params.layers.wk, params.layers.wv]),
-        w13=cat([params.layers.w1, params.layers.w3]),
-        wq=None, wk=None, wv=None, w1=None, w3=None,
-    )
+    lay = params.layers
+    upd = {}
+    if fusable([lay.wq, lay.wk, lay.wv]):
+        upd.update(wqkv=cat([lay.wq, lay.wk, lay.wv]),
+                   wq=None, wk=None, wv=None)
+    if fusable([lay.w1, lay.w3]):
+        upd.update(w13=cat([lay.w1, lay.w3]), w1=None, w3=None)
+    layers = dataclasses.replace(lay, **upd)
     return dataclasses.replace(params, layers=layers)
 
 
@@ -954,6 +968,18 @@ def params_from_ggml(
     def stack(fmt: str, transpose=True):
         ws = [get(fmt.format(i), transpose) for i in range(cfg.n_layer)]
         if isinstance(ws[0], QWeight):
+            hetero = (len({w.kind for w in ws}) > 1
+                      or len({w.group for w in ws}) > 1
+                      or len({w.mins is None for w in ws}) > 1)
+            if hetero:
+                # llama.cpp's *_M recipes mix kinds within one family
+                # across layers (Q6_K attention.wv / feed_forward.w2 on
+                # some layers); re-encode EXACTLY to the common group-16
+                # affine int8 container so the family stacks.
+                from tokenhawk_tpu.ops.qweight import to_qk16
+
+                ws = [to_qk16(w) for w in ws]
+
             def opt(field):
                 vals = [getattr(w, field) for w in ws]
                 return jnp.stack(vals) if vals[0] is not None else None

@@ -33,7 +33,8 @@ def matmul(x: jax.Array, w: ArrayOrQ, norm_gain: jax.Array | None = None,
         from tokenhawk_tpu.ops.dispatch import pallas_mode
 
         mode = pallas_mode()
-        if mode is not None and w.kind in ("q8_0", "q4_0", "q4_0_i4"):
+        if mode is not None and w.kind in ("q8_0", "q4_0", "q4_0_i4",
+                                           "qk_i4", "qk_i8"):
             from tokenhawk_tpu.ops.pallas.qmatmul import quant_matmul
 
             return quant_matmul(x, w, norm_gain, eps=eps, rope=rope,

@@ -44,17 +44,29 @@ from tokenhawk_tpu.ops.pallas.qmatmul import GROUP, _apply_scales, _pick_sub
 BLOCK_F = int(_os.environ.get("THAWK_FFN_BLOCK_F", "256"))
 
 
-def _dequant(q_ref, s_ref, rows, cols, group=GROUP):
-    """Dequantize q_ref[rows, cols] with group scales along the rows."""
+def _dequant(q_ref, s_ref, rows, cols, group=GROUP, m_ref=None):
+    """Dequantize q_ref[rows, cols]: group scales (+ optional affine
+    mins, the k-quant form w = q*s + m) along the rows."""
     w = q_ref[rows, cols].astype(jnp.float32)
-    s = s_ref[rows.start // group : rows.stop // group, cols].astype(jnp.float32)
-    return _apply_scales(w, s, group)
+    gsl = slice(rows.start // group, rows.stop // group)
+    s = s_ref[gsl, cols].astype(jnp.float32)
+    if m_ref is None:
+        return _apply_scales(w, s, group)
+    from tokenhawk_tpu.ops.pallas.qmatmul import _apply_affine
+
+    return _apply_affine(w, s, m_ref[gsl, cols].astype(jnp.float32), group)
 
 
 def _ffn_kernel(
-    x_ref, w1_ref, w3_ref, s1_ref, s3_ref, w2_ref, s2_ref, g_ref,
-    o_ref, acc_ref, xn_ref, *, n_tiles, eps, d_sub, o_sub,
+    x_ref, w1_ref, w3_ref, s1_ref, s3_ref, *rest, n_tiles, eps, d_sub,
+    o_sub, g13=GROUP, g2=GROUP, mins13=False, mins2=False,
 ):
+    rest = list(rest)
+    m1_ref = rest.pop(0) if mins13 else None
+    m3_ref = rest.pop(0) if mins13 else None
+    w2_ref, s2_ref = rest.pop(0), rest.pop(0)
+    m2_ref = rest.pop(0) if mins2 else None
+    g_ref, o_ref, acc_ref, xn_ref = rest
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -77,11 +89,11 @@ def _ffn_kernel(
         cols = slice(None)
         xj = xn[:, j : j + sub]
         gj = jax.lax.dot_general(
-            xj, _dequant(w1_ref, s1_ref, rows, cols),
+            xj, _dequant(w1_ref, s1_ref, rows, cols, g13, m1_ref),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         uj = jax.lax.dot_general(
-            xj, _dequant(w3_ref, s3_ref, rows, cols),
+            xj, _dequant(w3_ref, s3_ref, rows, cols, g13, m3_ref),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         g = gj if g is None else g + gj
@@ -91,13 +103,11 @@ def _ffn_kernel(
 
     # Down projection: this F-tile's W2 row-slab feeds the accumulator.
     Dout = w2_ref.shape[1]
+    bf = w2_ref.shape[0]
     for j in range(0, Dout, o_sub):
         sub = min(o_sub, Dout - j)
         cols = slice(j, j + sub)
-        w2j = _apply_scales(
-            w2_ref[:, cols].astype(jnp.float32),
-            s2_ref[:, cols].astype(jnp.float32),
-        )
+        w2j = _dequant(w2_ref, s2_ref, slice(0, bf), cols, g2, m2_ref)
         acc_ref[:, cols] += jax.lax.dot_general(
             h, w2j, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -112,18 +122,22 @@ def _ffn_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "block_f", "interpret")
+    jax.jit, static_argnames=("eps", "block_f", "g13", "g2", "interpret")
 )
 def _fused_ffn(
     x,  # [B, D] (B <= 8, padded to 8 by the wrapper)
     w13_qs,  # int4/int8 [D, 2F]
-    w13_s,  # [D//32, 2F]
+    w13_s,  # [D//g13, 2F]
+    w13_m,  # [D//g13, 2F] affine mins or None
     w2_qs,  # int4/int8 [F, D]
-    w2_s,  # [F//32, D]
+    w2_s,  # [F//g2, D]
+    w2_m,  # [F//g2, D] affine mins or None
     gain,  # [1, D] ffn_norm
     *,
     eps: float,
     block_f: int,
+    g13: int,
+    g2: int,
     interpret: bool,
 ):
     B, D = x.shape
@@ -131,27 +145,44 @@ def _fused_ffn(
     F = F2 // 2
     bf = block_f
     nf = F // bf
-    sg_d = D // GROUP
-    sg_f = bf // GROUP
+    sg_d = D // g13
+    sg_f = bf // g2
 
     d_sub = _pick_sub(D, 2048)
     grid = (nf,)
     kernel = functools.partial(
         _ffn_kernel, n_tiles=nf, eps=eps, d_sub=d_sub, o_sub=2048,
+        g13=g13, g2=g2, mins13=w13_m is not None, mins2=w2_m is not None,
     )
+    in_specs = [
+        pl.BlockSpec((B, D), lambda t: (0, 0)),  # x (resident)
+        pl.BlockSpec((D, bf), lambda t: (0, t)),  # w1 tile
+        pl.BlockSpec((D, bf), lambda t, _n=nf: (0, t + _n)),  # w3 tile
+        pl.BlockSpec((sg_d, bf), lambda t: (0, t)),  # w1 scales
+        pl.BlockSpec((sg_d, bf), lambda t, _n=nf: (0, t + _n)),  # w3 scales
+    ]
+    operands = [x, w13_qs, w13_qs, w13_s, w13_s]
+    if w13_m is not None:
+        in_specs.append(pl.BlockSpec((sg_d, bf), lambda t: (0, t)))
+        in_specs.append(pl.BlockSpec((sg_d, bf), lambda t, _n=nf: (0, t + _n)))
+        operands.extend([w13_m, w13_m])
+    in_specs.append(pl.BlockSpec((bf, D), lambda t: (t, 0)))  # w2 row-slab
+    in_specs.append(pl.BlockSpec((sg_f, D), lambda t: (t, 0)))  # w2 scales
+    operands.extend([w2_qs, w2_s])
+    if w2_m is not None:
+        in_specs.append(pl.BlockSpec((sg_f, D), lambda t: (t, 0)))
+        operands.append(w2_m)
+    in_specs.append(pl.BlockSpec((1, D), lambda t: (0, 0)))  # ffn_norm gain
+    operands.append(gain)
+    side_bytes = (w13_s.size + w2_s.size) * w13_s.dtype.itemsize
+    if w13_m is not None:
+        side_bytes += w13_m.size * w13_m.dtype.itemsize
+    if w2_m is not None:
+        side_bytes += w2_m.size * w2_m.dtype.itemsize
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((B, D), lambda t: (0, 0)),  # x (resident)
-            pl.BlockSpec((D, bf), lambda t: (0, t)),  # w1 tile
-            pl.BlockSpec((D, bf), lambda t, _n=nf: (0, t + _n)),  # w3 tile
-            pl.BlockSpec((sg_d, bf), lambda t: (0, t)),  # w1 scales
-            pl.BlockSpec((sg_d, bf), lambda t, _n=nf: (0, t + _n)),  # w3 scales
-            pl.BlockSpec((bf, D), lambda t: (t, 0)),  # w2 row-slab
-            pl.BlockSpec((sg_f, D), lambda t: (t, 0)),  # w2 scales
-            pl.BlockSpec((1, D), lambda t: (0, 0)),  # ffn_norm gain
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((B, D), lambda t: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, D), x.dtype),
         scratch_shapes=[
@@ -166,12 +197,12 @@ def _fused_ffn(
             bytes_accessed=(
                 w13_qs.size // (2 if w13_qs.dtype in (jnp.int4, jnp.uint4) else 1)
                 + w2_qs.size // (2 if w2_qs.dtype in (jnp.int4, jnp.uint4) else 1)
-                + (w13_s.size + w2_s.size) * w13_s.dtype.itemsize
+                + side_bytes
             ),
             transcendentals=B * F,
         ),
         interpret=interpret,
-    )(x, w13_qs, w13_qs, w13_s, w13_s, w2_qs, w2_s, gain)
+    )(*operands)
 
 
 def _owo_ffn_kernel(
@@ -400,17 +431,20 @@ def fused_owo_ffn(ctx, xres, wo, w13, w2, norm_gain, *, eps: float = 1e-6,
     return y.reshape(*lead, D)
 
 
+_FFN_KINDS = ("q8_0", "q4_0_i4", "qk_i4", "qk_i8")
+
+
 def can_fuse_ffn(w13, w2, rows: int) -> bool:
-    """Gate: quantized symmetric kinds, decode row counts, clean tiling."""
+    """Gate: quantized int-code kinds (symmetric or k-quant affine),
+    decode row counts, clean tiling.  w13 and w2 may differ in kind
+    (llama.cpp's *_M recipes mix them)."""
     from tokenhawk_tpu.ops.qweight import QWeight
 
     if not _FFN_ENABLED or rows > 8:
         return False
     if not (isinstance(w13, QWeight) and isinstance(w2, QWeight)):
         return False
-    if w13.kind != w2.kind or w13.kind not in ("q8_0", "q4_0_i4"):
-        return False
-    if w13.mins is not None or w2.mins is not None:
+    if w13.kind not in _FFN_KINDS or w2.kind not in _FFN_KINDS:
         return False
     D, F2 = w13.qs.shape
     F, D2 = w2.qs.shape
@@ -418,7 +452,8 @@ def can_fuse_ffn(w13, w2, rows: int) -> bool:
         return False
     bf = BLOCK_F
     # bf must divide F and keep w2's scale slab >= 8 sublanes.
-    return F % bf == 0 and bf % (8 * GROUP) == 0 and D % 256 == 0
+    return (F % bf == 0 and bf % (8 * w2.group) == 0
+            and D % (8 * w13.group) == 0 and D % 256 == 0)
 
 
 def fused_ffn(x, w13, w2, norm_gain, *, eps: float = 1e-6,
@@ -437,9 +472,10 @@ def fused_ffn(x, w13, w2, norm_gain, *, eps: float = 1e-6,
         # silu(0)*0 = 0, residual 0) and are sliced off below.
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
     y = _fused_ffn(
-        xb, w13.qs, w13.scales, w2.qs, w2.scales,
+        xb, w13.qs, w13.scales, w13.mins, w2.qs, w2.scales, w2.mins,
         norm_gain.reshape(1, D),
-        eps=eps, block_f=BLOCK_F, interpret=interpret,
+        eps=eps, block_f=BLOCK_F, g13=w13.group, g2=w2.group,
+        interpret=interpret,
     )
     if Bp != B:
         y = y[:B]

@@ -56,6 +56,9 @@ SCALE_MODE = _os.environ.get("THAWK_SCALE_MODE", "reshape")
 #          is FLOP-bound);
 #   1 / 0 force f32 / bf16 everywhere.
 DOT_F32 = _os.environ.get("THAWK_DOT_F32", "auto")
+# k-quant affine bias: "1" = two MXU dots per K-tile (group sums @ mins),
+# "0" = per-element VPU add inside the dequant.
+KQ_BIASDOT = _os.environ.get("THAWK_KQ_BIASDOT", "1") == "1"
 
 
 def _apply_scales(w, s, group=GROUP):
@@ -306,6 +309,146 @@ def _q4i4_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, fuse_norm=False,
             y = _rope_epilogue(y, cos_ref, sin_ref, j_n,
                                y.shape[1], rope[0], rope[1])
         o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _apply_affine(w, s, b, group):
+    """w [bk, bn] * s + b broadcast over each group of `group` rows."""
+    bk, bn = w.shape
+    sg = bk // group
+    w3 = w.reshape(sg, group, bn)
+    return (w3 * s[:, None, :] + b[:, None, :]).reshape(bk, bn)
+
+
+def _qk_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, group, has_mins,
+               fuse_norm=False, eps=1e-6):
+    """Generalized k-quant kernel: int4/int8 codes with per-group scale
+    and optional per-group affine bias (mins), group in {16, 32}.
+
+    Serves the NATIVE device layouts of the GGUF k-quant family
+    (ggml/kquants.py): Q4_K -> int4 codes + scale + bias (exact, ~5 bpw
+    on device vs the old requantize-to-Q8_0 detour's ~8.5 bpw + stacked
+    rounding), Q5_K -> int8 + scale + bias, Q6_K -> int8 + scale
+    (group 16).  The code path is the q4_0_i4 kernel plus one VPU add
+    per element for the bias."""
+    k = pl.program_id(2)
+    rest = list(rest)
+    m_ref = rest.pop(0) if has_mins else None
+    g_ref = rest.pop(0) if fuse_norm else None
+    o_ref, acc_ref = rest
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    if fuse_norm:
+        xf = x.astype(jnp.float32)
+        x = _norm_rows(xf, jnp.mean(xf * xf, axis=1, keepdims=True),
+                       g_ref[...].astype(jnp.float32), eps, x_ref.dtype)
+    bk = qs_ref.shape[0]
+
+    bias_elt = has_mins and not KQ_BIASDOT
+    if has_mins and KQ_BIASDOT:
+        # Affine bias via two MXU dots instead of a VPU add per weight
+        # element: sum_g (sum_{k in g} x_k) * m_g[n], with the group
+        # sums produced by a block-diagonal ones matrix (compile-time
+        # pattern).  Runs once per grid cell on the whole K-tile.
+        sg_t = bk // group
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (bk, sg_t), 0) // group
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (bk, sg_t), 1)
+        ones_bd = (g_ids == c_ids).astype(jnp.float32)
+        xsum = jax.lax.dot_general(
+            x.astype(jnp.float32), ones_bd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bb, sg]
+        acc_ref[...] += jax.lax.dot_general(
+            xsum, m_ref[...].astype(jnp.float32),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    step = _pick_sub(bk, Q8_SUB)
+    for j in range(0, bk, step):
+        sub = min(step, bk - j)
+        w = qs_ref[j : j + sub, :].astype(jnp.float32)  # [sub, bn]
+        sl = slice(j // group, (j + sub) // group)
+        s = s_ref[sl, :].astype(jnp.float32)
+        if bias_elt:
+            w = _apply_affine(w, s, m_ref[sl, :].astype(jnp.float32),
+                              group)
+        else:
+            w = _apply_scales(w, s, group)
+        _qdot(x[:, j : j + sub], w, acc_ref)
+
+    @pl.when(k == n_k_tiles - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "block_n", "block_k",
+                                              "eps", "interpret"))
+def qk_matmul(
+    x: jax.Array,  # [B, K]
+    qs: jax.Array,  # int4/int8 [K, N] codes
+    scales: jax.Array,  # [K//group, N]
+    mins: jax.Array | None = None,  # [K//group, N] affine bias or None
+    norm_gain: jax.Array | None = None,
+    *,
+    group: int = GROUP,
+    block_n: int = BLOCK_N,
+    block_k: int = BLOCK_K,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    B, K = x.shape
+    K2, N = qs.shape
+    assert K == K2, (x.shape, qs.shape)
+    bk = _pick_block_k(K, block_k, 256)
+    bn = _pick_block(N, block_n, 128)
+    bb = _pick_block(B, 128, 8)
+    n_k_tiles = K // bk
+    sg = bk // group
+
+    fuse = norm_gain is not None and n_k_tiles == 1
+    if norm_gain is not None and not fuse:
+        from tokenhawk_tpu.ops.norms import rms_norm
+
+        x = rms_norm(x, norm_gain, eps)
+
+    grid = (B // bb, N // bn, n_k_tiles)
+    kernel = functools.partial(_qk_kernel, n_k_tiles=n_k_tiles, group=group,
+                               has_mins=mins is not None, fuse_norm=fuse,
+                               eps=eps)
+    in_specs = [
+        pl.BlockSpec((bb, bk), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
+    ]
+    operands = [x, qs, scales]
+    if mins is not None:
+        in_specs.append(pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)))
+        operands.append(mins)
+    if fuse:
+        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, k: (0, k)))
+        operands.append(norm_gain.reshape(1, K))
+    nbytes_codes = qs.size // (2 if qs.dtype in (jnp.int4, jnp.uint4) else 1)
+    nbytes_side = scales.size * scales.dtype.itemsize
+    if mins is not None:
+        nbytes_side += mins.size * mins.dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * N,
+            bytes_accessed=nbytes_codes + nbytes_side,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
 
 
 def _pick_block(dim: int, target: int, multiple: int) -> int:
@@ -596,6 +739,10 @@ def quant_matmul(
     elif qw.kind == "q4_0_i4":
         y = q4_matmul_i4(xb, qw.qs, qw.scales, norm_gain, rc, rs, eps=eps,
                          rope_meta=rope_meta, interpret=interpret)
+    elif qw.kind in ("qk_i4", "qk_i8"):
+        assert rope is None, "rope epilogue not implemented for k-quants"
+        y = qk_matmul(xb, qw.qs, qw.scales, qw.mins, norm_gain,
+                      group=qw.group, eps=eps, interpret=interpret)
     elif qw.kind == "q4_0":
         assert rope is None, "rope epilogue not implemented for q4_0 packed"
         y = q4_matmul(xb, qw.qs, qw.scales, qw.scales_hi, norm_gain,

@@ -91,7 +91,7 @@ class QWeight:
 
     def unpacked_qs(self) -> jax.Array:
         """Integer codes at logical shape [..., K, N] (sign already applied)."""
-        if self.kind == "q4_0_i4":
+        if self.kind in ("q4_0_i4", "qk_i4"):
             return self.qs.astype(jnp.int8)
         if self.kind != "q4_0":
             return self.qs
@@ -227,6 +227,106 @@ def split_q4_scales(scales_t: np.ndarray, k_shards: int = 1):
         lo_parts.append(b[: blk // 2])
         hi_parts.append(b[blk // 2 :])
     return np.concatenate(lo_parts, 0), np.concatenate(hi_parts, 0)
+
+
+def from_kquant_raw(
+    gtype, raw: bytes, shape, scale_dtype=jnp.float32, use_i4: bool | None = None
+) -> QWeight:
+    """GGUF k-quant block stream ([out, in] tensor) -> native device
+    QWeight, bit-exact.
+
+    The k-quant super-block structure (ggml/kquants.py) reduces to
+    per-group affine codes:  w = s[g]*code - m[g].  On device that is
+      Q4_K: int4 qs = code-8,  scales = s, mins = 8*s  - m  (group 32)
+      Q5_K: int8 qs = code-16, scales = s, mins = 16*s - m  (group 32)
+      Q6_K: int8 qs = code,    scales = s, mins = None      (group 16)
+    with dequant w = qs*scales + mins — exactly QWeight.dequantize's
+    affine form, so the generic qk Pallas kernel serves these at native
+    bandwidth (~5 bpw for Q4_K) instead of the former requantize-to-Q8_0
+    detour (~8.5 bpw on device plus a second rounding).
+    """
+    from tokenhawk_tpu.ggml.format import GGMLType
+    from tokenhawk_tpu.ggml.kquants import (
+        extract_q4_k,
+        extract_q5_k,
+        extract_q6_k,
+    )
+
+    out_dim, in_dim = shape
+    n = out_dim * in_dim
+    if use_i4 is None:
+        use_i4 = q4_use_i4()  # int4 codes are TPU-only (XLA:CPU S4 pathology)
+
+    if gtype == GGMLType.Q4_K:
+        codes, s, m = extract_q4_k(raw, n)
+        group = 32
+        if use_i4:
+            qs_np = (codes.astype(np.int16) - 8).astype(np.int8)
+            qdtype = jnp.int4
+            bias = 8.0 * s - m
+        else:
+            qs_np = codes.astype(np.int8)
+            qdtype = jnp.int8
+            bias = -m
+    elif gtype == GGMLType.Q5_K:
+        codes, s, m = extract_q5_k(raw, n)
+        group = 32
+        qs_np = (codes.astype(np.int16) - 16).astype(np.int8)
+        qdtype = jnp.int8
+        bias = 16.0 * s - m
+    elif gtype == GGMLType.Q6_K:
+        codes, s = extract_q6_k(raw, n)
+        group = 16
+        qs_np = codes
+        qdtype = jnp.int8
+        bias = None
+    else:
+        raise ValueError(f"not a supported k-quant: {gtype!r}")
+
+    # [out, in] -> [in, out] device orientation; groups run down `in`.
+    qs_t = np.ascontiguousarray(qs_np.reshape(out_dim, in_dim).T)
+    s_t = np.ascontiguousarray(
+        s.reshape(out_dim, in_dim // group).T).astype(np.float32)
+    qs_dev = jnp.asarray(qs_t, dtype=qdtype)
+    mins_dev = None
+    if bias is not None:
+        m_t = np.ascontiguousarray(
+            bias.reshape(out_dim, in_dim // group).T).astype(np.float32)
+        mins_dev = jnp.asarray(m_t, dtype=scale_dtype)
+    return QWeight(
+        qs=qs_dev, scales=jnp.asarray(s_t, dtype=scale_dtype),
+        mins=mins_dev, scales_hi=None,
+        kind="qk_i4" if qdtype == jnp.int4 else "qk_i8", group=group,
+    )
+
+
+def to_qk16(w: QWeight) -> QWeight:
+    """EXACT re-encode of an affine/symmetric int-code QWeight to the
+    common (int8 codes, group 16, with mins) form.
+
+    Used to stack per-layer weights when a GGUF file mixes kinds within
+    one tensor family across layers (llama.cpp's *_M recipes put Q6_K in
+    attention.wv / feed_forward.w2 on some layers): group-32 scales
+    repeat to group-16, missing mins become zeros, int4 codes widen to
+    int8 — every represented value is unchanged, only the container
+    grows (group-16 affine int8 = 1.25 B/elt)."""
+    if w.kind == "qk_i8" and w.group == 16 and w.mins is not None:
+        return w
+    if w.kind in ("qk_i4", "qk_i8", "q8_0"):
+        qs = w.qs.astype(jnp.int8)
+        rep = w.group // 16
+        if rep > 1:
+            scales = jnp.repeat(w.scales, rep, axis=-2)
+            mins = (jnp.repeat(w.mins, rep, axis=-2)
+                    if w.mins is not None else None)
+        else:
+            scales = w.scales
+            mins = w.mins
+        if mins is None:
+            mins = jnp.zeros_like(scales)
+        return QWeight(qs=qs, scales=scales, mins=mins, scales_hi=None,
+                       kind="qk_i8", group=16)
+    raise ValueError(f"cannot re-encode kind {w.kind!r} to qk16")
 
 
 def from_quantized_tensor(

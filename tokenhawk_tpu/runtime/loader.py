@@ -164,15 +164,28 @@ def _load_model_once(
             if fast is not None:
                 tensors[name] = fast
                 continue
-        t = f.load_tensor(name)
-        if (f.tensors[name].ggml_type in _KQ and t.ndim == 2
+        rec = f.tensors[name]
+        if (rec.ggml_type in _KQ and len(rec.shape) == 2
                 and "norm" not in name and name != "tok_embeddings.weight"):
-            # k-quant projection: requantize to Q8_0 for the fused
-            # device kernels (q8 rounding is negligible vs the k-quant's)
+            if tp == 1 and _os.environ.get("THAWK_KQUANT_NATIVE", "1") == "1":
+                # NATIVE k-quant device path: the super-block structure
+                # reduces to per-group affine int codes the generic qk
+                # Pallas kernel serves directly — bit-exact and ~5 bpw
+                # on device for Q4_K vs the requantize detour's ~8.5.
+                from tokenhawk_tpu.ops.qweight import from_kquant_raw
+
+                tensors[name] = from_kquant_raw(
+                    rec.ggml_type, bytes(f.raw(name)), rec.shape,
+                    scale_dtype=scale_dtype)
+                continue
+            # TP fallback: requantize to Q8_0 for the shard-packed
+            # kernels (q8 rounding is negligible vs the k-quant's).
             from tokenhawk_tpu.ggml.quants import quantize
 
-            t = quantize(np.asarray(t, np.float32), _GT.Q8_0)
-        tensors[name] = t
+            tensors[name] = quantize(
+                np.asarray(f.load_tensor(name), np.float32), _GT.Q8_0)
+            continue
+        tensors[name] = f.load_tensor(name)
 
     params = params_from_ggml(cfg, tensors, dtype=dtype, row_parallel_shards=tp,
                               scale_dtype=scale_dtype)
