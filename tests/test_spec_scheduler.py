@@ -96,14 +96,18 @@ def test_spec_scheduler_sessions(rng):
     assert got == want
 
 
-def test_spec_scheduler_rejects_nongreedy():
+def test_spec_scheduler_accepts_sampled():
+    """Sampled requests route through the rejection-sampling round fn
+    (round 2 rejected them; see test_spec_sampled.py for the
+    distributional correctness tests)."""
     target = _params(CFG, 0)
     draft = _params(DRAFT_CFG, 1)
-    with pytest.raises(ValueError):
-        Scheduler(CFG, target, sampling=SamplingConfig(temperature=0.8),
-                  max_batch=2, draft_cfg=DRAFT_CFG, draft_params=draft)
-    spec = Scheduler(CFG, target, sampling=GREEDY, max_batch=2, max_seq=96,
+    spec = Scheduler(CFG, target,
+                     sampling=SamplingConfig(temperature=0.8),
+                     max_batch=2, max_seq=96,
                      draft_cfg=DRAFT_CFG, draft_params=draft)
-    r = Request(prompt=[5, 6], sampling=SamplingConfig(temperature=0.9))
+    r = Request(prompt=[5, 6], max_new_tokens=6,
+                sampling=SamplingConfig(temperature=0.9, seed=4))
     spec.submit(r)
-    assert r.finish_reason == "error:spec_greedy_only"
+    spec.run()
+    assert r.finish_reason in ("eos", "length", "stop")

@@ -204,9 +204,6 @@ class PagedScheduler:
         self.spec = draft_params is not None
         self.gamma = gamma
         if self.spec:
-            if sampling.temperature != 0.0:
-                raise ValueError("speculative serving is greedy-only: "
-                                 "pass SamplingConfig(temperature=0)")
             if draft_cfg.n_vocab != cfg.n_vocab:
                 raise ValueError("draft and target must share the vocab")
             if cache_dtype == "int8":
@@ -215,6 +212,7 @@ class PagedScheduler:
             from tokenhawk_tpu.runtime.engine import make_prefill_fn
             from tokenhawk_tpu.runtime.speculative import (
                 make_spec_serving_fn_paged,
+                make_spec_serving_fn_paged_sampled,
             )
 
             self.draft_cfg = draft_cfg
@@ -224,6 +222,12 @@ class PagedScheduler:
             self._draft_prefill = make_prefill_fn(draft_cfg)
             self._spec_step = make_spec_serving_fn_paged(
                 draft_cfg, cfg, gamma, eos_id)
+            self._spec_step_sampled = make_spec_serving_fn_paged_sampled(
+                draft_cfg, cfg, gamma, eos_id)
+            # Host mirror of per-slot temperatures: rounds where every
+            # live slot is greedy take the cheaper exact-match fn;
+            # sampled slots use rejection sampling (target-distributed).
+            self._slot_sampled = [False] * max_batch
 
         self._prefill = make_paged_prefill_fn(cfg)
         self._decode = make_paged_decode_fn_dynamic(cfg, decode_chunk, eos_id)
@@ -275,14 +279,6 @@ class PagedScheduler:
     def submit(self, req: Request) -> int:
         req.id = next(self._ids)
         req.submitted_at = time.perf_counter()
-        if (self.spec and req.sampling is not None
-                and req.sampling.temperature != 0.0):
-            req.finish_reason = "error:spec_greedy_only"
-            req.done_at = req.submitted_at
-            self.finished.append(req)
-            if req.on_done:
-                req.on_done(req)
-            return req.id
         if req.max_new_tokens <= 0:
             req.finish_reason = "length"
             req.done_at = req.submitted_at
@@ -563,6 +559,8 @@ class PagedScheduler:
         from tokenhawk_tpu.sampling import SamplingParams, sample_dynamic
 
         scfg = req.sampling or self.sampling
+        if self.spec:
+            self._slot_sampled[slot] = scfg.temperature > 0.0
         self.sp = self.sp.set_slot(slot, SamplingParams.slot_values(scfg))
         first = sample_dynamic(
             logits, SamplingParams.broadcast(scfg, 1),
@@ -673,12 +671,25 @@ class PagedScheduler:
         if self.n_active == 0:
             return
         if self.spec:
-            (self.draft_cache, self.cache, out, n_new, lengths_new,
-             self.done, self.last_tok) = self._spec_step(
-                self.draft_params, self.params, self.draft_cache,
-                self.cache, jnp.asarray(self._masked_table()),
-                self.last_tok, jnp.asarray(self.lengths), self.done,
-            )
+            any_sampled = any(
+                self._slot_sampled[s] for s in range(self.B)
+                if self.slots[s] is not None)
+            if any_sampled:
+                (self.draft_cache, self.cache, out, n_new, lengths_new,
+                 self.done, self.last_tok, self.last_n,
+                 self.counters) = self._spec_step_sampled(
+                    self.draft_params, self.params, self.draft_cache,
+                    self.cache, jnp.asarray(self._masked_table()),
+                    self.last_tok, jnp.asarray(self.lengths), self.done,
+                    self.last_n, self.sp, self.counters,
+                )
+            else:
+                (self.draft_cache, self.cache, out, n_new, lengths_new,
+                 self.done, self.last_tok) = self._spec_step(
+                    self.draft_params, self.params, self.draft_cache,
+                    self.cache, jnp.asarray(self._masked_table()),
+                    self.last_tok, jnp.asarray(self.lengths), self.done,
+                )
             self.lengths = np.array(lengths_new)  # writable copy
             out_host = np.asarray(out)
             n_host = np.asarray(n_new)

@@ -213,28 +213,35 @@ class Scheduler:
         self.parallel = parallel
 
         # Speculative serving: a draft model proposes gamma tokens per
-        # round and the target commits the matching prefix + one token —
+        # round and the target commits the accepted prefix + one token —
         # continuous batching and speculation compose because every slot
         # advances by its own n_new (runtime/speculative.py).  Greedy
-        # only: the accept rule is the greedy form, so outputs stay
-        # bit-identical to non-speculative greedy serving.
+        # slots use the exact-match rule (bit-identical to
+        # non-speculative greedy serving); sampled slots use rejection
+        # sampling (outputs distributed exactly as target-only sampling,
+        # including repetition penalty / top-k / top-p).
         self.spec = draft_params is not None
         self.gamma = gamma
         if self.spec:
             if mesh is not None:
                 raise NotImplementedError(
                     "speculative serving is single-mesh only")
-            if sampling.temperature > 0.0:
-                raise ValueError("speculative serving is greedy-only: "
-                                 "pass SamplingConfig(temperature=0)")
             if draft_cfg.n_vocab != cfg.n_vocab:
                 raise ValueError("draft and target must share the vocab")
-            from tokenhawk_tpu.runtime.speculative import make_spec_serving_fn
+            from tokenhawk_tpu.runtime.speculative import (
+                make_spec_serving_fn,
+                make_spec_serving_fn_sampled,
+            )
 
             self.draft_cfg = draft_cfg
             self.draft_params = draft_params
             self._spec_step = make_spec_serving_fn(draft_cfg, cfg, gamma,
                                                    eos_id)
+            self._spec_step_sampled = make_spec_serving_fn_sampled(
+                draft_cfg, cfg, gamma, eos_id)
+            # Host mirror of per-slot temperatures: rounds where every
+            # live slot is greedy take the cheaper exact-match fn.
+            self._slot_sampled = [False] * max_batch
 
         if mesh is not None and parallel == "tp":
             from tokenhawk_tpu.parallel.tp import (
@@ -332,11 +339,6 @@ class Scheduler:
             return self._fail(req, "length")
         if len(req.prompt) >= self.S:
             return self._fail(req, "error:prompt_too_long")
-        if (self.spec and req.sampling is not None
-                and req.sampling.temperature > 0.0):
-            # The speculative accept rule implemented here is the greedy
-            # form (bit-identical to greedy target-only decoding).
-            return self._fail(req, "error:spec_greedy_only")
         sess = self.sessions.get(req.session) if req.session else None
         if sess is not None:
             # Context-full up front, like the reference's onError path
@@ -490,6 +492,8 @@ class Scheduler:
             from tokenhawk_tpu.sampling import SamplingParams, sample_dynamic
 
             scfg = req.sampling or self.sampling
+            if self.spec:
+                self._slot_sampled[slot] = scfg.temperature > 0.0
             self.sp = self.sp.set_slot(slot, SamplingParams.slot_values(scfg))
             first = sample_dynamic(
                 logits, SamplingParams.broadcast(scfg, 1),
@@ -681,11 +685,23 @@ class Scheduler:
             return
 
         if self.spec:
-            (self.draft_cache, self.cache, out, n_new, self.offsets,
-             self.done, self.last_tok) = self._spec_step(
-                self.draft_params, self.params, self.draft_cache, self.cache,
-                self.last_tok, self.offsets, self.done,
-            )
+            any_sampled = any(
+                self._slot_sampled[s] for s in range(self.B)
+                if self.slots[s] is not None)
+            if any_sampled:
+                (self.draft_cache, self.cache, out, n_new, self.offsets,
+                 self.done, self.last_tok, self.last_n,
+                 self.counters) = self._spec_step_sampled(
+                    self.draft_params, self.params, self.draft_cache,
+                    self.cache, self.last_tok, self.offsets, self.done,
+                    self.last_n, self.sp, self.counters,
+                )
+            else:
+                (self.draft_cache, self.cache, out, n_new, self.offsets,
+                 self.done, self.last_tok) = self._spec_step(
+                    self.draft_params, self.params, self.draft_cache,
+                    self.cache, self.last_tok, self.offsets, self.done,
+                )
             out_host = np.asarray(out)
             n_host = np.asarray(n_new)
             for slot in range(self.B):

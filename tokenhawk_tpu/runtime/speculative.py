@@ -244,6 +244,195 @@ def make_spec_serving_fn_paged(cfg_draft: LlamaConfig,
     return step
 
 
+# ---------------------------------------------------------------------------
+# Sampled speculation (rejection sampling)
+# ---------------------------------------------------------------------------
+#
+# Standard speculative sampling (Leviathan et al. / Chen et al.): draft
+# token x_i ~ p_d is accepted with probability min(1, p_t(x_i)/p_d(x_i));
+# at the first rejection the committed token resamples from the residual
+# norm(max(p_t - p_d, 0)); if all gamma drafts are accepted a bonus token
+# samples from p_t directly.  Committed outputs are distributed EXACTLY
+# as target-only sampling, position by position, for any draft.
+#
+# Both distributions are the PROCESSED ones (repetition penalty /
+# temperature / top-k / top-p via sampling.processed_probs_dynamic) — the
+# theorem then reproduces processed-target sampling.  The repetition
+# penalty is history-dependent, so both sides carry a LOCAL speculative
+# copy of the last-N ring through the round (draft pushes its proposals,
+# the target's position-i distribution sees ring + drafts[:i]); the
+# committed ring is rebuilt from the accepted tokens only.  Greedy slots
+# (temperature <= 0) ride the same code path through exact one-hots:
+# match -> ratio 1 (accept), mismatch -> ratio 0 (reject) with a one-hot
+# residual at the target's argmax — exactly the greedy accept rule, so
+# mixed-temperature batches work.
+#
+# Each round consumes gamma+2 per-slot counter values (gamma draft
+# draws, one uniform row, one residual/bonus draw), advanced uniformly
+# so a request's stream never depends on its batch neighbours.
+
+
+def _ring_push(ring, tok):
+    return jnp.concatenate([ring[:, 1:], tok[:, None]], axis=1)
+
+
+def _accept_sampled(drafts, probs_d, probs_t, sp, counters):
+    """Rejection-sampling accept/commit.
+
+    drafts [B, g]; probs_d [B, g, V] draft distributions; probs_t
+    [B, g+1, V] target distributions.  Returns (out [B, g+1] committed
+    tokens, -1 past position k; k [B] accepted draft counts)."""
+    B, g, V = probs_d.shape
+    from tokenhawk_tpu.sampling import categorical_probs, uniform_rows
+
+    pt_at = jnp.take_along_axis(
+        probs_t[:, :g], drafts[..., None], axis=-1)[..., 0]  # [B, g]
+    pd_at = jnp.take_along_axis(
+        probs_d, drafts[..., None], axis=-1)[..., 0]
+    u = uniform_rows(sp.seed, counters + g, g)  # [B, g]
+    # u < min(1, pt/pd)  <=>  u * pd < pt  (pd > 0 at a sampled token)
+    acc = u * jnp.maximum(pd_at, 1e-30) < pt_at
+    k = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
+
+    pt_k = jnp.take_along_axis(
+        probs_t, k[:, None, None], axis=1)[:, 0]  # [B, V]
+    pd_pad = jnp.concatenate(
+        [probs_d, jnp.zeros((B, 1, V), probs_d.dtype)], axis=1)
+    pd_k = jnp.take_along_axis(pd_pad, k[:, None, None], axis=1)[:, 0]
+    q = jnp.maximum(pt_k - pd_k, 0.0)
+    qs = jnp.sum(q, axis=-1, keepdims=True)
+    q = jnp.where(qs > 1e-30, q / jnp.maximum(qs, 1e-30), pt_k)
+    y = categorical_probs(q, sp.seed, counters + g + 1)  # [B]
+
+    j = jnp.arange(g + 1)[None, :]
+    drafts_pad = jnp.concatenate(
+        [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    out = jnp.where(j < k[:, None], drafts_pad, -1)
+    out = jnp.where(j == k[:, None], y[:, None], out)
+    return out, k
+
+
+def _spec_round_sampled(cfg_draft, cfg_target, gamma, eos_id,
+                        target_forward, params_d, params_t, cache_d,
+                        cache_t, last_tok, offsets, done, last_n, sp,
+                        counters):
+    """Shared body of the dense/paged sampled speculative round."""
+    from tokenhawk_tpu.sampling import (
+        categorical_probs,
+        processed_probs_dynamic,
+    )
+
+    B = last_tok.shape[0]
+    adv = (~done).astype(jnp.int32)
+
+    def dstep(carry, i):
+        cache_d, tok, off, ring = carry
+        h, cache_d = forward(cfg_draft, params_d, tok[:, None],
+                             cache_d, off)
+        lg = logits_from_hidden(cfg_draft, params_d, h[:, 0])
+        probs = processed_probs_dynamic(lg, sp, ring)
+        nxt = categorical_probs(probs, sp.seed, counters + i)
+        return (cache_d, nxt, off + adv, _ring_push(ring, nxt)), (nxt, probs)
+
+    (cache_d, _, _, _), (drafts, probs_d) = jax.lax.scan(
+        dstep, (cache_d, last_tok, offsets, last_n), jnp.arange(gamma)
+    )
+    drafts = drafts.T  # [B, gamma]
+    probs_d = jnp.transpose(probs_d, (1, 0, 2))  # [B, gamma, V]
+
+    seq = jnp.concatenate([last_tok[:, None], drafts], axis=1)
+    h, cache_t = target_forward(params_t, seq, cache_t, offsets, adv)
+    logits = logits_from_hidden(cfg_target, params_t, h)  # [B, g+1, V]
+
+    # Target distributions position by position: position i's penalty
+    # history is the committed ring extended with drafts[:i].
+    ring = last_n
+    pts = []
+    for i in range(gamma + 1):
+        pts.append(processed_probs_dynamic(logits[:, i], sp, ring))
+        if i < gamma:
+            ring = _ring_push(ring, drafts[:, i])
+    probs_t = jnp.stack(pts, axis=1)  # [B, g+1, V]
+
+    out, k = _accept_sampled(drafts, probs_d, probs_t, sp, counters)
+
+    j = jnp.arange(gamma + 1)[None, :]
+    n_new = jnp.where(done, 0, k + 1)
+    is_eos = (out == eos_id) & (j < n_new[:, None])
+    eos_pos = jnp.min(jnp.where(is_eos, j, gamma + 1), axis=1)
+    has_eos = eos_pos <= gamma
+    n_new = jnp.where(has_eos, eos_pos + 1, n_new)
+    out = jnp.where(j < n_new[:, None], out, -1)
+
+    # Committed ring: push exactly the delivered tokens.
+    ring = last_n
+    for jj in range(gamma + 1):
+        pushed = _ring_push(ring, out[:, jj])
+        ring = jnp.where((jj < n_new)[:, None], pushed, ring)
+
+    offsets = offsets + n_new
+    done_new = done | has_eos
+    last_idx = jnp.clip(n_new - 1, 0, gamma)
+    last_new = jnp.take_along_axis(out, last_idx[:, None], axis=1)[:, 0]
+    last_tok = jnp.where(done, last_tok, last_new)
+    counters = counters + (gamma + 2)
+    return (cache_d, cache_t, out, n_new, offsets, done_new, last_tok,
+            ring, counters)
+
+
+def make_spec_serving_fn_sampled(cfg_draft: LlamaConfig,
+                                 cfg_target: LlamaConfig, gamma: int,
+                                 eos_id: int = EOS_ID):
+    """make_spec_serving_fn with per-slot SAMPLED acceptance.
+
+    (params_d, params_t, cache_d, cache_t, last_tok [B], offsets [B],
+     done [B], last_n [B, N], sp: SamplingParams, counters [B])
+      -> (cache_d, cache_t, out, n_new, offsets', done', last_tok',
+          last_n', counters')
+    """
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(params_d, params_t, cache_d, cache_t, last_tok, offsets, done,
+             last_n, sp, counters):
+        def tgt_fwd(params_t, seq, cache_t, offsets, adv):
+            return forward(cfg_target, params_t, seq, cache_t, offsets)
+
+        return _spec_round_sampled(
+            cfg_draft, cfg_target, gamma, eos_id, tgt_fwd,
+            params_d, params_t, cache_d, cache_t, last_tok, offsets, done,
+            last_n, sp, counters)
+
+    return step
+
+
+def make_spec_serving_fn_paged_sampled(cfg_draft: LlamaConfig,
+                                       cfg_target: LlamaConfig, gamma: int,
+                                       eos_id: int = EOS_ID):
+    """Sampled acceptance over a PAGED target cache (see
+    make_spec_serving_fn_paged for the cache protocol).
+
+    (params_d, params_t, cache_d, cache_t, table, last_tok, lengths,
+     done, last_n, sp, counters)
+      -> (cache_d, cache_t, out, n_new, lengths', done', last_tok',
+          last_n', counters')
+    """
+    from tokenhawk_tpu.models.llama import forward_paged_verify
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(params_d, params_t, cache_d, cache_t, table, last_tok,
+             lengths, done, last_n, sp, counters):
+        def tgt_fwd(params_t, seq, cache_t, lengths, adv):
+            return forward_paged_verify(
+                cfg_target, params_t, seq, cache_t, table, lengths, adv)
+
+        return _spec_round_sampled(
+            cfg_draft, cfg_target, gamma, eos_id, tgt_fwd,
+            params_d, params_t, cache_d, cache_t, last_tok, lengths, done,
+            last_n, sp, counters)
+
+    return step
+
+
 class SpeculativeEngine:
     """Greedy generation with draft-model speculation.
 

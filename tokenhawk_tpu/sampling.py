@@ -158,6 +158,66 @@ def _per_slot_categorical(z, seeds, counters):
     return jax.vmap(one)(z, seeds, counters).astype(jnp.int32)
 
 
+def processed_probs_dynamic(
+    logits: jax.Array,  # [B, V]
+    sp: "SamplingParams",
+    last_tokens: Optional[jax.Array] = None,  # [B, N]
+) -> jax.Array:
+    """Per-slot PROCESSED next-token distribution: [B, V] probabilities.
+
+    The exact distribution `sample_dynamic` draws from — repetition
+    penalty (over `last_tokens`), temperature, top-k and top-p applied;
+    greedy slots (temperature <= 0) return an exact one-hot at the RAW
+    argmax (the reference short-circuits before the penalty).
+    Speculative decoding's rejection rule needs these full distributions
+    for both draft and target so accepted outputs are distributed
+    exactly as target-only sampling (the standard accept/residual
+    theorem applies position-wise to the PROCESSED distributions).
+    """
+    logits = logits.astype(jnp.float32)
+    B, V = logits.shape
+    one_hot = jax.nn.one_hot(jnp.argmax(logits, axis=-1), V,
+                             dtype=jnp.float32)
+    if last_tokens is not None:
+        valid = last_tokens >= 0
+        idx = jnp.where(valid, last_tokens, 0)
+        seen = jnp.zeros((B, V), dtype=bool)
+        seen = seen.at[jnp.arange(B)[:, None], idx].max(valid)
+        pen = sp.repeat_penalty[:, None]
+        penalized = jnp.where(logits < 0, logits * pen, logits / pen)
+        logits = jnp.where(seen, penalized, logits)
+    z = logits / jnp.maximum(sp.temperature, 1e-6)[:, None]
+    sorted_z = jnp.sort(z, axis=-1)[:, ::-1]
+    rank = jnp.arange(V)[None, :]
+    k = jnp.where(sp.top_k <= 0, V, sp.top_k)[:, None]
+    z_k = jnp.where(rank < k, sorted_z, _NEG_INF)
+    probs_sorted = jax.nn.softmax(z_k, axis=-1)
+    cum_excl = jnp.cumsum(probs_sorted, axis=-1) - probs_sorted
+    kept = (rank < k) & (cum_excl < sp.top_p[:, None])
+    thresh = jnp.min(jnp.where(kept, sorted_z, jnp.inf), axis=-1,
+                     keepdims=True)
+    z = jnp.where(z < thresh, _NEG_INF, z)
+    probs = jax.nn.softmax(z, axis=-1)
+    return jnp.where(sp.temperature[:, None] <= 0.0, one_hot, probs)
+
+
+def categorical_probs(probs: jax.Array, seeds: jax.Array,
+                      counters: jax.Array) -> jax.Array:
+    """Per-slot categorical draw from probability rows [B, V] -> [B]."""
+    z = jnp.log(jnp.maximum(probs, 1e-30))
+    return _per_slot_categorical(z, seeds, counters)
+
+
+def uniform_rows(seeds: jax.Array, counters: jax.Array, n: int) -> jax.Array:
+    """Per-slot U(0,1) rows: [B] seeds/counters -> [B, n]."""
+
+    def one(s, c):
+        k = jax.random.fold_in(jax.random.PRNGKey(s), c)
+        return jax.random.uniform(k, (n,))
+
+    return jax.vmap(one)(seeds, counters)
+
+
 def sample_dynamic(
     logits: jax.Array,  # [B, V]
     sp: SamplingParams,

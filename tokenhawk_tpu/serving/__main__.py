@@ -80,11 +80,11 @@ def main(argv=None) -> int:
                                         dtype=dtype)
     print(f"Loaded in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    greedy = args.greedy or args.draft_model is not None
-    if args.draft_model and not args.greedy and args.temp > 0:
-        print("note: --draft-model implies greedy decoding", file=sys.stderr)
+    # Speculative serving supports sampling: greedy slots use the
+    # exact-match rule, sampled slots rejection sampling (distributed
+    # exactly as target-only sampling) — runtime/speculative.py.
     sampling = SamplingConfig(
-        temperature=0.0 if greedy else args.temp,
+        temperature=0.0 if args.greedy else args.temp,
         top_k=args.top_k, top_p=args.top_p,
         repeat_penalty=args.repeat_penalty, seed=args.seed,
     )
