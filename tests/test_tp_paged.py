@@ -1,0 +1,116 @@
+"""Tensor-parallel PAGED serving (parallel/tp_paged.py) vs single-device.
+
+The production stack — continuous batching over a page pool, chunked
+prefill, automatic prefix caching, per-request sampling — must produce
+bit-identical outputs when the page pool and weights shard across a
+virtual TP mesh (BASELINE configs 4-5).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tokenhawk_tpu.config import LlamaConfig, SamplingConfig
+from tokenhawk_tpu.models.llama import params_from_ggml
+from tokenhawk_tpu.parallel import make_mesh
+from tokenhawk_tpu.parallel.tp import shard_params_tp
+from tokenhawk_tpu.runtime.paged_scheduler import PagedScheduler
+from tokenhawk_tpu.runtime.scheduler import Request
+
+from helpers import make_ggml_weights
+
+CFG = LlamaConfig.tiny(n_vocab=512, n_embd=256, n_head=4, n_ctx=96,
+                       n_ff=512)
+GREEDY = SamplingConfig(temperature=0.0)
+
+
+@pytest.fixture(scope="module")
+def tensors():
+    return make_ggml_weights(CFG, np.random.default_rng(41))
+
+
+def _pair(tensors, tp, **kw):
+    """(reference scheduler, TP scheduler) over the same weights."""
+    mesh = make_mesh(dp=1, tp=tp)
+    params = params_from_ggml(CFG, tensors, dtype=jnp.float32)
+    params_tp = shard_params_tp(
+        CFG, params_from_ggml(CFG, tensors, dtype=jnp.float32,
+                              row_parallel_shards=tp), mesh)
+    base = dict(sampling=GREEDY, max_batch=2, max_seq=96,
+                cache_dtype=jnp.float32, page_size=16, n_pages=24,
+                decode_chunk=4)
+    base.update(kw)
+    s_ref = PagedScheduler(CFG, params, **base)
+    s_tp = PagedScheduler(CFG, params_tp, mesh=mesh, **base)
+    return s_ref, s_tp
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_paged_matches_single_device(tensors, tp):
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(3, CFG.n_vocab, n).tolist() for n in (5, 11)]
+    s_ref, s_tp = _pair(tensors, tp)
+    want = [r.output for r in s_ref.generate_many(prompts,
+                                                  max_new_tokens=7)]
+    got = [r.output for r in s_tp.generate_many(prompts, max_new_tokens=7)]
+    assert got == want
+
+
+def test_tp_paged_chunked_prefill_and_prefix_cache(tensors):
+    """Chunked prefill + prefix cache compose with TP: a long prompt
+    admits in page chunks, a repeat prompt reuses cached pages, outputs
+    bit-match the single-device scheduler."""
+    rng = np.random.default_rng(1)
+    long_prompt = list(range(3, 44))  # 41 tokens -> chunks + cacheable pages
+    s_ref, s_tp = _pair(tensors, 4, prefill_chunk=16, prefix_cache=True,
+                        n_pages=32)
+    want = [r.output for r in s_ref.generate_many(
+        [long_prompt], max_new_tokens=6)]
+    want += [r.output for r in s_ref.generate_many(
+        [long_prompt], max_new_tokens=6)]
+    got = [r.output for r in s_tp.generate_many(
+        [long_prompt], max_new_tokens=6)]
+    got += [r.output for r in s_tp.generate_many(
+        [long_prompt], max_new_tokens=6)]
+    assert got == want
+    assert s_tp.prefix_hits >= 1  # second prompt reused pages
+
+
+def test_tp_paged_sampled_requests(tensors):
+    """Per-request sampling under TP: same seeds -> same outputs as the
+    single-device paged scheduler (sampling is replicated per shard)."""
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(3, CFG.n_vocab, 6).tolist() for _ in range(2)]
+    s_ref, s_tp = _pair(tensors, 4)
+    scfg = SamplingConfig(temperature=0.8, top_k=20, seed=7)
+
+    def run(s):
+        reqs = [Request(prompt=list(p), max_new_tokens=6, sampling=scfg)
+                for p in prompts]
+        for r in reqs:
+            s.submit(r)
+        s.run()
+        return [r.output for r in reqs]
+
+    assert run(s_tp) == run(s_ref)
+
+
+def test_tp_paged_rejects_unsupported(tensors):
+    mesh = make_mesh(dp=1, tp=4)
+    params_tp = shard_params_tp(
+        CFG, params_from_ggml(CFG, tensors, dtype=jnp.float32,
+                              row_parallel_shards=4), mesh)
+    with pytest.raises(NotImplementedError):
+        PagedScheduler(CFG, params_tp, mesh=mesh, cache_dtype="int8",
+                       max_batch=2, max_seq=96, page_size=16)
+    draft_cfg = LlamaConfig.tiny(n_vocab=512, n_embd=128, n_head=2,
+                                 n_ctx=96, n_ff=128)
+    from tokenhawk_tpu.models.llama import init_params
+    import jax
+
+    with pytest.raises(NotImplementedError):
+        PagedScheduler(
+            CFG, params_tp, mesh=mesh, max_batch=2, max_seq=96,
+            page_size=16, draft_cfg=draft_cfg,
+            draft_params=init_params(draft_cfg, jax.random.PRNGKey(0),
+                                     jnp.float32))

@@ -186,7 +186,8 @@ def _attend_and_update(cfg, q, k, v, lcache, offsets, positions,
     return ctx, (kc, ksc, vc, vsc)
 
 
-def _wo_ffn_block(cfg: LlamaConfig, x, ctx, lp: LayerParams):
+def _wo_ffn_block(cfg: LlamaConfig, x, ctx, lp: LayerParams,
+                  psum_axis=None):
     """x + ctx @ Wo followed by the SwiGLU MLP block.
 
     At decode row counts with symmetric quantized weights the WHOLE
@@ -194,11 +195,16 @@ def _wo_ffn_block(cfg: LlamaConfig, x, ctx, lp: LayerParams):
     residual) runs as one weight-streaming Pallas kernel
     (ops/pallas/ffn.py fused_owo_ffn) — every grid cell is a pure
     weight-streaming step, so the HBM pipeline stays saturated across
-    the old wo->ffn kernel boundary."""
+    the old wo->ffn kernel boundary.
+
+    psum_axis: tensor-parallel mode (inside shard_map) — ctx holds
+    local heads and wo/w2 are row-parallel shards, so their matmul
+    partials all-reduce before the residual adds (fusions disabled:
+    the fused kernels bake the residual in before any reduction)."""
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
-    if lp.w13 is not None:
+    if lp.w13 is not None and psum_axis is None:
         from tokenhawk_tpu.ops.dispatch import pallas_mode
         from tokenhawk_tpu.ops.pallas.ffn import (
             can_fuse_owo_ffn,
@@ -211,11 +217,14 @@ def _wo_ffn_block(cfg: LlamaConfig, x, ctx, lp: LayerParams):
             return fused_owo_ffn(ctx, x, lp.wo, lp.w13, lp.w2,
                                  lp.ffn_norm, eps=cfg.rms_norm_eps,
                                  interpret=(mode == "interpret"))
-    x = x + matmul(ctx, lp.wo)
-    return _ffn_block(cfg, x, lp)
+    attn = matmul(ctx, lp.wo)
+    if psum_axis is not None:
+        attn = jax.lax.psum(attn, psum_axis)
+    x = x + attn
+    return _ffn_block(cfg, x, lp, psum_axis)
 
 
-def _ffn_block(cfg: LlamaConfig, x, lp: LayerParams):
+def _ffn_block(cfg: LlamaConfig, x, lp: LayerParams, psum_axis=None):
     """SwiGLU MLP with residual: x + silu(norm(x)@w1)*(norm(x)@w3) @ w2.
 
     At decode row counts with symmetric quantized weights the whole block
@@ -229,21 +238,26 @@ def _ffn_block(cfg: LlamaConfig, x, lp: LayerParams):
     for d in x.shape[:-1]:
         rows *= d
     if lp.w13 is not None:
-        from tokenhawk_tpu.ops.dispatch import pallas_mode
-        from tokenhawk_tpu.ops.pallas.ffn import can_fuse_ffn, fused_ffn
+        if psum_axis is None:
+            from tokenhawk_tpu.ops.dispatch import pallas_mode
+            from tokenhawk_tpu.ops.pallas.ffn import can_fuse_ffn, fused_ffn
 
-        mode = pallas_mode()
-        if mode is not None and can_fuse_ffn(lp.w13, lp.w2, rows):
-            return fused_ffn(x, lp.w13, lp.w2, lp.ffn_norm,
-                             eps=cfg.rms_norm_eps,
-                             interpret=(mode == "interpret"))
+            mode = pallas_mode()
+            if mode is not None and can_fuse_ffn(lp.w13, lp.w2, rows):
+                return fused_ffn(x, lp.w13, lp.w2, lp.ffn_norm,
+                                 eps=cfg.rms_norm_eps,
+                                 interpret=(mode == "interpret"))
         gate_up = matmul(x, lp.w13, lp.ffn_norm, eps=cfg.rms_norm_eps)
-        g, u = gate_up[..., :F], gate_up[..., F:]
+        Fl = gate_up.shape[-1] // 2
+        g, u = gate_up[..., :Fl], gate_up[..., Fl:]
     else:
         g = matmul(x, lp.w1, lp.ffn_norm, eps=cfg.rms_norm_eps)
         u = matmul(x, lp.w3, lp.ffn_norm, eps=cfg.rms_norm_eps)
     gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
-    return x + matmul(gate * u, lp.w2)
+    ffn = matmul(gate * u, lp.w2)
+    if psum_axis is not None:
+        ffn = jax.lax.psum(ffn, psum_axis)
+    return x + ffn
 
 
 def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, lcache, cos, sin, offsets, positions):
@@ -543,6 +557,18 @@ def unstack_params(params: LlamaParams) -> LlamaParams:
     return dataclasses.replace(params, layers=layers)
 
 
+def _embed_vp(tok_embd_local, tokens, axis):
+    """Vocab-parallel embedding for shard_map TP: local gather + psum."""
+    v_local = tok_embd_local.shape[0]
+    vi = jax.lax.axis_index(axis)
+    local_ids = tokens - vi * v_local
+    valid = (local_ids >= 0) & (local_ids < v_local)
+    safe = jnp.clip(local_ids, 0, v_local - 1)
+    x = tok_embd_local[safe]
+    x = jnp.where(valid[..., None], x, jnp.zeros_like(x))
+    return jax.lax.psum(x, axis)
+
+
 def forward_paged_decode(
     cfg: LlamaConfig,
     params: LlamaParams,
@@ -550,6 +576,8 @@ def forward_paged_decode(
     cache,  # runtime.paged.PagedKVCache
     page_table: jax.Array,  # [B, max_pages]
     lengths: jax.Array,  # [B] tokens already stored (new token's position)
+    psum_axis=None,
+    tp: int = 1,
 ):
     """One decode step over the paged KV cache.
 
@@ -568,9 +596,14 @@ def forward_paged_decode(
 
     quant = isinstance(cache, PagedQuantKVCache)
     B = tokens.shape[0]
-    H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    H, Hkv = cfg.n_head // tp, cfg.n_kv_head // tp  # local under TP
+    Dh = cfg.head_dim
     D = cfg.n_embd
-    x = params.tok_embd[tokens].astype(params.tok_embd.dtype)  # [B, 1, D]
+    if psum_axis is not None:
+        x = _embed_vp(params.tok_embd, tokens, psum_axis)
+    else:
+        x = params.tok_embd[tokens]
+    x = x.astype(params.tok_embd.dtype)  # [B, 1, D]
     positions = lengths[:, None]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
@@ -607,7 +640,8 @@ def forward_paged_decode(
             v_l = append_token_layer(v_l, v[:, 0], page_table, lengths)
             ctx = attend_paged_layer(q, k_l, v_l, page_table, lengths + 1)
             lcache = (k_l, v_l)
-        return _wo_ffn_block(cfg, x, ctx.reshape(B, 1, D), lp), lcache
+        return _wo_ffn_block(cfg, x, ctx.reshape(B, 1, H * Dh), lp,
+                             psum_axis), lcache
 
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)
@@ -620,6 +654,8 @@ def forward_paged_prefill(
     cache,  # runtime.paged.PagedKVCache
     page_table: jax.Array,  # [B, max_pages]
     lengths: jax.Array,  # [B] valid prompt tokens
+    psum_axis=None,
+    tp: int = 1,
 ):
     """Prefill straight into pages — no dense-fragment detour.
 
@@ -639,8 +675,13 @@ def forward_paged_prefill(
 
     quant = isinstance(cache, PagedQuantKVCache)
     B, T = tokens.shape
-    H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
-    x = params.tok_embd[tokens].astype(params.tok_embd.dtype)
+    H, Hkv = cfg.n_head // tp, cfg.n_kv_head // tp  # local under TP
+    Dh = cfg.head_dim
+    if psum_axis is not None:
+        x = _embed_vp(params.tok_embd, tokens, psum_axis)
+    else:
+        x = params.tok_embd[tokens]
+    x = x.astype(params.tok_embd.dtype)
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
@@ -677,7 +718,8 @@ def forward_paged_prefill(
             k_l = paginate_fragment_layer(k_l, k_b, page_table)
             v_l = paginate_fragment_layer(v_l, v_b, page_table)
             lcache = (k_l, v_l)
-        return _wo_ffn_block(cfg, x, ctx.reshape(B, T, H * Dh), lp), lcache
+        return _wo_ffn_block(cfg, x, ctx.reshape(B, T, H * Dh), lp,
+                             psum_axis), lcache
 
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)
@@ -691,6 +733,8 @@ def forward_paged_prefill_cont(
     page_table: jax.Array,  # [B, max_pages]
     start: jax.Array,  # [B] int32 position of tokens[:, 0] (page-aligned)
     n_new: jax.Array,  # [B] valid tokens in this chunk
+    psum_axis=None,
+    tp: int = 1,
 ):
     """Chunked-prefill continuation: one prompt chunk attends to the
     slot's already-written pages plus itself (causal), and its KV pages
@@ -710,8 +754,13 @@ def forward_paged_prefill_cont(
 
     quant = isinstance(cache, PagedQuantKVCache)
     B, C = tokens.shape
-    H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
-    x = params.tok_embd[tokens].astype(params.tok_embd.dtype)
+    H, Hkv = cfg.n_head // tp, cfg.n_kv_head // tp  # local under TP
+    Dh = cfg.head_dim
+    if psum_axis is not None:
+        x = _embed_vp(params.tok_embd, tokens, psum_axis)
+    else:
+        x = params.tok_embd[tokens]
+    x = x.astype(params.tok_embd.dtype)
     positions = start[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
     # Rows beyond n_new are padding; park them before the chunk so they
     # can't unmask history they shouldn't see (their outputs are unused).
@@ -774,7 +823,8 @@ def forward_paged_prefill_cont(
             vg = jnp.swapaxes(v_l[:, page_table], 0, 1).reshape(
                 B, Hkv, mp * ps, Dh)
         ctx = attend_cache(q, kg, vg, positions)
-        return _wo_ffn_block(cfg, x, ctx.reshape(B, C, H * Dh), lp), lcache
+        return _wo_ffn_block(cfg, x, ctx.reshape(B, C, H * Dh), lp,
+                             psum_axis), lcache
 
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)
@@ -788,6 +838,8 @@ def forward_paged_verify(
     page_table: jax.Array,  # [B, max_pages]
     start: jax.Array,  # [B] int32 position of tokens[:, 0] (ANY offset)
     adv: jax.Array,  # [B] int32 1 = live (positions advance), 0 = frozen
+    psum_axis=None,
+    tp: int = 1,
 ):
     """Multi-token forward over paged KV at an arbitrary (unaligned)
     offset — the target-verify step of speculative decoding.  Each
@@ -802,8 +854,13 @@ def forward_paged_verify(
     from tokenhawk_tpu.runtime.paged import append_token_layer
 
     B, T = tokens.shape
-    H, Hkv, Dh = cfg.n_head, cfg.n_kv_head, cfg.head_dim
-    x = params.tok_embd[tokens].astype(params.tok_embd.dtype)
+    H, Hkv = cfg.n_head // tp, cfg.n_kv_head // tp  # local under TP
+    Dh = cfg.head_dim
+    if psum_axis is not None:
+        x = _embed_vp(params.tok_embd, tokens, psum_axis)
+    else:
+        x = params.tok_embd[tokens]
+    x = x.astype(params.tok_embd.dtype)
     positions = start[:, None] + adv[:, None] * jnp.arange(T, dtype=jnp.int32)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     ps = cache.page_size
@@ -837,7 +894,8 @@ def forward_paged_verify(
         vg = jnp.swapaxes(v_l[:, page_table], 0, 1).reshape(
             B, Hkv, mp * ps, Dh)
         ctx = attend_cache(q, kg, vg, positions)
-        return _wo_ffn_block(cfg, x, ctx.reshape(B, T, H * Dh), lp), (k_l, v_l)
+        return _wo_ffn_block(cfg, x, ctx.reshape(B, T, H * Dh), lp,
+                             psum_axis), (k_l, v_l)
 
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)

@@ -155,6 +155,7 @@ class PagedScheduler:
         draft_cfg: Optional[LlamaConfig] = None,
         draft_params: Optional[LlamaParams] = None,
         gamma: int = 4,
+        mesh=None,
     ):
         """prefill_chunk: admit prompts longer than this in page-aligned
         chunks interleaved with decode steps, so one long prompt never
@@ -182,10 +183,23 @@ class PagedScheduler:
         self.ps = page_size
         self.eos_id = eos_id
         self.decode_chunk = decode_chunk
+        self.mesh = mesh
         self.max_pages = -(-self.S // page_size)
         if n_pages is None:
             # Default: full occupancy for half the slots + 1 trash page.
             n_pages = self.B * self.max_pages // 2 + 2
+
+        if mesh is not None:
+            # Tensor-parallel paged serving (parallel/tp_paged.py): the
+            # page pool shards along KV heads; params must be the
+            # row_parallel_shards=tp layout (see shard_params_tp).
+            if cache_dtype == "int8":
+                raise NotImplementedError(
+                    "int8 pages are single-chip only (use bf16 pages "
+                    "under tensor parallelism)")
+            if draft_params is not None:
+                raise NotImplementedError(
+                    "speculative paged serving is single-chip only")
 
         if cache_dtype == "int8":  # quantized pages (runtime/paged.py)
             from tokenhawk_tpu.runtime.paged import PagedQuantKVCache
@@ -194,6 +208,12 @@ class PagedScheduler:
         else:
             self.cache = PagedKVCache.create(cfg, n_pages, page_size,
                                              cache_dtype)
+            if mesh is not None:
+                from tokenhawk_tpu.parallel.tp_paged import (
+                    shard_paged_cache_tp,
+                )
+
+                self.cache = shard_paged_cache_tp(self.cache, mesh)
         self.cache_dtype = cache_dtype
         self.alloc = PageAllocator(n_pages)
         self.trash_page = self.alloc.alloc(1)[0]
@@ -229,13 +249,33 @@ class PagedScheduler:
             # sampled slots use rejection sampling (target-distributed).
             self._slot_sampled = [False] * max_batch
 
-        self._prefill = make_paged_prefill_fn(cfg)
-        self._decode = make_paged_decode_fn_dynamic(cfg, decode_chunk, eos_id)
+        if mesh is not None:
+            from tokenhawk_tpu.parallel.tp_paged import (
+                make_tp_paged_decode_fn_dynamic,
+                make_tp_paged_prefill_cont_fn,
+                make_tp_paged_prefill_fn,
+            )
+
+            self._prefill = make_tp_paged_prefill_fn(cfg, mesh, params)
+            self._decode = make_tp_paged_decode_fn_dynamic(
+                cfg, mesh, decode_chunk, eos_id, params)
+        else:
+            self._prefill = make_paged_prefill_fn(cfg)
+            self._decode = make_paged_decode_fn_dynamic(cfg, decode_chunk,
+                                                        eos_id)
         self.prefill_chunk = prefill_chunk
         if prefill_chunk is not None and prefill_chunk % page_size:
             raise ValueError("prefill_chunk must be a page_size multiple")
         if prefill_chunk is not None or prefix_cache:
-            self._prefill_cont = make_paged_prefill_cont_fn(cfg)
+            if mesh is not None:
+                from tokenhawk_tpu.parallel.tp_paged import (
+                    make_tp_paged_prefill_cont_fn,
+                )
+
+                self._prefill_cont = make_tp_paged_prefill_cont_fn(
+                    cfg, mesh, params)
+            else:
+                self._prefill_cont = make_paged_prefill_cont_fn(cfg)
         # Mid-admission long prompts: slot -> (request, tokens prefilled).
         self.chunking: List[Optional[tuple]] = [None] * self.B
 
@@ -776,6 +816,12 @@ class PagedScheduler:
             self.cache = PagedKVCache.create(
                 self.cfg, self.cache.k_pages.shape[2], self.ps,
                 self.cache_dtype)
+            if self.mesh is not None:
+                from tokenhawk_tpu.parallel.tp_paged import (
+                    shard_paged_cache_tp,
+                )
+
+                self.cache = shard_paged_cache_tp(self.cache, self.mesh)
         self.alloc = PageAllocator(self.cache.k_pages.shape[2])
         self.trash_page = self.alloc.alloc(1)[0]
         self.table = np.full((self.B, self.max_pages), self.trash_page,
