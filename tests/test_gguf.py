@@ -238,7 +238,7 @@ def test_unsupported_tensor_type_raises(tmp_path):
     out = {_to_gguf_name(n): v for n, v in tensors.items()}
     path = tmp_path / "bad.gguf"
     write_gguf(path, _metadata(CFG.n_vocab), out)
-    # corrupt one tensor-info type field to an unsupported id (Q2_K=10)
+    # corrupt one tensor-info type field to an unsupported id (Q8_K=15)
     data = bytearray(path.read_bytes())
     import struct as _s
 
@@ -249,7 +249,7 @@ def test_unsupported_tensor_type_raises(tmp_path):
     ndims_off = i + 8 + len(name)
     (ndims,) = _s.unpack_from("<I", data, ndims_off)
     ty_off = ndims_off + 4 + 8 * ndims
-    _s.pack_into("<I", data, ty_off, 10)
+    _s.pack_into("<I", data, ty_off, 15)
     path.write_bytes(bytes(data))
     with pytest.raises(ValueError, match="unsupported GGUF tensor type"):
         GGUFFile(path)

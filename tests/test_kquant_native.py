@@ -21,6 +21,8 @@ from tokenhawk_tpu.ggml.gguf import GGUFFile, RawTensor, write_gguf
 from tokenhawk_tpu.ggml.kquants import (
     QK_K,
     dequant_kquant,
+    quantize_q2_k,
+    quantize_q3_k,
     quantize_q4_k,
     quantize_q5_k,
     quantize_q6_k,
@@ -31,6 +33,8 @@ from helpers import make_ggml_weights
 from test_gguf import _metadata, _to_gguf_name
 
 _QFN = {
+    GGMLType.Q2_K: quantize_q2_k,
+    GGMLType.Q3_K: quantize_q3_k,
     GGMLType.Q4_K: quantize_q4_k,
     GGMLType.Q5_K: quantize_q5_k,
     GGMLType.Q6_K: quantize_q6_k,
@@ -226,3 +230,81 @@ def test_gguf_native_forward_matches_dequant_reference(tmp_path):
     np.testing.assert_allclose(
         np.asarray(h, np.float32), np.asarray(h_ref, np.float32),
         atol=8e-2, rtol=8e-2)
+
+
+@pytest.mark.parametrize("kind,tol", [
+    (GGMLType.Q2_K, 0.40),  # 2-bit: coarse by design
+    # 3-bit symmetric: +absmax is representable only at 3/4 scale
+    (GGMLType.Q3_K, 0.26),
+])
+def test_q2_q3_roundtrip(rng, kind, tol):
+    x = rng.standard_normal(4 * QK_K).astype(np.float32)
+    y = dequant_kquant(kind, _QFN[kind](x), (x.size,))
+    assert np.abs(y - x).max() <= tol * np.abs(x).max()
+
+
+def test_q5_0_q5_1_gguf_roundtrip_and_device(rng):
+    """GGUF Q5_0/Q5_1 blocks parse, dequantize within codec error, and
+    the device QWeight (qk_i8) matmul matches the dequantized weights."""
+    from tokenhawk_tpu.ggml.format import QK
+    from tokenhawk_tpu.ggml.gguf import (
+        from_blocks_gguf,
+        pack_q5_0_blocks,
+        pack_q5_1_blocks,
+    )
+    from tokenhawk_tpu.ops.pallas.qmatmul import quant_matmul
+    from tokenhawk_tpu.ops.qweight import from_quantized_tensor
+
+    out_dim, in_dim = 16, 8 * QK
+    x = (rng.standard_normal((out_dim, in_dim)) * 0.5).astype(np.float32)
+    for kind, pack in ((GGMLType.Q5_0, pack_q5_0_blocks),
+                       (GGMLType.Q5_1, pack_q5_1_blocks)):
+        raw = pack(x.reshape(-1))
+        qt = from_blocks_gguf(kind, raw, (out_dim, in_dim))
+        dense = np.asarray(
+            __import__("tokenhawk_tpu.ggml.quants",
+                       fromlist=["dequantize"]).dequantize(qt))
+        # 5-bit codec: ~3-4% worst-case error
+        assert np.abs(dense - x).max() <= 0.06 * np.abs(x).max()
+
+        w = from_quantized_tensor(qt)
+        assert w.kind == "qk_i8"
+        np.testing.assert_array_equal(
+            np.asarray(w.dequantize(), np.float32), dense.T)
+        a = jnp.asarray(rng.standard_normal((2, in_dim)), jnp.bfloat16)
+        y = quant_matmul(a, w, interpret=True)
+        ref = np.asarray(a, np.float32) @ dense.T
+        np.testing.assert_allclose(np.asarray(y, np.float32), ref,
+                                   atol=5e-2, rtol=5e-2)
+
+
+def test_q2k_gguf_load_and_generate(tmp_path):
+    """A Q2_K GGUF file loads natively (qk kernel, group 16, affine) and
+    generates."""
+    from tokenhawk_tpu.config import SamplingConfig
+    from tokenhawk_tpu.runtime.engine import Engine
+    from tokenhawk_tpu.runtime.loader import load_model
+
+    CFG = LlamaConfig.tiny(n_vocab=300, n_embd=256, n_head=4, n_layer=2,
+                           n_ff=256)
+    rng = np.random.default_rng(13)
+    tensors = make_ggml_weights(CFG, rng)
+    out = {}
+    for name, v in tensors.items():
+        if v.ndim == 2 and "norm" not in name and \
+                name != "tok_embeddings.weight" and v.size % QK_K == 0:
+            out[_to_gguf_name(name)] = RawTensor(
+                GGMLType.Q2_K, v.shape, quantize_q2_k(v.reshape(-1)))
+        else:
+            out[_to_gguf_name(name)] = v
+    md = _metadata(CFG.n_vocab)
+    md["llama.embedding_length"] = CFG.n_embd
+    md["llama.rope.dimension_count"] = CFG.head_dim
+    path = tmp_path / "q2k.gguf"
+    write_gguf(path, md, out)
+    cfg, params, tok = load_model(str(path), n_ctx=64)
+    lp = params.layers[0] if isinstance(params.layers, tuple) else params.layers
+    eng = Engine(cfg, params, tokenizer=tok,
+                 sampling=SamplingConfig(temperature=0.0), decode_chunk=4)
+    res = eng.generate("hello", max_new_tokens=4)
+    assert len(res.tokens) <= 4

@@ -48,9 +48,14 @@ class GGMLType(enum.IntEnum):
     F16 = 1
     Q4_0 = 2
     Q4_1 = 3
+    Q5_0 = 6
+    Q5_1 = 7
     Q8_0 = 8
     # k-quants (GGUF only; 256-element super-blocks).  Parsed by
-    # ggml/kquants.py and requantized to the q8_0 device path at load.
+    # ggml/kquants.py; served natively by the qk device kernels
+    # (ops/qweight.from_kquant_raw).
+    Q2_K = 10
+    Q3_K = 11
     Q4_K = 12
     Q5_K = 13
     Q6_K = 14

@@ -52,10 +52,13 @@ _SCALAR_FMT = {
 _GGUF_BLOCK_BYTES = {
     GGMLType.Q4_0: 2 + QK // 2,  # f16 d + 16 nibble bytes = 18
     GGMLType.Q4_1: 4 + QK // 2,  # f16 d + f16 m + nibbles = 20
+    GGMLType.Q5_0: 2 + 4 + QK // 2,  # f16 d + qh[4] + nibbles = 22
+    GGMLType.Q5_1: 4 + 4 + QK // 2,  # f16 d + f16 m + qh + nibbles = 24
     GGMLType.Q8_0: 2 + QK,  # f16 d + 32 int8          = 34
 }
 # k-quants: 256-element super-blocks (ggml/kquants.py)
-_KQUANT_KINDS = (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K)
+_KQUANT_KINDS = (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+                 GGMLType.Q5_K, GGMLType.Q6_K)
 
 # token_type values (tokenizer.ggml.token_type)
 _TOKEN_BYTE = 6
@@ -106,7 +109,76 @@ def from_blocks_gguf(
             d.astype(np.float32).reshape(*shape[:-1], -1),
             mn.astype(np.float32).reshape(*shape[:-1], -1),
         )
+    if kind == GGMLType.Q5_0:
+        d = buf[:, :2].copy().view("<f2").reshape(nb)
+        qh = buf[:, 2:6].copy().view("<u4").reshape(nb)
+        packed = buf[:, 6:]
+        qs = np.zeros((nb, QK), dtype=np.int8)
+        hb = ((qh[:, None] >> np.arange(QK, dtype=np.uint32)[None, :]) & 1
+              ).astype(np.int8) << 4
+        qs[:, : QK // 2] = (packed & 0x0F).astype(np.int8)
+        qs[:, QK // 2 :] = (packed >> 4).astype(np.int8)
+        qs = (qs | hb) - 16  # 5-bit code - 16 in [-16, 15]
+        return QuantizedTensor(kind, tuple(shape), qs.reshape(shape),
+                               d.astype(np.float32).reshape(*shape[:-1], -1))
+    if kind == GGMLType.Q5_1:
+        d = buf[:, :2].copy().view("<f2").reshape(nb)
+        mn = buf[:, 2:4].copy().view("<f2").reshape(nb)
+        qh = buf[:, 4:8].copy().view("<u4").reshape(nb)
+        packed = buf[:, 8:]
+        qs = np.zeros((nb, QK), dtype=np.int8)
+        hb = ((qh[:, None] >> np.arange(QK, dtype=np.uint32)[None, :]) & 1
+              ).astype(np.int8) << 4
+        qs[:, : QK // 2] = (packed & 0x0F).astype(np.int8)
+        qs[:, QK // 2 :] = (packed >> 4).astype(np.int8)
+        qs = qs | hb  # 5-bit code in [0, 31], affine
+        return QuantizedTensor(
+            kind, tuple(shape), qs.reshape(shape),
+            d.astype(np.float32).reshape(*shape[:-1], -1),
+            mn.astype(np.float32).reshape(*shape[:-1], -1),
+        )
     raise ValueError(f"from_blocks_gguf: unsupported {kind!r}")
+
+
+def pack_q5_0_blocks(x: np.ndarray) -> bytes:
+    """f32 [n] -> GGUF Q5_0 block stream (tests/tooling)."""
+    x = np.asarray(x, np.float32).reshape(-1, QK)
+    amax_i = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(x.shape[0]), amax_i]
+    d = (maxv / -16.0).astype(np.float32)
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = np.clip(np.round(x * inv[:, None]) + 16, 0, 31).astype(np.uint8)
+    out = bytearray()
+    for b in range(x.shape[0]):
+        out += np.float16(d[b]).tobytes()
+        qh = 0
+        for j in range(QK):
+            qh |= int(q[b, j] >> 4) << j
+        out += int(qh).to_bytes(4, "little")
+        lo, hi = q[b, : QK // 2] & 0xF, q[b, QK // 2 :] & 0xF
+        out += bytes((lo | (hi << 4)).astype(np.uint8))
+    return bytes(out)
+
+
+def pack_q5_1_blocks(x: np.ndarray) -> bytes:
+    """f32 [n] -> GGUF Q5_1 block stream (tests/tooling)."""
+    x = np.asarray(x, np.float32).reshape(-1, QK)
+    mn = x.min(axis=1)
+    d = ((x.max(axis=1) - mn) / 31.0).astype(np.float32)
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = np.clip(np.round((x - mn[:, None]) * inv[:, None]), 0, 31).astype(
+        np.uint8)
+    out = bytearray()
+    for b in range(x.shape[0]):
+        out += np.float16(d[b]).tobytes()
+        out += np.float16(mn[b]).tobytes()
+        qh = 0
+        for j in range(QK):
+            qh |= int(q[b, j] >> 4) << j
+        out += int(qh).to_bytes(4, "little")
+        lo, hi = q[b, : QK // 2] & 0xF, q[b, QK // 2 :] & 0xF
+        out += bytes((lo | (hi << 4)).astype(np.uint8))
+    return bytes(out)
 
 
 def translate_name(name: str) -> str:

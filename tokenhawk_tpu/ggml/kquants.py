@@ -34,6 +34,8 @@ from tokenhawk_tpu.ggml.format import GGMLType
 QK_K = 256
 
 KQUANT_BLOCK_BYTES = {
+    GGMLType.Q2_K: 84,
+    GGMLType.Q3_K: 110,
     GGMLType.Q4_K: 144,
     GGMLType.Q5_K: 176,
     GGMLType.Q6_K: 210,
@@ -163,8 +165,88 @@ def dequant_q6_k(raw: bytes, n: int) -> np.ndarray:
     return (q * s[:, None]).reshape(n)
 
 
+def extract_q2_k(raw: bytes, n: int):
+    """Q2_K block stream -> (codes u8 [n] in [0,3], s f32 [n//16],
+    m f32 [n//16]) with y = s[g]*code - m[g] per 16-element group.
+
+    block_q2_K: { u8 scales[16] (4-bit sc|mn pairs); u8 qs[64] (2-bit
+    codes, 4 per byte); f16 d; f16 dmin } = 84 B."""
+    nb = n // QK_K
+    buf = np.frombuffer(raw, np.uint8, count=nb * 84).reshape(nb, 84)
+    sc4 = buf[:, 0:16]  # [nb, 16]
+    qs = buf[:, 16:80]  # [nb, 64]
+    d = buf[:, 80:82].copy().view("<f2").astype(np.float32).reshape(nb)
+    dmin = buf[:, 82:84].copy().view("<f2").astype(np.float32).reshape(nb)
+
+    codes = np.empty((nb, QK_K), np.uint8)
+    for half in range(2):  # 128 elements per half
+        q = qs[:, half * 32 : half * 32 + 32]
+        for j in range(4):
+            codes[:, half * 128 + j * 32 : half * 128 + (j + 1) * 32] = (
+                q >> (2 * j)) & 3
+    s = (d[:, None] * (sc4 & 0x0F).astype(np.float32)).reshape(nb * 16)
+    m = (dmin[:, None] * (sc4 >> 4).astype(np.float32)).reshape(nb * 16)
+    return codes.reshape(n), s, m
+
+
+def dequant_q2_k(raw: bytes, n: int) -> np.ndarray:
+    codes, s, m = extract_q2_k(raw, n)
+    q = codes.reshape(-1, 16).astype(np.float32)
+    return (q * s[:, None] - m[:, None]).reshape(n)
+
+
+def _unpack_scales_q3(sc12: np.ndarray) -> np.ndarray:
+    """scales[12] u8 -> 16 signed 6-bit scales (value - 32), per block.
+
+    llama.cpp's kmask unpack: the first 8 bytes hold the low 4 bits of
+    the 16 values; bytes 8..11 hold the high 2-bit crumbs."""
+    lo = np.concatenate([sc12[..., :8] & 0x0F, sc12[..., :8] >> 4], axis=-1)
+    # crumb index for value v: byte 8 + v%4, shift 2*(v//4)
+    v = np.arange(16)
+    hi = (sc12[..., 8 + (v % 4)] >> (2 * (v // 4))) & 3
+    return (lo | (hi << 4)).astype(np.int16) - 32
+
+
+def extract_q3_k(raw: bytes, n: int):
+    """Q3_K block stream -> (codes i8 [n] in [-4,3], s f32 [n//16])
+    with y = s[g]*code per 16-element group (symmetric).
+
+    block_q3_K: { u8 hmask[32]; u8 qs[64]; u8 scales[12]; f16 d }
+    = 110 B; 3-bit codes split 2+1 between qs crumbs and hmask bits,
+    with the high bit SUBTRACTING 4 when clear (llama.cpp
+    dequantize_row_q3_K)."""
+    nb = n // QK_K
+    buf = np.frombuffer(raw, np.uint8, count=nb * 110).reshape(nb, 110)
+    hmask = buf[:, 0:32]
+    qs = buf[:, 32:96]
+    sc16 = _unpack_scales_q3(buf[:, 96:108])  # [nb, 16] int16
+    d = buf[:, 108:110].copy().view("<f2").astype(np.float32).reshape(nb)
+
+    codes = np.empty((nb, QK_K), np.int8)
+    for half in range(2):
+        q = qs[:, half * 32 : half * 32 + 32]
+        for j in range(4):
+            low2 = (q >> (2 * j)) & 3
+            hbit = (hmask >> (4 * half + j)) & 1
+            codes[:, half * 128 + j * 32 : half * 128 + (j + 1) * 32] = (
+                low2.astype(np.int16) + 4 * hbit.astype(np.int16) - 4
+            ).astype(np.int8)
+    s = (d[:, None] * sc16.astype(np.float32)).reshape(nb * 16)
+    return codes.reshape(n), s
+
+
+def dequant_q3_k(raw: bytes, n: int) -> np.ndarray:
+    codes, s = extract_q3_k(raw, n)
+    q = codes.reshape(-1, 16).astype(np.float32)
+    return (q * s[:, None]).reshape(n)
+
+
 def dequant_kquant(kind: GGMLType, raw: bytes, shape) -> np.ndarray:
     n = int(np.prod(shape))
+    if kind == GGMLType.Q2_K:
+        return dequant_q2_k(raw, n).reshape(shape)
+    if kind == GGMLType.Q3_K:
+        return dequant_q3_k(raw, n).reshape(shape)
     if kind == GGMLType.Q4_K:
         return dequant_q4_k(raw, n).reshape(shape)
     if kind == GGMLType.Q5_K:
@@ -295,4 +377,77 @@ def quantize_q6_k(x: np.ndarray) -> bytes:
         out[b, 128:192] = qh
         out[b, 192:208] = np.frombuffer(s16.tobytes(), np.uint8)
         out[b, 208:210] = np.frombuffer(np.float16(d).tobytes(), np.uint8)
+    return out.tobytes()
+
+
+def quantize_q2_k(x: np.ndarray) -> bytes:
+    """f32 -> Q2_K block stream (per-16 min/max affine, 4-bit
+    second-level scales; exact layout, simple scale search)."""
+    x = np.asarray(x, np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    out = np.zeros((nb, 84), np.uint8)
+    for b in range(nb):
+        sub = x[b].reshape(16, 16)
+        mins = np.minimum(sub.min(axis=1), 0.0)
+        maxs = sub.max(axis=1)
+        scale = (maxs - mins) / 3.0
+        d = max(scale.max() / 15.0, 1e-12)
+        dmin = max((-mins).max() / 15.0, 1e-12)
+        sc4 = np.clip(np.round(scale / d), 0, 15).astype(np.uint8)
+        mn4 = np.clip(np.round((-mins) / dmin), 0, 15).astype(np.uint8)
+        eff_d = d * sc4.astype(np.float32)
+        eff_m = dmin * mn4.astype(np.float32)
+        q = np.zeros((16, 16), np.uint8)
+        for j in range(16):
+            dj = eff_d[j] if eff_d[j] > 0 else 1.0
+            q[j] = np.clip(np.round((sub[j] + eff_m[j]) / dj), 0, 3)
+        code = q.reshape(QK_K)
+        qs = np.zeros(64, np.uint8)
+        for half in range(2):
+            for j in range(4):
+                c = code[half * 128 + j * 32 : half * 128 + (j + 1) * 32]
+                qs[half * 32 : half * 32 + 32] |= (c << (2 * j)).astype(
+                    np.uint8)
+        out[b, 0:16] = sc4 | (mn4 << 4)
+        out[b, 16:80] = qs
+        out[b, 80:82] = np.frombuffer(np.float16(d).tobytes(), np.uint8)
+        out[b, 82:84] = np.frombuffer(np.float16(dmin).tobytes(), np.uint8)
+    return out.tobytes()
+
+
+def quantize_q3_k(x: np.ndarray) -> bytes:
+    """f32 -> Q3_K block stream (absmax per 16, signed 6-bit scales)."""
+    x = np.asarray(x, np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    out = np.zeros((nb, 110), np.uint8)
+    for b in range(nb):
+        sub = x[b].reshape(16, 16)
+        amax = np.abs(sub).max(axis=1)
+        d = max(amax.max() / (31.0 * 4.0), 1e-12)
+        sc16 = np.clip(np.round(amax / (4.0 * d)), -32, 31).astype(np.int16)
+        q = np.zeros((16, 16), np.int32)
+        for j in range(16):
+            sj = d * float(sc16[j])
+            sj = sj if sj != 0 else 1.0
+            q[j] = np.clip(np.round(sub[j] / sj), -4, 3)
+        code = (q + 4).astype(np.uint8).reshape(QK_K)  # 3-bit [0, 7]
+        qs = np.zeros(64, np.uint8)
+        hmask = np.zeros(32, np.uint8)
+        for half in range(2):
+            for j in range(4):
+                c = code[half * 128 + j * 32 : half * 128 + (j + 1) * 32]
+                qs[half * 32 : half * 32 + 32] |= ((c & 3) << (2 * j)).astype(
+                    np.uint8)
+                hmask |= ((c >> 2) << (4 * half + j)).astype(np.uint8)
+        # pack 16 signed 6-bit scales: low 4 bits in bytes 0..7, high
+        # crumbs in bytes 8..11 (inverse of _unpack_scales_q3)
+        u = (sc16 + 32).astype(np.uint8)
+        sc12 = np.zeros(12, np.uint8)
+        sc12[0:8] = (u[0:8] & 0x0F) | ((u[8:16] & 0x0F) << 4)
+        for v in range(16):
+            sc12[8 + (v % 4)] |= ((u[v] >> 4) & 3) << (2 * (v // 4))
+        out[b, 0:32] = hmask
+        out[b, 32:96] = qs
+        out[b, 96:108] = sc12
+        out[b, 108:110] = np.frombuffer(np.float16(d).tobytes(), np.uint8)
     return out.tobytes()

@@ -114,7 +114,7 @@ def quantize(x: np.ndarray, kind: GGMLType) -> QuantizedTensor:
 def dequantize(t: QuantizedTensor) -> np.ndarray:
     qb = _blockify(t.qs.astype(np.float32))
     out = qb * t.scales[..., None]
-    if t.kind == GGMLType.Q4_1:
+    if t.mins is not None:  # affine kinds (Q4_1, Q5_1)
         out = out + t.mins[..., None]
     return out.reshape(t.shape).astype(np.float32)
 

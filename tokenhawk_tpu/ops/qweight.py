@@ -247,6 +247,8 @@ def from_kquant_raw(
     """
     from tokenhawk_tpu.ggml.format import GGMLType
     from tokenhawk_tpu.ggml.kquants import (
+        extract_q2_k,
+        extract_q3_k,
         extract_q4_k,
         extract_q5_k,
         extract_q6_k,
@@ -279,6 +281,23 @@ def from_kquant_raw(
         group = 16
         qs_np = codes
         qdtype = jnp.int8
+        bias = None
+    elif gtype == GGMLType.Q2_K:
+        codes, s, m = extract_q2_k(raw, n)
+        group = 16
+        if use_i4:
+            qs_np = (codes.astype(np.int16) - 2).astype(np.int8)
+            qdtype = jnp.int4
+            bias = 2.0 * s - m
+        else:
+            qs_np = codes.astype(np.int8)
+            qdtype = jnp.int8
+            bias = -m
+    elif gtype == GGMLType.Q3_K:
+        codes, s = extract_q3_k(raw, n)
+        group = 16
+        qs_np = codes  # already [-4, 3]
+        qdtype = jnp.int4 if use_i4 else jnp.int8
         bias = None
     else:
         raise ValueError(f"not a supported k-quant: {gtype!r}")
@@ -335,6 +354,19 @@ def from_quantized_tensor(
     """GGML host tensor [out, in] -> device QWeight [in, out] (q4_0 packed)."""
     if qt.qs.ndim != 2:
         raise ValueError(f"expected 2-D weight, got {qt.shape}")
+    if qt.kind in (GGMLType.Q5_0, GGMLType.Q5_1):
+        # 5-bit codes don't pack into int4; serve via the generic affine
+        # int8 kernel (qk_i8): Q5_0 symmetric [-16,15], Q5_1 affine
+        # [0,31] with per-group mins.
+        qs_t = jnp.asarray(np.ascontiguousarray(qt.qs.T))  # int8 [in, out]
+        s_t = jnp.asarray(np.ascontiguousarray(qt.scales.T),
+                          dtype=scale_dtype)
+        m_t = None
+        if qt.mins is not None:
+            m_t = jnp.asarray(np.ascontiguousarray(qt.mins.T),
+                              dtype=scale_dtype)
+        return QWeight(qs=qs_t, scales=s_t, mins=m_t, scales_hi=None,
+                       kind="qk_i8", group=QK)
     kind = {GGMLType.Q8_0: "q8_0", GGMLType.Q4_0: "q4_0", GGMLType.Q4_1: "q4_1"}[
         qt.kind
     ]

@@ -152,7 +152,7 @@ def _load_model_once(
     _ROW_PARALLEL = ("attention.wo.weight", "feed_forward.w2.weight")
     from tokenhawk_tpu.ggml.format import GGMLType as _GT
 
-    _KQ = (_GT.Q4_K, _GT.Q5_K, _GT.Q6_K)
+    _KQ = (_GT.Q2_K, _GT.Q3_K, _GT.Q4_K, _GT.Q5_K, _GT.Q6_K)
     tensors = {}
     for name in f.tensors:
         if name != "tok_embeddings.weight":
