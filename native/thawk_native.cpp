@@ -245,4 +245,172 @@ void thawk_q4_encode(const float* x, uint8_t* out, int64_t rows, int64_t cols) {
   });
 }
 
+// ---- k-quant scalar reference dequantizers --------------------------------
+//
+// INDEPENDENT second implementation of the GGUF k-quant block formats,
+// written element-at-a-time from the struct layouts (the shape of
+// llama.cpp's scalar dequantize_row_* code) as a cross-check for the
+// vectorized numpy codecs in ggml/kquants.py: with no llama.cpp binary
+// or real weight file available in this environment, two structurally
+// different implementations agreeing bit-for-bit is the strongest
+// available layout validation (tests/test_kquant_crosscheck.py).
+
+static inline void get_scale_min_k4(int j, const uint8_t* q, uint8_t* d,
+                                    uint8_t* m) {
+  if (j < 4) {
+    *d = q[j] & 63;
+    *m = q[j + 4] & 63;
+  } else {
+    *d = (q[j + 4] & 0xF) | ((q[j - 4] >> 6) << 4);
+    *m = (q[j + 4] >> 4) | ((q[j] >> 6) << 4);
+  }
+}
+
+void thawk_dequant_q4_k(const uint8_t* raw, float* y, int64_t nb) {
+  for (int64_t i = 0; i < nb; ++i) {
+    const uint8_t* b = raw + i * 144;
+    const float d = f16_to_f32(*(const uint16_t*)(b + 0));
+    const float dmin = f16_to_f32(*(const uint16_t*)(b + 2));
+    const uint8_t* scales = b + 4;
+    const uint8_t* q = b + 16;
+    float* yy = y + i * 256;
+    int is = 0;
+    for (int j = 0; j < 256; j += 64) {
+      uint8_t sc, m;
+      get_scale_min_k4(is + 0, scales, &sc, &m);
+      const float d1 = d * sc, m1 = dmin * m;
+      get_scale_min_k4(is + 1, scales, &sc, &m);
+      const float d2 = d * sc, m2 = dmin * m;
+      for (int l = 0; l < 32; ++l) *yy++ = d1 * (q[l] & 0xF) - m1;
+      for (int l = 0; l < 32; ++l) *yy++ = d2 * (q[l] >> 4) - m2;
+      q += 32;
+      is += 2;
+    }
+  }
+}
+
+void thawk_dequant_q5_k(const uint8_t* raw, float* y, int64_t nb) {
+  for (int64_t i = 0; i < nb; ++i) {
+    const uint8_t* b = raw + i * 176;
+    const float d = f16_to_f32(*(const uint16_t*)(b + 0));
+    const float dmin = f16_to_f32(*(const uint16_t*)(b + 2));
+    const uint8_t* scales = b + 4;
+    const uint8_t* qh = b + 16;
+    const uint8_t* ql = b + 48;
+    float* yy = y + i * 256;
+    int is = 0;
+    uint8_t u1 = 1, u2 = 2;
+    for (int j = 0; j < 256; j += 64) {
+      uint8_t sc, m;
+      get_scale_min_k4(is + 0, scales, &sc, &m);
+      const float d1 = d * sc, m1 = dmin * m;
+      get_scale_min_k4(is + 1, scales, &sc, &m);
+      const float d2 = d * sc, m2 = dmin * m;
+      for (int l = 0; l < 32; ++l)
+        *yy++ = d1 * ((ql[l] & 0xF) + ((qh[l] & u1) ? 16 : 0)) - m1;
+      for (int l = 0; l < 32; ++l)
+        *yy++ = d2 * ((ql[l] >> 4) + ((qh[l] & u2) ? 16 : 0)) - m2;
+      ql += 32;
+      is += 2;
+      u1 <<= 2;
+      u2 <<= 2;
+    }
+  }
+}
+
+void thawk_dequant_q6_k(const uint8_t* raw, float* y, int64_t nb) {
+  for (int64_t i = 0; i < nb; ++i) {
+    const uint8_t* b = raw + i * 210;
+    const uint8_t* ql = b;
+    const uint8_t* qh = b + 128;
+    const int8_t* sc = (const int8_t*)(b + 192);
+    const float d = f16_to_f32(*(const uint16_t*)(b + 208));
+    float* yy = y + i * 256;
+    for (int n = 0; n < 256; n += 128) {
+      for (int l = 0; l < 32; ++l) {
+        const int is = l / 16;
+        const int8_t q1 =
+            (int8_t)((ql[l] & 0xF) | (((qh[l] >> 0) & 3) << 4)) - 32;
+        const int8_t q2 =
+            (int8_t)((ql[l + 32] & 0xF) | (((qh[l] >> 2) & 3) << 4)) - 32;
+        const int8_t q3 =
+            (int8_t)((ql[l] >> 4) | (((qh[l] >> 4) & 3) << 4)) - 32;
+        const int8_t q4 =
+            (int8_t)((ql[l + 32] >> 4) | (((qh[l] >> 6) & 3) << 4)) - 32;
+        yy[l] = d * sc[is] * q1;
+        yy[l + 32] = d * sc[is + 2] * q2;
+        yy[l + 64] = d * sc[is + 4] * q3;
+        yy[l + 96] = d * sc[is + 6] * q4;
+      }
+      yy += 128;
+      ql += 64;
+      qh += 32;
+      sc += 8;
+    }
+  }
+}
+
+void thawk_dequant_q2_k(const uint8_t* raw, float* y, int64_t nb) {
+  for (int64_t i = 0; i < nb; ++i) {
+    const uint8_t* b = raw + i * 84;
+    const uint8_t* sc = b;
+    const uint8_t* q = b + 16;
+    const float d = f16_to_f32(*(const uint16_t*)(b + 80));
+    const float dmin = f16_to_f32(*(const uint16_t*)(b + 82));
+    float* yy = y + i * 256;
+    int is = 0;
+    for (int n = 0; n < 256; n += 128) {
+      int shift = 0;
+      for (int j = 0; j < 4; ++j) {
+        uint8_t s = sc[is++];
+        float dl = d * (s & 0xF), ml = dmin * (s >> 4);
+        for (int l = 0; l < 16; ++l)
+          *yy++ = dl * ((q[l] >> shift) & 3) - ml;
+        s = sc[is++];
+        dl = d * (s & 0xF);
+        ml = dmin * (s >> 4);
+        for (int l = 16; l < 32; ++l)
+          *yy++ = dl * ((q[l] >> shift) & 3) - ml;
+        shift += 2;
+      }
+      q += 32;
+    }
+  }
+}
+
+void thawk_dequant_q3_k(const uint8_t* raw, float* y, int64_t nb) {
+  const uint32_t kmask1 = 0x03030303, kmask2 = 0x0f0f0f0f;
+  for (int64_t i = 0; i < nb; ++i) {
+    const uint8_t* b = raw + i * 110;
+    const uint8_t* hm = b;
+    const uint8_t* q = b + 32;
+    const float d = f16_to_f32(*(const uint16_t*)(b + 108));
+    uint32_t aux[4];
+    memcpy(aux, b + 96, 12);
+    const uint32_t tmp = aux[2];
+    aux[2] = ((aux[0] >> 4) & kmask2) | (((tmp >> 4) & kmask1) << 4);
+    aux[3] = ((aux[1] >> 4) & kmask2) | (((tmp >> 6) & kmask1) << 4);
+    aux[0] = (aux[0] & kmask2) | (((tmp >> 0) & kmask1) << 4);
+    aux[1] = (aux[1] & kmask2) | (((tmp >> 2) & kmask1) << 4);
+    const int8_t* scales = (const int8_t*)aux;
+    float* yy = y + i * 256;
+    uint8_t m = 1;
+    int is = 0;
+    for (int n = 0; n < 256; n += 128) {
+      int shift = 0;
+      for (int j = 0; j < 4; ++j) {
+        float dl = d * (scales[is++] - 32);
+        for (int l = 0; l < 16; ++l)
+          *yy++ = dl * (((q[l] >> shift) & 3) - ((hm[l] & m) ? 0 : 4));
+        dl = d * (scales[is++] - 32);
+        for (int l = 16; l < 32; ++l)
+          *yy++ = dl * (((q[l] >> shift) & 3) - ((hm[l] & m) ? 0 : 4));
+        shift += 2;
+        m <<= 1;
+      }
+      q += 32;
+    }
+  }
+}
+
 }  // extern "C"

@@ -72,6 +72,9 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.thawk_q4_decode_transpose_pack.argtypes = [vp, vp, vp, c_i64, c_i64]
             lib.thawk_q8_encode.argtypes = [vp, vp, c_i64, c_i64]
             lib.thawk_q4_encode.argtypes = [vp, vp, c_i64, c_i64]
+            for kq in ("q2_k", "q3_k", "q4_k", "q5_k", "q6_k"):
+                getattr(lib, f"thawk_dequant_{kq}").argtypes = [
+                    vp, vp, c_i64]
             _LIB = lib
             break
     return _LIB
@@ -177,3 +180,33 @@ def q4_encode(x: np.ndarray) -> bytes:
     out = np.empty((rows * (cols // 32) * 20,), np.uint8)
     lib.thawk_q4_encode(_ptr(x), _ptr(out), rows, cols)
     return out.tobytes()
+
+
+def dequant_kquant_c(kind, raw: bytes, n: int):
+    """Scalar C reference dequantizer for the k-quant family, or None if
+    the native library is unavailable.
+
+    An INDEPENDENT second implementation (element-at-a-time C, the shape
+    of llama.cpp's scalar code) used by tests to cross-check the
+    vectorized numpy codecs — the strongest layout validation available
+    without llama.cpp binaries or real weight files in this environment.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    from tokenhawk_tpu.ggml.format import GGMLType
+    from tokenhawk_tpu.ggml.kquants import KQUANT_BLOCK_BYTES, QK_K
+
+    fn = {
+        GGMLType.Q2_K: lib.thawk_dequant_q2_k,
+        GGMLType.Q3_K: lib.thawk_dequant_q3_k,
+        GGMLType.Q4_K: lib.thawk_dequant_q4_k,
+        GGMLType.Q5_K: lib.thawk_dequant_q5_k,
+        GGMLType.Q6_K: lib.thawk_dequant_q6_k,
+    }[kind]
+    nb = n // QK_K
+    buf = np.frombuffer(raw, np.uint8, count=nb * KQUANT_BLOCK_BYTES[kind])
+    buf = np.ascontiguousarray(buf)
+    out = np.empty((n,), np.float32)
+    fn(_ptr(buf), _ptr(out), nb)
+    return out
