@@ -114,3 +114,42 @@ def test_tp_paged_rejects_unsupported(tensors):
             page_size=16, draft_cfg=draft_cfg,
             draft_params=init_params(draft_cfg, jax.random.PRNGKey(0),
                                      jnp.float32))
+
+
+def test_paged_scheduler_accepts_loader_params(tmp_path):
+    """REGRESSION: the loader's pipelines end in the unrolled tuple form
+    while the paged forwards scan stacked layers — PagedScheduler must
+    restack (and re-shard under TP).  Before this fix,
+    `serving --paged -m model` crashed in lax.scan."""
+    import numpy as np
+    from tokenhawk_tpu.ggml.writer import write_ggml
+    from tokenhawk_tpu.runtime.loader import load_model
+
+    cfg_t = LlamaConfig.tiny(n_vocab=512, n_embd=128, n_head=2, n_layer=2,
+                             n_ff=256)
+    vocab = ([b"<unk>", b"<s>", b"</s>"] + [bytes([b]) for b in range(256)]
+             + [f"t{i}".encode() for i in range(512 - 259)])
+    hp = dict(n_vocab=512, n_embd=cfg_t.n_embd, n_mult=cfg_t.n_mult,
+              n_head=cfg_t.n_head, n_layer=cfg_t.n_layer,
+              n_rot=cfg_t.head_dim, ftype=0)
+    path = tmp_path / "m.bin"
+    write_ggml(path, hp, vocab, [0.0] * 512,
+               make_ggml_weights(cfg_t, np.random.default_rng(13)))
+
+    cfg0, params0, _ = load_model(str(path), n_ctx=64, dtype=jnp.float32)
+    assert isinstance(params0.layers, tuple)  # loader's unrolled form
+    s0 = PagedScheduler(cfg0, params0, sampling=GREEDY, max_batch=2,
+                        max_seq=64, page_size=16, n_pages=12,
+                        cache_dtype=jnp.float32, decode_chunk=4)
+    want = [r.output for r in s0.generate_many([[1, 5, 9]],
+                                               max_new_tokens=4)]
+    assert want and len(want[0]) == 4
+
+    mesh = make_mesh(dp=1, tp=2)
+    cfg, params, _ = load_model(str(path), n_ctx=64, dtype=jnp.float32,
+                                mesh=mesh, parallel="tp")
+    s = PagedScheduler(cfg, params, mesh=mesh, sampling=GREEDY,
+                       max_batch=2, max_seq=64, page_size=16, n_pages=12,
+                       cache_dtype=jnp.float32, decode_chunk=4)
+    got = [r.output for r in s.generate_many([[1, 5, 9]], max_new_tokens=4)]
+    assert got == want

@@ -557,6 +557,38 @@ def unstack_params(params: LlamaParams) -> LlamaParams:
     return dataclasses.replace(params, layers=layers)
 
 
+def stack_params(params: LlamaParams) -> LlamaParams:
+    """Inverse of unstack_params: tuple-of-LayerParams -> stacked [L]
+    leaves (the lax.scan form the paged forwards consume).
+
+    Needed because the loader's single-chip/TP pipelines end in the
+    unrolled decode-fast form while PagedScheduler scans stacked layer
+    weights."""
+    if not isinstance(params.layers, tuple):
+        return params
+    lps = params.layers
+
+    def stack_field(name):
+        vals = [getattr(lp, name) for lp in lps]
+        if vals[0] is None:
+            return None
+        if isinstance(vals[0], QWeight):
+            def opt(f):
+                vs = [getattr(w, f) for w in vals]
+                return jnp.stack(vs) if vs[0] is not None else None
+
+            return QWeight(qs=opt("qs"), scales=opt("scales"),
+                           mins=opt("mins"), scales_hi=opt("scales_hi"),
+                           kind=vals[0].kind, group=vals[0].group)
+        return jnp.stack(vals)
+
+    layers = LayerParams(**{
+        f.name: stack_field(f.name)
+        for f in dataclasses.fields(LayerParams)
+    })
+    return dataclasses.replace(params, layers=layers)
+
+
 def _embed_vp(tok_embd_local, tokens, axis):
     """Vocab-parallel embedding for shard_map TP: local gather + psum."""
     v_local = tok_embd_local.shape[0]

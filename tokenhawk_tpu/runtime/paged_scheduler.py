@@ -175,6 +175,18 @@ class PagedScheduler:
         paged multi-token pass (greedy-only; bit-identical to
         non-speculative greedy).  The draft keeps a dense per-slot
         cache."""
+        if isinstance(params.layers, tuple):
+            # The loader's decode-fast pipelines end in the unrolled
+            # tuple form; the paged forwards scan stacked layer weights.
+            from tokenhawk_tpu.models.llama import stack_params
+
+            params = stack_params(params)
+            if mesh is not None:
+                # Re-pin shardings (stacking sharded per-layer arrays
+                # does not preserve the head-axis placement).
+                from tokenhawk_tpu.parallel.tp import shard_params_tp
+
+                params = shard_params_tp(cfg, params, mesh)
         self.cfg = cfg
         self.params = params
         self.sampling = sampling

@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "stall a long prompt inflicts on live streams)")
     p.add_argument("--kv", choices=["bf16", "int8"], default="bf16",
                    help="paged KV dtype (int8 halves page traffic)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways: shard weights, KV (and "
+                        "the page pool with --paged) across a TP mesh "
+                        "(parallel/tp.py, tp_paged.py).  CP/PP are "
+                        "engine-level (see ARCHITECTURE.md)")
     p.add_argument("--draft-model",
                    help="GGML draft model: speculative continuous batching "
                         "(greedy only; outputs identical to the target)")
@@ -74,10 +79,20 @@ def main(argv=None) -> int:
     from tokenhawk_tpu.serving.server import serve
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    mesh = None
+    if args.tp > 1:
+        from tokenhawk_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp=1, tp=args.tp)
+        if args.draft_model:
+            parser.error("--draft-model is single-chip only (no --tp)")
+        if args.kv == "int8" and args.paged:
+            parser.error("--kv int8 pages are single-chip only (no --tp)")
     print(f"Loading {model_path} ...", file=sys.stderr)
     t0 = time.perf_counter()
     cfg, params, tokenizer = load_model(model_path, n_ctx=args.n_ctx,
-                                        dtype=dtype)
+                                        dtype=dtype, mesh=mesh,
+                                        parallel="tp")
     print(f"Loaded in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # Speculative serving supports sampling: greedy slots use the
@@ -104,13 +119,14 @@ def main(argv=None) -> int:
             prefill_chunk=args.prefill_chunk,
             prefix_cache=args.prefix_cache,
             draft_cfg=draft_cfg, draft_params=draft_params,
-            gamma=args.gamma,
+            gamma=args.gamma, mesh=mesh,
         )
     else:
         sched = Scheduler(
             cfg, params, sampling=sampling, max_batch=args.max_batch,
             max_seq=args.n_ctx, decode_chunk=args.decode_chunk,
             draft_cfg=draft_cfg, draft_params=draft_params, gamma=args.gamma,
+            mesh=mesh, parallel="tp",
         )
     chat_template = None
     try:
