@@ -1,25 +1,33 @@
-"""k-quant block codecs (Q4_K / Q6_K): the formats real GGUF files ship.
+"""k-quant block codecs (Q2_K..Q6_K): the formats real GGUF files ship.
 
-llama.cpp's Q4_K_M / Q4_K_S / Q6_K model files store most projection
-weights in 256-element super-blocks with second-level quantized scales;
-the reference era predates them entirely.  This module decodes (and,
-for tests, encodes) the block streams to dense f32.  The device path
-requantizes to Q8_0 at load (ggml/gguf.py load_tensor + runtime loader):
-q8 is ~4 bits finer than the k-quant itself, so the requantization error
-is dominated by the original k-quant rounding, and the fused q8 Pallas
-kernels serve the weights at full bandwidth.
+llama.cpp's *_K model files store most projection weights in 256-element
+super-blocks with second-level quantized scales; the reference era
+predates them entirely.  This module extracts the block streams to
+(codes, per-group scale, per-group min) triples — the NATIVE device
+representation served by the generic qk Pallas kernel
+(ops/qweight.from_kquant_raw; bit-exact, no requantize detour) — and
+decodes/encodes dense f32 for tests and fallbacks.
 
-Layouts were written against llama.cpp's documented block structs;
-round-trip tests are self-consistent, and a real-file cross-check rides
-on tools/validate_real_model.py (run it with any Q4_K_M/Q6_K file — a
-layout divergence would show up as garbage perplexity immediately).
+Layouts were written against llama.cpp's documented block structs and
+cross-validated against an independent scalar C implementation
+(native/thawk_native.cpp thawk_dequant_*; tests/test_kquant_crosscheck.py
+must agree bit-for-bit on arbitrary byte streams).
 
 Block layouts (little-endian, QK_K = 256):
+  block_q2_K: { u8 scales[16]; u8 qs[64]; f16 d; f16 dmin }   =  84 B
+    16 sub-blocks of 16; 4-bit (scale|min) nibble pairs;
+    y = d*sc*q - dmin*m, q 2-bit in [0, 3].
+  block_q3_K: { u8 hmask[32]; u8 qs[64]; u8 sc[12]; f16 d }   = 110 B
+    16 sub-blocks of 16; signed 6-bit scales (kmask crumb packing);
+    3-bit codes split 2+1 between qs crumbs and hmask bits;
+    y = d*(sc-32)*(q-4).
   block_q4_K: { f16 d; f16 dmin; u8 scales[12]; u8 qs[128] }  = 144 B
     8 sub-blocks of 32; 6-bit (scale, min) pairs packed in scales[12]
     (llama.cpp get_scale_min_k4); element y = d*sc*q - dmin*m, q in
     [0, 15]; qs bytes cover 64-element chunks: low nibbles are elements
     [0, 32), high nibbles [32, 64) of each chunk.
+  block_q5_K: { f16 d; f16 dmin; u8 sc[12]; u8 qh[32]; qs[128] } = 176 B
+    like Q4_K with a 5th code bit per element pulled from qh.
   block_q6_K: { u8 ql[128]; u8 qh[64]; i8 scales[16]; f16 d } = 210 B
     16 sub-blocks of 16 with int8 scales; 6-bit codes split 4+2 between
     ql nibbles and qh crumbs; y = d * scales[i] * (q - 32).

@@ -309,16 +309,16 @@ def _attn_wo(
                 pl.BlockSpec((1, H, rep, Dh), lambda i, *_: (0, 0, 0, 0)),
                 pl.BlockSpec((1, H, Dh), lambda i, *_: (0, 0, 0)),
                 pl.BlockSpec((1, H, Dh), lambda i, *_: (0, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((8, bn), lambda i, *_: (0, wo_idx(i))),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec((8, bn), lambda i, *_: (0, wo_idx(i))),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
                 pltpu.VMEM((H, 128), jnp.float32),

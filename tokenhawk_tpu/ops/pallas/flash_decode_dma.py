@@ -685,8 +685,8 @@ def flash_decode_stats(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
@@ -773,13 +773,13 @@ def flash_decode_append(
                 pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
                 pl.BlockSpec((1, hb, Dh), lambda b, h, i, *_: (b, h, 0)),
                 pl.BlockSpec((1, hb, Dh), lambda b, h, i, *_: (b, h, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             scratch_shapes=[
                 pltpu.VMEM((hb * rep, 128), jnp.float32),
@@ -871,8 +871,8 @@ def flash_decode_loop(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, hb, rep, Dh), lambda b, h, *_: (b, h, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (1, hb, rep, Dh), lambda b, h, *_: (b, h, 0, 0)
@@ -936,8 +936,8 @@ def flash_decode_dma(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)

@@ -162,8 +162,8 @@ def paged_flash_decode(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (1, hb, rep, Dh), lambda b, h, i, *_: (b, h, 0, 0)
