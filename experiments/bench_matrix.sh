@@ -9,8 +9,8 @@ run() {
     echo "=== $* ===" >&2
     timeout 1500 python bench.py "$@" 2>&1 | tee /dev/stderr | grep '^{' >> "$out"
 }
-run --quant q4_0 --tokens 256 --chunk 32
-run --quant q4_0 --tokens 256 --chunk 32 --rope interleaved
+run --quant q4_0 --tokens 256
+run --quant q4_k --tokens 192
 run --quant q4_0 --ctx 2048 --prompt-tokens 1024 --tokens 256 --kv int8
 run --quant q8_0 --tokens 128
 run --quant f16 --tokens 64
