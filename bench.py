@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 
-def synth_qweight(key, K, N, kind, scale_dtype):
+def synth_qweight(key, K, N, kind, scale_dtype, flat_only=False):
     """Synthetic quantized weight. Values are constant (iota-derived):
     decode throughput only depends on bytes moved, and constants
     materialize orders of magnitude faster than RNG through the relay."""
@@ -46,12 +46,26 @@ def synth_qweight(key, K, N, kind, scale_dtype):
         return QWeight(qs=qs, scales=scales(K // 64), mins=None,
                        scales_hi=scales(K // 64), kind=kind)
     if kind == "q4_k":
-        # Native Q4_K device layout: int4 codes + per-group affine
-        # (scale, bias) — ~4.9 bpw on device (ops/qweight.from_kquant_raw)
         qs = jnp.tile(
             (jnp.arange(16, dtype=jnp.int32) - 8).astype(jnp.int4),
             K * N // 16,
         ).reshape(K, N)
+        import os as _os
+
+        # sb layout is a measured NEGATIVE result (ops/qweight.py);
+        # env-gated for re-evaluation.
+        sb_eligible = (K % 1024 == 0 and (K % 4096 == 0 or K <= 16384)
+                       and not flat_only  # w2 stays flat (fused FFN tiling)
+                       and _os.environ.get("THAWK_Q4K_SB", "0") == "1")
+        if sb_eligible:
+            # SUPER-BLOCK Q4_K layout (4.63 bpw): int4 codes + per-256
+            # f16 d/dmin + int8 6-bit sc|mn rows (ops/qweight sb path).
+            scmn = jnp.full((2 * (K // 32), N), 31, jnp.int8)
+            return QWeight(qs=qs, scales=scales(K // 256),
+                           mins=scales(K // 256), scales_hi=scmn,
+                           kind="q4k_sb", group=32)
+        # Flat native Q4_K layout: int4 codes + per-group affine
+        # (scale, bias) — ~5 bpw on device (ops/qweight.from_kquant_raw)
         return QWeight(qs=qs, scales=scales(K // 32),
                        mins=scales(K // 32), kind="qk_i4", group=32)
     raise ValueError(kind)
@@ -76,13 +90,13 @@ def synth_params(cfg, kind, dtype, scale_dtype, fuse=True, unroll=True):
     Dkv = cfg.n_embd_kv
     ks = iter(jax.random.split(key, 16))
 
-    def qw(K, N):
-        return synth_qweight(next(ks), K, N, kind, scale_dtype)
+    def qw(K, N, flat_only=False):
+        return synth_qweight(next(ks), K, N, kind, scale_dtype, flat_only)
 
-    def stack_qw(K, N):
+    def stack_qw(K, N, flat_only=False):
         from tokenhawk_tpu.ops.qweight import QWeight
 
-        w = synth_qweight(next(ks), K, N, kind, scale_dtype)
+        w = synth_qweight(next(ks), K, N, kind, scale_dtype, flat_only)
         if not unroll:
             # Stacked [L, ...] form for lax.scan: broadcast-stacked
             # shared payload (materializes once under jit).
@@ -93,8 +107,8 @@ def synth_params(cfg, kind, dtype, scale_dtype, fuse=True, unroll=True):
             if kind == "f16":
                 return bcast(w)
             return QWeight(
-                qs=bcast(w.qs), scales=bcast(w.scales), mins=None,
-                scales_hi=bcast(w.scales_hi), kind=kind,
+                qs=bcast(w.qs), scales=bcast(w.scales), mins=bcast(w.mins),
+                scales_hi=bcast(w.scales_hi), kind=w.kind, group=w.group,
             )
         return w
 
@@ -108,7 +122,7 @@ def synth_params(cfg, kind, dtype, scale_dtype, fuse=True, unroll=True):
             wqkv=stack_qw(D, D + 2 * Dkv),
             w13=stack_qw(D, 2 * F),
             wo=stack_qw(D, D),
-            w2=stack_qw(F, D),
+            w2=stack_qw(F, D, flat_only=True),
             attn_norm=jnp.ones((L, D), dtype),
             ffn_norm=jnp.ones((L, D), dtype),
         )
@@ -119,7 +133,7 @@ def synth_params(cfg, kind, dtype, scale_dtype, fuse=True, unroll=True):
             wv=stack_qw(D, Dkv),
             wo=stack_qw(D, D),
             w1=stack_qw(D, F),
-            w2=stack_qw(F, D),
+            w2=stack_qw(F, D, flat_only=True),
             w3=stack_qw(D, F),
             attn_norm=jnp.ones((L, D), dtype),
             ffn_norm=jnp.ones((L, D), dtype),

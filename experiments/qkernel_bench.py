@@ -25,7 +25,8 @@ import numpy as np
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--kind", choices=["q8_0", "q4_0", "q4_i4", "f16"],
+    p.add_argument("--kind",
+                   choices=["q8_0", "q4_0", "q4_i4", "qk_i4", "q4k_sb", "f16"],
                    default="q8_0")
     p.add_argument("--pairs", type=int, default=4, help="w1/w2-like weight pairs")
     p.add_argument("--rows", type=int, default=8, help="activation rows (decode=8)")
@@ -89,6 +90,34 @@ def main() -> int:
             s2 = jnp.full((N // 32, K), 0.01, jnp.bfloat16)
             pairs.append((("q4i4", qs1, s1, None), ("q4i4", qs2, s2, None)))
             bytes_per_pass += (K * N) // 2 + s1.nbytes + (N * K) // 2 + s2.nbytes
+        elif args.kind in ("qk_i4", "q4k_sb"):
+            # Flat affine k-quant (qk_i4, ~5 bpw) vs Q4_K super-block
+            # (q4k_sb, 4.63 bpw): the A/B for the in-kernel sb expansion.
+            import functools as _ft
+
+            @_ft.partial(jax.jit, static_argnums=(1, 2))
+            def mk4(seed, k, n):
+                v = (jnp.arange(k * n, dtype=jnp.int32) + seed) % 16 - 8
+                return v.astype(jnp.int4).reshape(k, n)
+
+            def mkw(seed, k, n):
+                qs = mk4(seed, k, n)
+                if args.kind == "qk_i4":
+                    s = jnp.full((k // 32, n), 0.01, jnp.bfloat16)
+                    m = jnp.full((k // 32, n), 0.08, jnp.bfloat16)
+                    return (qs, s, m), (k * n) // 2 + s.nbytes + m.nbytes
+                d = jnp.full((k // 256, n), 0.01, jnp.bfloat16)
+                dm = jnp.full((k // 256, n), 0.01, jnp.bfloat16)
+                scmn = jnp.full((2 * (k // 32), n), 31, jnp.int8)
+                return (qs, d, dm, scmn), (
+                    (k * n) // 2 + d.nbytes + dm.nbytes + scmn.nbytes)
+            w1, b1 = mkw(i, K, N)
+            w2, b2 = mkw(7 * i, N, K)
+            # pad to the (tag, a, b, c) shape; sb carries 4 arrays so
+            # stash the 4th in the tag slot's place via a nested tuple
+            pairs.append(((args.kind,) + w1 + (None,) * (4 - len(w1)),
+                          (args.kind,) + w2 + (None,) * (4 - len(w2))))
+            bytes_per_pass += b1 + b2
         else:  # f16 dense bf16 (XLA matmul)
             w1 = jnp.full((K, N), 0.01, jnp.bfloat16) + i * 1e-4
             w2 = jnp.full((N, K), 0.01, jnp.bfloat16) + i * 1e-4
@@ -103,21 +132,26 @@ def main() -> int:
     if bk:
         kw["block_k"] = bk
 
-    kind = {"q8_0": "q8", "q4_0": "q4", "q4_i4": "q4i4", "f16": "f16"}[args.kind]
+    kind = {"q8_0": "q8", "q4_0": "q4", "q4_i4": "q4i4", "qk_i4": "qk_i4",
+            "q4k_sb": "q4k_sb", "f16": "f16"}[args.kind]
 
     def apply(x, w):
-        a, b, c = w
+        a, b, c = w[0], w[1], w[2]
         if kind == "q8":
             return qm.q8_matmul(x, a, b, **kw)
         if kind == "q4":
             return qm.q4_matmul(x, a, b, c, **kw)
         if kind == "q4i4":
             return qm.q4_matmul_i4(x, a, b, **kw)
+        if kind == "qk_i4":
+            return qm.qk_matmul(x, a, b, c, group=32, **kw)
+        if kind == "q4k_sb":
+            return qm.qk_sb_matmul(x, a, b, c, w[3], **kw)
         return jnp.dot(x, a, preferred_element_type=jnp.float32).astype(x.dtype)
 
     # Weight arrays must be jit ARGUMENTS: closed-over they bake into the
     # HLO as constants and blow the remote-compile body limit (HTTP 413).
-    wargs = [((wa[1], wa[2], wa[3]), (wb[1], wb[2], wb[3])) for wa, wb in pairs]
+    wargs = [(tuple(wa[1:]), tuple(wb[1:])) for wa, wb in pairs]
 
     def make_fn(n):
         @jax.jit

@@ -34,7 +34,7 @@ def matmul(x: jax.Array, w: ArrayOrQ, norm_gain: jax.Array | None = None,
 
         mode = pallas_mode()
         if mode is not None and w.kind in ("q8_0", "q4_0", "q4_0_i4",
-                                           "qk_i4", "qk_i8"):
+                                           "qk_i4", "qk_i8", "q4k_sb"):
             from tokenhawk_tpu.ops.pallas.qmatmul import quant_matmul
 
             return quant_matmul(x, w, norm_gain, eps=eps, rope=rope,

@@ -59,11 +59,21 @@ def _dequant(q_ref, s_ref, rows, cols, group=GROUP, m_ref=None):
 
 def _ffn_kernel(
     x_ref, w1_ref, w3_ref, s1_ref, s3_ref, *rest, n_tiles, eps, d_sub,
-    o_sub, g13=GROUP, g2=GROUP, mins13=False, mins2=False,
+    o_sub, g13=GROUP, g2=GROUP, mins13=False, mins2=False, sb13=False,
 ):
     rest = list(rest)
-    m1_ref = rest.pop(0) if mins13 else None
-    m3_ref = rest.pop(0) if mins13 else None
+    if sb13:
+        # Q4_K super-block w13: s1/s3 are the per-256 d slabs; dmin and
+        # the 6-bit sc|mn rows follow.  Expand to per-group affine
+        # (s, b) arrays once per F-tile — _dequant slices arrays the
+        # same way it slices refs.
+        dm1_ref, dm3_ref = rest.pop(0), rest.pop(0)
+        sc1_ref, sc3_ref = rest.pop(0), rest.pop(0)
+        mn1_ref, mn3_ref = rest.pop(0), rest.pop(0)
+        m1_ref = m3_ref = None
+    else:
+        m1_ref = rest.pop(0) if mins13 else None
+        m3_ref = rest.pop(0) if mins13 else None
     w2_ref, s2_ref = rest.pop(0), rest.pop(0)
     m2_ref = rest.pop(0) if mins2 else None
     g_ref, o_ref, acc_ref, xn_ref = rest
@@ -79,6 +89,15 @@ def _ffn_kernel(
     xn = xn_ref[...]
     D = w1_ref.shape[0]
 
+    if sb13:
+        from tokenhawk_tpu.ops.pallas.qmatmul import _sb_expand
+
+        s1_eff, m1_eff = _sb_expand(s1_ref, dm1_ref, sc1_ref, mn1_ref)
+        s3_eff, m3_eff = _sb_expand(s3_ref, dm3_ref, sc3_ref, mn3_ref)
+    else:
+        s1_eff, m1_eff = s1_ref, m1_ref
+        s3_eff, m3_eff = s3_ref, m3_ref
+
     # Gate/up projections for this F-tile: whole-K (= D) dots, f32
     # dequant bounded by d_sub chunks exactly like qmatmul's K loop.
     g = None
@@ -89,11 +108,11 @@ def _ffn_kernel(
         cols = slice(None)
         xj = xn[:, j : j + sub]
         gj = jax.lax.dot_general(
-            xj, _dequant(w1_ref, s1_ref, rows, cols, g13, m1_ref),
+            xj, _dequant(w1_ref, s1_eff, rows, cols, g13, m1_eff),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         uj = jax.lax.dot_general(
-            xj, _dequant(w3_ref, s3_ref, rows, cols, g13, m3_ref),
+            xj, _dequant(w3_ref, s3_eff, rows, cols, g13, m3_eff),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         g = gj if g is None else g + gj
@@ -127,8 +146,9 @@ def _ffn_kernel(
 def _fused_ffn(
     x,  # [B, D] (B <= 8, padded to 8 by the wrapper)
     w13_qs,  # int4/int8 [D, 2F]
-    w13_s,  # [D//g13, 2F]
-    w13_m,  # [D//g13, 2F] affine mins or None
+    w13_s,  # [D//g13, 2F]; q4k_sb: per-256 d [D//256, 2F]
+    w13_m,  # [D//g13, 2F] affine mins or None; q4k_sb: dmin [D//256, 2F]
+    w13_scmn,  # q4k_sb only: int8 [2*(D//32), 2F] sc rows then mn rows
     w2_qs,  # int4/int8 [F, D]
     w2_s,  # [F//g2, D]
     w2_m,  # [F//g2, D] affine mins or None
@@ -145,6 +165,7 @@ def _fused_ffn(
     F = F2 // 2
     bf = block_f
     nf = F // bf
+    sb13 = w13_scmn is not None
     sg_d = D // g13
     sg_f = bf // g2
 
@@ -152,17 +173,34 @@ def _fused_ffn(
     grid = (nf,)
     kernel = functools.partial(
         _ffn_kernel, n_tiles=nf, eps=eps, d_sub=d_sub, o_sub=2048,
-        g13=g13, g2=g2, mins13=w13_m is not None, mins2=w2_m is not None,
+        g13=g13, g2=g2, mins13=w13_m is not None and not sb13,
+        mins2=w2_m is not None, sb13=sb13,
     )
+    s13_rows = D // 256 if sb13 else sg_d
     in_specs = [
         pl.BlockSpec((B, D), lambda t: (0, 0)),  # x (resident)
         pl.BlockSpec((D, bf), lambda t: (0, t)),  # w1 tile
         pl.BlockSpec((D, bf), lambda t, _n=nf: (0, t + _n)),  # w3 tile
-        pl.BlockSpec((sg_d, bf), lambda t: (0, t)),  # w1 scales
-        pl.BlockSpec((sg_d, bf), lambda t, _n=nf: (0, t + _n)),  # w3 scales
+        pl.BlockSpec((s13_rows, bf), lambda t: (0, t)),  # w1 scales / d
+        pl.BlockSpec((s13_rows, bf), lambda t, _n=nf: (0, t + _n)),  # w3
     ]
     operands = [x, w13_qs, w13_qs, w13_s, w13_s]
-    if w13_m is not None:
+    if sb13:
+        # dmin slabs then the sc|mn rows (sc block row 0, mn block row 1
+        # of the [2*(D//32), 2F] concat), each for w1 then w3 columns.
+        in_specs.append(pl.BlockSpec((s13_rows, bf), lambda t: (0, t)))
+        in_specs.append(
+            pl.BlockSpec((s13_rows, bf), lambda t, _n=nf: (0, t + _n)))
+        operands.extend([w13_m, w13_m])
+        sgk = D // 32
+        in_specs.append(pl.BlockSpec((sgk, bf), lambda t: (0, t)))  # sc1
+        in_specs.append(
+            pl.BlockSpec((sgk, bf), lambda t, _n=nf: (0, t + _n)))  # sc3
+        in_specs.append(pl.BlockSpec((sgk, bf), lambda t: (1, t)))  # mn1
+        in_specs.append(
+            pl.BlockSpec((sgk, bf), lambda t, _n=nf: (1, t + _n)))  # mn3
+        operands.extend([w13_scmn, w13_scmn, w13_scmn, w13_scmn])
+    elif w13_m is not None:
         in_specs.append(pl.BlockSpec((sg_d, bf), lambda t: (0, t)))
         in_specs.append(pl.BlockSpec((sg_d, bf), lambda t, _n=nf: (0, t + _n)))
         operands.extend([w13_m, w13_m])
@@ -179,6 +217,8 @@ def _fused_ffn(
         side_bytes += w13_m.size * w13_m.dtype.itemsize
     if w2_m is not None:
         side_bytes += w2_m.size * w2_m.dtype.itemsize
+    if w13_scmn is not None:
+        side_bytes += w13_scmn.size  # int8
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -437,19 +477,24 @@ _FFN_KINDS = ("q8_0", "q4_0_i4", "qk_i4", "qk_i8")
 def can_fuse_ffn(w13, w2, rows: int) -> bool:
     """Gate: quantized int-code kinds (symmetric or k-quant affine),
     decode row counts, clean tiling.  w13 and w2 may differ in kind
-    (llama.cpp's *_M recipes mix them)."""
+    (llama.cpp's *_M recipes mix them); w13 may additionally be the
+    Q4_K super-block form (w2 may not — its per-F-tile side blocks
+    can't satisfy the sb layout's sublane alignment, and the loader
+    keeps w2 flat for exactly this reason)."""
     from tokenhawk_tpu.ops.qweight import QWeight
 
     if not _FFN_ENABLED or rows > 8:
         return False
     if not (isinstance(w13, QWeight) and isinstance(w2, QWeight)):
         return False
-    if w13.kind not in _FFN_KINDS or w2.kind not in _FFN_KINDS:
+    if w13.kind not in _FFN_KINDS + ("q4k_sb",) or w2.kind not in _FFN_KINDS:
         return False
     D, F2 = w13.qs.shape
     F, D2 = w2.qs.shape
     if D != D2 or F2 != 2 * F:
         return False
+    if w13.kind == "q4k_sb" and D % 1024 != 0:
+        return False  # int8 sc|mn rows slice at D//32-row offsets
     bf = BLOCK_F
     # bf must divide F and keep w2's scale slab >= 8 sublanes.
     return (F % bf == 0 and bf % (8 * w2.group) == 0
@@ -472,7 +517,9 @@ def fused_ffn(x, w13, w2, norm_gain, *, eps: float = 1e-6,
         # silu(0)*0 = 0, residual 0) and are sliced off below.
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
     y = _fused_ffn(
-        xb, w13.qs, w13.scales, w13.mins, w2.qs, w2.scales, w2.mins,
+        xb, w13.qs, w13.scales, w13.mins,
+        w13.scales_hi if w13.kind == "q4k_sb" else None,
+        w2.qs, w2.scales, w2.mins,
         norm_gain.reshape(1, D),
         eps=eps, block_f=BLOCK_F, g13=w13.group, g2=w2.group,
         interpret=interpret,

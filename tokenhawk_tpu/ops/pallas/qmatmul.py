@@ -451,6 +451,164 @@ def qk_matmul(
     )(*operands)
 
 
+def _sb_expand(d_ref, dm_ref, sc_ref, mn_ref):
+    """Q4_K super-block sides -> (s_full, b_full) [sg, bn] f32 for the
+    tile: s = d*sc per 32-group, b = 8s - dmin*mn (int4 codes are
+    code-8) — the cost of keeping the sides at 4.63 bpw instead of
+    flattened 5.0.
+
+    The 8x sublane expansion of the per-256 d/dmin rows to per-32 rows
+    runs on the MXU (E @ d with a block-diagonal expansion matrix, the
+    same compile-time-pattern trick as the biasdot's group sums):
+    jnp.broadcast_to + reshape on the sublane dim lowered to a shuffle
+    chain that cost ~11% of kernel time AND a 5x compile blowup."""
+    sc = sc_ref[...].astype(jnp.float32)  # [sg, bn]
+    mn = mn_ref[...].astype(jnp.float32)
+    sb, bn = d_ref.shape
+    sg = sc.shape[0]
+    rep = sg // sb  # 8 groups of 32 per super-block of 256
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (sg, sb), 0) // rep
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (sg, sb), 1)
+    expand = (r_ids == c_ids).astype(jnp.float32)  # [sg, sb]
+    d = jax.lax.dot_general(
+        expand, d_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [sg, bn]
+    dm = jax.lax.dot_general(
+        expand, dm_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s_full = d * sc
+    b_full = 8.0 * s_full - dm * mn
+    return s_full, b_full
+
+
+def _qk_sb_kernel(x_ref, qs_ref, d_ref, dm_ref, sc_ref, mn_ref, *rest,
+                  n_k_tiles, fuse_norm=False, eps=1e-6):
+    """Q4_K super-block-native kernel: int4 codes + per-256 f16 d/dmin +
+    int8 6-bit sc/mn, expanded to per-group affine in VMEM, bias applied
+    as two MXU dots (see _qk_kernel)."""
+    k = pl.program_id(2)
+    rest = list(rest)
+    g_ref = rest.pop(0) if fuse_norm else None
+    o_ref, acc_ref = rest
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    if fuse_norm:
+        xf = x.astype(jnp.float32)
+        x = _norm_rows(xf, jnp.mean(xf * xf, axis=1, keepdims=True),
+                       g_ref[...].astype(jnp.float32), eps, x_ref.dtype)
+
+    s_full, b_full = _sb_expand(d_ref, dm_ref, sc_ref, mn_ref)
+    bk = qs_ref.shape[0]
+    group = GROUP
+
+    if KQ_BIASDOT:
+        sg_t = bk // group
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (bk, sg_t), 0) // group
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (bk, sg_t), 1)
+        ones_bd = (g_ids == c_ids).astype(jnp.float32)
+        xsum = jax.lax.dot_general(
+            x.astype(jnp.float32), ones_bd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] += jax.lax.dot_general(
+            xsum, b_full, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    step = _pick_sub(bk, Q8_SUB)
+    for j in range(0, bk, step):
+        sub = min(step, bk - j)
+        w = qs_ref[j : j + sub, :].astype(jnp.float32)
+        sl = slice(j // group, (j + sub) // group)
+        if KQ_BIASDOT:
+            w = _apply_scales(w, s_full[sl], group)
+        else:
+            w = _apply_affine(w, s_full[sl], b_full[sl], group)
+        _qdot(x[:, j : j + sub], w, acc_ref)
+
+    @pl.when(k == n_k_tiles - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "eps",
+                                              "interpret"))
+def qk_sb_matmul(
+    x: jax.Array,  # [B, K]
+    qs: jax.Array,  # int4 [K, N], code - 8
+    d: jax.Array,  # [K//256, N] f16/bf16 super scales
+    dmin: jax.Array,  # [K//256, N]
+    scmn: jax.Array,  # int8 [2*(K//32), N]: sc rows then mn rows
+    norm_gain: jax.Array | None = None,
+    *,
+    block_n: int = BLOCK_N,
+    block_k: int = BLOCK_K,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    B, K = x.shape
+    K2, N = qs.shape
+    assert K == K2, (x.shape, qs.shape)
+    # int8 scmn rows slice at sg-row offsets -> sg must be a 32-sublane
+    # multiple (Mosaic int8 tiling); loader gates sb layout accordingly.
+    assert K % 1024 == 0, f"q4k_sb needs K % 1024 == 0, got {K}"
+    bk = _pick_block_k(K, block_k, 256)
+    if K // bk > 1 and bk % 4096 != 0:
+        # Partial K-blocks of the f16 d/dmin arrays need 16-sublane
+        # alignment (bk % 4096); otherwise fall back to one whole-K
+        # block (full-dim side blocks are alignment-free).
+        assert K <= 16384, f"q4k_sb whole-K fallback too large: {K}"
+        bk = K
+    bn = _pick_block(N, block_n, 128)
+    bb = _pick_block(B, 128, 8)
+    n_k_tiles = K // bk
+    sg = bk // GROUP
+    sb = bk // 256
+
+    fuse = norm_gain is not None and n_k_tiles == 1
+    if norm_gain is not None and not fuse:
+        from tokenhawk_tpu.ops.norms import rms_norm
+
+        x = rms_norm(x, norm_gain, eps)
+
+    grid = (B // bb, N // bn, n_k_tiles)
+    kernel = functools.partial(_qk_sb_kernel, n_k_tiles=n_k_tiles,
+                               fuse_norm=fuse, eps=eps)
+    in_specs = [
+        pl.BlockSpec((bb, bk), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((sb, bn), lambda i, j, k: (k, j)),  # d
+        pl.BlockSpec((sb, bn), lambda i, j, k: (k, j)),  # dmin
+        pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),  # sc rows
+        pl.BlockSpec((sg, bn),
+                     lambda i, j, k, _n=n_k_tiles: (k + _n, j)),  # mn rows
+    ]
+    operands = [x, qs, d, dmin, scmn, scmn]
+    if fuse:
+        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, k: (0, k)))
+        operands.append(norm_gain.reshape(1, K))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * N,
+            bytes_accessed=K * N // 2 + scmn.size
+            + (d.size + dmin.size) * d.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
 def _pick_block(dim: int, target: int, multiple: int) -> int:
     """Largest divisor of `dim` <= target that is a multiple of `multiple`;
     falls back to `dim` itself (whole-array block).
@@ -743,6 +901,10 @@ def quant_matmul(
         assert rope is None, "rope epilogue not implemented for k-quants"
         y = qk_matmul(xb, qw.qs, qw.scales, qw.mins, norm_gain,
                       group=qw.group, eps=eps, interpret=interpret)
+    elif qw.kind == "q4k_sb":
+        assert rope is None, "rope epilogue not implemented for k-quants"
+        y = qk_sb_matmul(xb, qw.qs, qw.scales, qw.mins, qw.scales_hi,
+                         norm_gain, eps=eps, interpret=interpret)
     elif qw.kind == "q4_0":
         assert rope is None, "rope epilogue not implemented for q4_0 packed"
         y = q4_matmul(xb, qw.qs, qw.scales, qw.scales_hi, norm_gain,

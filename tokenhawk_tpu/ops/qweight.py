@@ -91,7 +91,7 @@ class QWeight:
 
     def unpacked_qs(self) -> jax.Array:
         """Integer codes at logical shape [..., K, N] (sign already applied)."""
-        if self.kind in ("q4_0_i4", "qk_i4"):
+        if self.kind in ("q4_0_i4", "qk_i4", "q4k_sb"):
             return self.qs.astype(jnp.int8)
         if self.kind != "q4_0":
             return self.qs
@@ -101,6 +101,22 @@ class QWeight:
 
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
         """Materialize the dense [K, N] matrix (tests / XLA fallback)."""
+        if self.kind == "q4k_sb":
+            # super-block form: qs = code-8 int4; scales/mins = per-256
+            # d/dmin; scales_hi = [sc6 | mn6] int8 rows.
+            q = self.qs.astype(jnp.float32)  # [..., K, N], code - 8
+            K, N = q.shape[-2:]
+            sg = K // self.group
+            sc = self.scales_hi[..., :sg, :].astype(jnp.float32)
+            mn = self.scales_hi[..., sg:, :].astype(jnp.float32)
+            d = jnp.repeat(self.scales.astype(jnp.float32), 8, axis=-2)
+            dm = jnp.repeat(self.mins.astype(jnp.float32), 8, axis=-2)
+            s = d * sc  # [..., K//32, N]
+            b = 8.0 * s - dm * mn
+            lead = q.shape[:-2]
+            q3 = q.reshape(*lead, sg, self.group, N)
+            w = q3 * s[..., :, None, :] + b[..., :, None, :]
+            return w.reshape(*lead, K, N).astype(dtype)
         qs = self.unpacked_qs()
         K, N = qs.shape[-2:]
         g = self.group
@@ -230,7 +246,8 @@ def split_q4_scales(scales_t: np.ndarray, k_shards: int = 1):
 
 
 def from_kquant_raw(
-    gtype, raw: bytes, shape, scale_dtype=jnp.float32, use_i4: bool | None = None
+    gtype, raw: bytes, shape, scale_dtype=jnp.float32,
+    use_i4: bool | None = None, sb_ok: bool = True,
 ) -> QWeight:
     """GGUF k-quant block stream ([out, in] tensor) -> native device
     QWeight, bit-exact.
@@ -260,8 +277,53 @@ def from_kquant_raw(
         use_i4 = q4_use_i4()  # int4 codes are TPU-only (XLA:CPU S4 pathology)
 
     if gtype == GGMLType.Q4_K:
-        codes, s, m = extract_q4_k(raw, n)
         group = 32
+        if (sb_ok and use_i4 and in_dim % 1024 == 0
+                and (in_dim % 4096 == 0 or in_dim <= 16384)
+                and _os.environ.get("THAWK_Q4K_SB", "0") == "1"):
+            # NEGATIVE RESULT, default OFF (THAWK_Q4K_SB=1 re-enables):
+            # keeping Q4_K's two quantization levels separate on device
+            # (4.63 bpw vs the flat form's 5.0) measured SLOWER than
+            # flat: 556-564 vs 635 GB/s in-kernel (0.275-0.279 vs 0.264
+            # ms/pass at square-4096 decode shapes, v5e), plus a ~6x
+            # Mosaic compile blowup — the per-tile expansion of the
+            # per-256 d/dmin to per-32 (sublane-interleaved broadcast
+            # AND a block-diagonal-MXU-dot variant both measured) plus
+            # the two extra side streams cost more than the 7.5% byte
+            # saving buys on a VPU-saturated kernel.  End-to-end 7B:
+            # 129.5 (sb) vs 140.1 (flat) tok/s.
+            # Alignment gate: the kernel slices int8 sc|mn rows at
+            # sg-row offsets (needs K % 1024) and tiles K either in
+            # 4096-multiples (16-sublane f16 d blocks) or as one
+            # whole-K block (<= 16384 keeps the VMEM tile sane).
+            # SUPER-BLOCK device layout (4.63 bpw vs the flat form's
+            # 5.0): int4 codes + int8 6-bit sc|mn + per-256 f16 d|dmin;
+            # the kernel expands s = d*sc / b = 8s - dmin*mn per tile
+            # (two sublane-broadcast multiplies).
+            from tokenhawk_tpu.ggml.kquants import extract_q4_k_sb
+
+            codes, sc6, mn6, d, dmin = extract_q4_k_sb(raw, n)
+            qs_t = np.ascontiguousarray(
+                (codes.astype(np.int16) - 8).astype(np.int8)
+                .reshape(out_dim, in_dim).T)
+            scmn = np.concatenate([
+                np.ascontiguousarray(
+                    sc6.reshape(out_dim, in_dim // 32).T),
+                np.ascontiguousarray(
+                    mn6.reshape(out_dim, in_dim // 32).T),
+            ], axis=0).astype(np.int8)  # [2*(K//32), N]
+            d_t = np.ascontiguousarray(
+                d.reshape(out_dim, in_dim // 256).T)
+            dm_t = np.ascontiguousarray(
+                dmin.reshape(out_dim, in_dim // 256).T)
+            return QWeight(
+                qs=jnp.asarray(qs_t, dtype=jnp.int4),
+                scales=jnp.asarray(d_t, dtype=scale_dtype),
+                mins=jnp.asarray(dm_t, dtype=scale_dtype),
+                scales_hi=jnp.asarray(scmn),
+                kind="q4k_sb", group=group,
+            )
+        codes, s, m = extract_q4_k(raw, n)
         if use_i4:
             qs_np = (codes.astype(np.int16) - 8).astype(np.int8)
             qdtype = jnp.int4
@@ -331,6 +393,22 @@ def to_qk16(w: QWeight) -> QWeight:
     grows (group-16 affine int8 = 1.25 B/elt)."""
     if w.kind == "qk_i8" and w.group == 16 and w.mins is not None:
         return w
+    if w.kind == "q4k_sb":
+        # expand the super-block structure to flat per-16 affine int8
+        K = w.qs.shape[-2]
+        sg = K // w.group
+        sc = w.scales_hi[..., :sg, :].astype(jnp.float32)
+        mn = w.scales_hi[..., sg:, :].astype(jnp.float32)
+        d = jnp.repeat(w.scales.astype(jnp.float32), 8, axis=-2)
+        dm = jnp.repeat(w.mins.astype(jnp.float32), 8, axis=-2)
+        s = d * sc
+        b = 8.0 * s - dm * mn
+        return QWeight(
+            qs=w.qs.astype(jnp.int8),
+            scales=jnp.repeat(s, 2, axis=-2),  # f32: keeps d*sc exact
+            mins=jnp.repeat(b, 2, axis=-2),
+            scales_hi=None, kind="qk_i8", group=16,
+        )
     if w.kind in ("qk_i4", "qk_i8", "q8_0"):
         qs = w.qs.astype(jnp.int8)
         rep = w.group // 16

@@ -174,9 +174,15 @@ def _load_model_once(
                 # on device for Q4_K vs the requantize detour's ~8.5.
                 from tokenhawk_tpu.ops.qweight import from_kquant_raw
 
+                # w2 stays in the FLAT affine form: the fused gated-FFN
+                # kernel tiles w2's sides per F-tile, which the Q4_K
+                # super-block layout's sublane alignment can't serve
+                # (and the sb side saving on w2 is ~0.05% of traffic vs
+                # the fusion's +4.2%).
                 tensors[name] = from_kquant_raw(
                     rec.ggml_type, bytes(f.raw(name)), rec.shape,
-                    scale_dtype=scale_dtype)
+                    scale_dtype=scale_dtype,
+                    sb_ok=not name.endswith("feed_forward.w2.weight"))
                 continue
             # TP fallback: requantize to Q8_0 for the shard-packed
             # kernels (q8 rounding is negligible vs the k-quant's).
