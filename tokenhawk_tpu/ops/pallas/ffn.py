@@ -57,9 +57,17 @@ def _dequant(q_ref, s_ref, rows, cols, group=GROUP, m_ref=None):
     return _apply_affine(w, s, m_ref[gsl, cols].astype(jnp.float32), group)
 
 
+def _ones_bd(rows: int, cols: int, group: int):
+    """Block-diagonal group-sum matrix (compile-time iota pattern)."""
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // group
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    return (g_ids == c_ids).astype(jnp.float32)
+
+
 def _ffn_kernel(
     x_ref, w1_ref, w3_ref, s1_ref, s3_ref, *rest, n_tiles, eps, d_sub,
     o_sub, g13=GROUP, g2=GROUP, mins13=False, mins2=False, sb13=False,
+    biasdot=False,
 ):
     rest = list(rest)
     if sb13:
@@ -76,8 +84,15 @@ def _ffn_kernel(
         m3_ref = rest.pop(0) if mins13 else None
     w2_ref, s2_ref = rest.pop(0), rest.pop(0)
     m2_ref = rest.pop(0) if mins2 else None
-    g_ref, o_ref, acc_ref, xn_ref = rest
+    bias13 = biasdot and (mins13 or sb13)
+    bias2 = biasdot and mins2
+    if bias13:
+        g_ref, o_ref, acc_ref, xn_ref, xs_ref = rest
+    else:
+        g_ref, o_ref, acc_ref, xn_ref = rest
+        xs_ref = None
     t = pl.program_id(0)
+    D = w1_ref.shape[0]
 
     @pl.when(t == 0)
     def _():
@@ -85,9 +100,16 @@ def _ffn_kernel(
         inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
         xn_ref[...] = xf * inv * g_ref[...].astype(jnp.float32)
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        if bias13:
+            # Per-group sums of the normed rows, computed once and
+            # reused by every F-tile's gate/up bias dots (same
+            # cache-at-first-cell trick as _qk_kernel's).
+            xs_ref[...] = jax.lax.dot_general(
+                xn_ref[...], _ones_bd(D, D // g13, g13),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     xn = xn_ref[...]
-    D = w1_ref.shape[0]
 
     if sb13:
         from tokenhawk_tpu.ops.pallas.qmatmul import _sb_expand
@@ -100,6 +122,8 @@ def _ffn_kernel(
 
     # Gate/up projections for this F-tile: whole-K (= D) dots, f32
     # dequant bounded by d_sub chunks exactly like qmatmul's K loop.
+    # With biasdot the per-element affine bias becomes one small MXU
+    # dot per projection (xsums @ mins), the same trade as _qk_kernel's.
     g = None
     u = None
     for j in range(0, D, d_sub):
@@ -108,25 +132,47 @@ def _ffn_kernel(
         cols = slice(None)
         xj = xn[:, j : j + sub]
         gj = jax.lax.dot_general(
-            xj, _dequant(w1_ref, s1_eff, rows, cols, g13, m1_eff),
+            xj, _dequant(w1_ref, s1_eff, rows, cols, g13,
+                         None if bias13 else m1_eff),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         uj = jax.lax.dot_general(
-            xj, _dequant(w3_ref, s3_eff, rows, cols, g13, m3_eff),
+            xj, _dequant(w3_ref, s3_eff, rows, cols, g13,
+                         None if bias13 else m3_eff),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         g = gj if g is None else g + gj
         u = uj if u is None else u + uj
+    if bias13:
+        xs = xs_ref[...]
+        m1 = m1_eff if sb13 else m1_eff[...].astype(jnp.float32)
+        m3 = m3_eff if sb13 else m3_eff[...].astype(jnp.float32)
+        g += jax.lax.dot_general(
+            xs, m1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        u += jax.lax.dot_general(
+            xs, m3, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     h = g * jax.lax.logistic(g) * u  # silu(g) * u, [B, bf] f32
 
     # Down projection: this F-tile's W2 row-slab feeds the accumulator.
     Dout = w2_ref.shape[1]
     bf = w2_ref.shape[0]
+    if bias2:
+        # h varies per tile, so its group sums are per-tile — but the
+        # ones matrix is tiny ([bf, bf//g2]) next to the w13 one.
+        hsum = jax.lax.dot_general(
+            h, _ones_bd(bf, bf // g2, g2), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] += jax.lax.dot_general(
+            hsum, m2_ref[...].astype(jnp.float32),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     for j in range(0, Dout, o_sub):
         sub = min(o_sub, Dout - j)
         cols = slice(j, j + sub)
-        w2j = _dequant(w2_ref, s2_ref, slice(0, bf), cols, g2, m2_ref)
+        w2j = _dequant(w2_ref, s2_ref, slice(0, bf), cols, g2,
+                       None if bias2 else m2_ref)
         acc_ref[:, cols] += jax.lax.dot_general(
             h, w2j, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -171,10 +217,12 @@ def _fused_ffn(
 
     d_sub = _pick_sub(D, 2048)
     grid = (nf,)
+    from tokenhawk_tpu.ops.pallas.qmatmul import KQ_BIASDOT
+
     kernel = functools.partial(
         _ffn_kernel, n_tiles=nf, eps=eps, d_sub=d_sub, o_sub=2048,
         g13=g13, g2=g2, mins13=w13_m is not None and not sb13,
-        mins2=w2_m is not None, sb13=sb13,
+        mins2=w2_m is not None, sb13=sb13, biasdot=KQ_BIASDOT,
     )
     s13_rows = D // 256 if sb13 else sg_d
     in_specs = [
@@ -228,7 +276,8 @@ def _fused_ffn(
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.float32),  # accumulator
             pltpu.VMEM((B, D), jnp.float32),  # normed activations
-        ],
+        ] + ([pltpu.VMEM((B, D // g13), jnp.float32)]  # xn group sums
+             if KQ_BIASDOT and w13_m is not None else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -331,10 +331,14 @@ def _qk_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, group, has_mins,
     (group 16).  The code path is the q4_0_i4 kernel plus one VPU add
     per element for the bias."""
     k = pl.program_id(2)
+    j_n = pl.program_id(1)
     rest = list(rest)
     m_ref = rest.pop(0) if has_mins else None
     g_ref = rest.pop(0) if fuse_norm else None
-    o_ref, acc_ref = rest
+    if has_mins and KQ_BIASDOT:
+        o_ref, acc_ref, xs_ref = rest
+    else:
+        o_ref, acc_ref = rest
 
     @pl.when(k == 0)
     def _():
@@ -349,19 +353,28 @@ def _qk_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, group, has_mins,
 
     bias_elt = has_mins and not KQ_BIASDOT
     if has_mins and KQ_BIASDOT:
-        # Affine bias via two MXU dots instead of a VPU add per weight
-        # element: sum_g (sum_{k in g} x_k) * m_g[n], with the group
-        # sums produced by a block-diagonal ones matrix (compile-time
-        # pattern).  Runs once per grid cell on the whole K-tile.
+        # Affine bias via a small MXU dot: sum_g (sum_{k in g} x_k) *
+        # m_g[n].  Generating the block-diagonal ones matrix + the
+        # group-sum dot per grid cell measured ~16% of kernel time (635
+        # vs 757 GB/s against the symmetric kernel at the same shapes),
+        # so the group sums are computed ONCE per K-tile at the first
+        # N-tile and cached in scratch for the remaining N-tiles (the N
+        # grid dim is declared arbitrary: the reuse relies on j=0
+        # running first for each i).
         sg_t = bk // group
-        g_ids = jax.lax.broadcasted_iota(jnp.int32, (bk, sg_t), 0) // group
-        c_ids = jax.lax.broadcasted_iota(jnp.int32, (bk, sg_t), 1)
-        ones_bd = (g_ids == c_ids).astype(jnp.float32)
-        xsum = jax.lax.dot_general(
-            x.astype(jnp.float32), ones_bd, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [bb, sg]
+
+        @pl.when(j_n == 0)
+        def _():
+            g_ids = (jax.lax.broadcasted_iota(jnp.int32, (bk, sg_t), 0)
+                     // group)
+            c_ids = jax.lax.broadcasted_iota(jnp.int32, (bk, sg_t), 1)
+            ones_bd = (g_ids == c_ids).astype(jnp.float32)
+            xs_ref[k] = jax.lax.dot_general(
+                x.astype(jnp.float32), ones_bd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [bb, sg]
+
         acc_ref[...] += jax.lax.dot_general(
-            xsum, m_ref[...].astype(jnp.float32),
+            xs_ref[k], m_ref[...].astype(jnp.float32),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     step = _pick_sub(bk, Q8_SUB)
@@ -432,15 +445,23 @@ def qk_matmul(
     nbytes_side = scales.size * scales.dtype.itemsize
     if mins is not None:
         nbytes_side += mins.size * mins.dtype.itemsize
+    scratch = [pltpu.VMEM((bb, bn), jnp.float32)]
+    if mins is not None and KQ_BIASDOT:
+        # Per-K-tile group-sum cache filled at j=0 (see _qk_kernel); the
+        # N dim must be "arbitrary" so the j ordering is defined.
+        scratch.append(pltpu.VMEM((n_k_tiles, bb, sg), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                ("parallel", "arbitrary", "arbitrary")
+                if mins is not None and KQ_BIASDOT
+                else ("parallel", "parallel", "arbitrary")),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * N,
