@@ -213,7 +213,7 @@ def main(argv=None) -> int:
                         "inside ONE jit program — the production decode "
                         "fn; 64 amortizes the tunneled-relay dispatch "
                         "latency that is not a property of the chip)")
-    p.add_argument("--model", choices=["7b", "1b"], default="7b")
+    p.add_argument("--model", choices=["7b", "13b", "1b"], default="7b")
     p.add_argument("--scale-dtype", choices=["f32", "bf16"], default="bf16",
                    help="quantization scale dtype (bf16 halves scale traffic)")
     p.add_argument("--no-fuse", action="store_true",
@@ -239,6 +239,10 @@ def main(argv=None) -> int:
     p.add_argument("--rope", choices=["half", "interleaved"], default="half",
                    help="rope style; production loads permute wq/wk to "
                         "'half' (rope_half_params), so that is the default")
+    p.add_argument("--no-probe", dest="probe", action="store_false",
+                   default=True,
+                   help="skip the independent HBM stream probe (the probe "
+                        "is the non-circular yardstick for SoL claims)")
     args = p.parse_args(argv)
     if args.mode == "serve":
         # The paged forwards scan stacked [L, ...] layer weights; the
@@ -278,6 +282,10 @@ def main(argv=None) -> int:
 
     if args.model == "7b":
         cfg = LlamaConfig.llama_7b(n_ctx=args.ctx)
+    elif args.model == "13b":
+        # BASELINE config 4 shape (13B q4_0 ~= 7.5 GB on device: fits one
+        # v5e chip's 16 GB HBM without sharding).
+        cfg = LlamaConfig.llama_13b(n_ctx=args.ctx)
     else:
         cfg = LlamaConfig(
             n_vocab=32000, n_embd=2048, n_head=16, n_layer=16, n_ctx=args.ctx,
@@ -290,6 +298,43 @@ def main(argv=None) -> int:
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
+
+    from tokenhawk_tpu.utils.profiling import DEFAULT_CHIP, HBM_GBPS
+
+    # Independent HBM speed-of-light probe (pure Pallas read-stream, no
+    # model in the loop): the non-circular yardstick for every
+    # %-of-roofline claim this script prints.  Runs BEFORE the weights
+    # are allocated so the 2 GB probe array cannot OOM the f16 configs.
+    measured_hbm = None
+    if args.probe and dev.platform == "tpu":
+        from tokenhawk_tpu.utils.benchlib import hbm_stream_gbps
+
+        t0 = time.perf_counter()
+        measured_hbm = hbm_stream_gbps()
+        print(
+            f"HBM stream probe: {measured_hbm:.0f} GB/s measured "
+            f"({measured_hbm / HBM_GBPS[DEFAULT_CHIP] * 100:.0f}% of "
+            f"{DEFAULT_CHIP} spec {HBM_GBPS[DEFAULT_CHIP]:.0f} GB/s) "
+            f"[{time.perf_counter() - t0:.0f}s]",
+            file=sys.stderr,
+        )
+
+    def emit(metric: str, value: float, unit: str, vs_baseline: float,
+             **extra) -> None:
+        """ONE self-describing JSON line (driver contract + VERDICT r3 #2:
+        batch-8 and B=1 must not collide on the metric name alone)."""
+        rec = {
+            "metric": metric, "value": value, "unit": unit,
+            "vs_baseline": vs_baseline,
+            "model": args.model, "quant": args.quant, "mode": args.mode,
+            "batch": args.batch, "ctx": args.ctx,
+            "prompt_tokens": args.prompt_tokens, "kv": args.kv,
+            "chunk": args.chunk,
+        }
+        if measured_hbm is not None:
+            rec["measured_hbm_gbps"] = round(measured_hbm, 1)
+        rec.update(extra)
+        print(json.dumps(rec))
 
     from tokenhawk_tpu.models.llama import fuse_params
 
@@ -395,14 +440,14 @@ def main(argv=None) -> int:
         print(f"serve: {args.requests} reqs x {args.prompt_tokens} prompt "
               f"-> {total} tokens in {wall:.2f}s over {B} slots; "
               f"TTFT p50 {p50:.0f} ms", file=sys.stderr)
-        print(json.dumps({
-            "metric": f"llama7b_{args.quant}_serve_agg_tokens_per_sec_b{B}"
-                      + ("_kvint8" if args.kv == "int8" else "")
-                      + ("_pc" if args.prefix_cache else ""),
-            "value": round(tps, 2),
-            "unit": "tok/s",
-            "vs_baseline": round(tps / 37.0, 3),
-        }))
+        emit(
+            f"llama{args.model}_{args.quant}_serve_agg_tokens_per_sec_b{B}"
+            + ("_kvint8" if args.kv == "int8" else "")
+            + ("_pc" if args.prefix_cache else ""),
+            round(tps, 2), "tok/s", round(tps / 37.0, 3),
+            requests=args.requests, prefix_cache=args.prefix_cache,
+            gen_tokens=gen_tokens, ttft_p50_ms=round(p50, 1),
+        )
         return 0
 
     if args.mode == "ttft":
@@ -419,13 +464,12 @@ def main(argv=None) -> int:
         p50 = samples[len(samples) // 2] * 1e3
         print(f"TTFT samples (ms): {[f'{s*1e3:.1f}' for s in samples]}",
               file=sys.stderr)
-        print(json.dumps({
-            "metric": f"llama7b_{args.quant}_ttft_p50_ms_prompt{args.prompt_tokens}"
-                      + ("_kvint8" if args.kv == "int8" else ""),
-            "value": round(p50, 1),
-            "unit": "ms",
-            "vs_baseline": 0.0,  # the reference published no TTFT numbers
-        }))
+        emit(
+            f"llama{args.model}_{args.quant}_ttft_p50_ms_prompt{args.prompt_tokens}"
+            + ("_kvint8" if args.kv == "int8" else ""),
+            round(p50, 1), "ms",
+            0.0,  # the reference published no TTFT numbers
+        )
         return 0
 
     last = jnp.argmax(logits, -1).astype(jnp.int32)
@@ -495,23 +539,35 @@ def main(argv=None) -> int:
 
     wbytes = weight_stream_bytes(params)
     achieved_bw = wbytes * (tps / B) / 1e9
-    sol = decode_speed_of_light(params, cfg=cfg,
-                                n_past=args.prompt_tokens + n_tok // 2, batch=B)
-    print(
+    n_past_mid = args.prompt_tokens + n_tok // 2
+    sol = decode_speed_of_light(params, cfg=cfg, n_past=n_past_mid, batch=B)
+    extra = {
+        "weight_gb_per_tok": round(wbytes / 1e9, 3),
+        "achieved_gbps": round(achieved_bw, 1),
+        "pct_of_spec_sol": round(tps / B / sol * 100, 1),
+    }
+    line = (
         f"decode: {n_tok} tok x batch {B} in {dt:.2f}s -> {tps:.1f} tok/s "
         f"({per_tok_ms:.1f} ms/tok); weights {wbytes / 1e9:.2f} GB/tok -> "
         f"{achieved_bw:.0f} GB/s weight stream; "
-        f"roofline {sol:.1f} tok/s (v5e) -> {tps / B / sol * 100:.0f}% of SoL",
-        file=sys.stderr,
+        f"roofline {sol:.1f} tok/s (v5e spec) -> {tps / B / sol * 100:.0f}% of spec SoL"
     )
+    if measured_hbm is not None:
+        # Roofline against the chip's MEASURED stream bandwidth: the
+        # same bytes-per-token accounting, ceilinged by what a pure
+        # Pallas read-stream actually achieves on this chip today.
+        sol_meas = sol * measured_hbm / HBM_GBPS[DEFAULT_CHIP]
+        extra["pct_of_measured_sol"] = round(tps / B / sol_meas * 100, 1)
+        line += (f"; measured-band roofline {sol_meas:.1f} tok/s -> "
+                 f"{tps / B / sol_meas * 100:.0f}% of measured SoL")
+    print(line, file=sys.stderr)
 
-    print(json.dumps({
-        "metric": f"llama7b_{args.quant}_decode_tokens_per_sec"
-                  + ("_kvint8" if args.kv == "int8" else ""),
-        "value": round(tps, 2),
-        "unit": "tok/s",
-        "vs_baseline": round(tps / 37.0, 3),
-    }))
+    emit(
+        f"llama{args.model}_{args.quant}_decode_tokens_per_sec"
+        + ("_kvint8" if args.kv == "int8" else ""),
+        round(tps, 2), "tok/s", round(tps / 37.0, 3),
+        **extra,
+    )
     return 0
 
 

@@ -1,13 +1,17 @@
 #!/bin/bash
-# Full BASELINE bench matrix on the real chip; appends JSON lines to
-# BENCH_MATRIX.jsonl and progress to stderr.  Run after any kernel work
-# (and when the tunneled chip comes back from an outage).
+# Full BASELINE bench matrix on the real chip.  Lines MERGE into
+# BENCH_MATRIX.jsonl keyed by metric name (merge_matrix.py): a partial
+# rerun updates only the configs it measured and can never shrink the
+# published matrix (round-3 lost 7/9 lines to a fresh-file rerun).
+# Run after any kernel work (and when the tunneled chip comes back from
+# an outage).
 set -u
 cd "$(dirname "$0")/.."
 out=BENCH_MATRIX.jsonl
 run() {
     echo "=== $* ===" >&2
-    timeout 1500 python bench.py "$@" 2>&1 | tee /dev/stderr | grep '^{' >> "$out"
+    timeout 1800 python bench.py "$@" 2>&1 | tee /dev/stderr | grep '^{' \
+        | python experiments/merge_matrix.py "$out"
 }
 run --quant q4_0 --tokens 256
 run --quant q4_k --tokens 192
@@ -20,3 +24,7 @@ run --quant q4_0 --mode serve --requests 24 --batch 8 --ctx 1024 \
     --prompt-tokens 128 --tokens 64
 run --quant q4_0 --mode serve --requests 24 --batch 8 --ctx 1024 \
     --prompt-tokens 384 --tokens 64 --prefix-cache
+# BASELINE config 4: 13B q4_0 on one chip (~7.6 GB weights).
+run --model 13b --quant q4_0 --tokens 192
+run --model 13b --quant q4_0 --mode serve --requests 16 --batch 8 \
+    --ctx 1024 --prompt-tokens 128 --tokens 64

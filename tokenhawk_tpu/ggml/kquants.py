@@ -5,7 +5,8 @@ super-blocks with second-level quantized scales; the reference era
 predates them entirely.  This module extracts the block streams to
 (codes, per-group scale, per-group min) triples — the NATIVE device
 representation served by the generic qk Pallas kernel
-(ops/qweight.from_kquant_raw; bit-exact, no requantize detour) — and
+(ops/qweight.from_kquant_raw; no requantize detour — bit-exact with
+f32 sides, the default bf16 rounds the affine sides) — and
 decodes/encodes dense f32 for tests and fallbacks.
 
 Layouts were written against llama.cpp's documented block structs and
@@ -71,7 +72,8 @@ def extract_q4_k(raw: bytes, n: int):
 
     The (codes, s, m) triple is the NATIVE device representation: the
     int4 kernel stores code-8 (int4) with per-group scale s and affine
-    bias 8*s - m, so real Q4_K files decode bit-exactly at ~4.9 bpw
+    bias 8*s - m, so real Q4_K files decode at ~4.9 bpw (bit-exact with
+    f32 sides; bf16 sides round s and 8*s-m)
     instead of the old requantize-to-Q8_0 detour (2x the HBM traffic
     plus stacked rounding)."""
     nb = n // QK_K

@@ -58,8 +58,8 @@ def _attn_wo_kernel(
     k_hbm,  # ANY [1, H, SB, bs, Dh]
     v_hbm,  # ANY
     x_ref,  # VMEM [8, bn]  residual tile (row 0 live)
-    wq_hbm,  # ANY [Dq, nwo, bn]  Wo quantized tiles
-    ws_hbm,  # ANY [Dq//32, nwo, bn]
+    wq_hbm,  # ANY [Dq, D]  Wo codes; the ring DMAs [:, t*bn:(t+1)*bn] tiles
+    ws_hbm,  # ANY [Dq//32, D]
     xo_ref,  # VMEM [8, bn]  output tile
     ko_hbm,  # ANY — aliases k_hbm
     vo_hbm,  # ANY — aliases v_hbm

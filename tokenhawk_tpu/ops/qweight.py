@@ -250,7 +250,15 @@ def from_kquant_raw(
     use_i4: bool | None = None, sb_ok: bool = True,
 ) -> QWeight:
     """GGUF k-quant block stream ([out, in] tensor) -> native device
-    QWeight, bit-exact.
+    QWeight (bit-exact with scale_dtype=f32).
+
+    Exactness caveat: the derived per-group scale s = d*sc (an f16 x
+    6-bit product, exactly representable in f32 but usually not in
+    bf16) and the affine bias 8s-m / 16s-m are rounded to
+    `scale_dtype`.  The loader's default bf16 sides therefore carry
+    ~0.2% relative side rounding — the same class as the bf16 scale
+    rounding q4_0/q8_0 take for the halved side traffic; pass
+    scale_dtype=f32 for bit-exact dequantization.
 
     The k-quant super-block structure (ggml/kquants.py) reduces to
     per-group affine codes:  w = s[g]*code - m[g].  On device that is

@@ -471,3 +471,26 @@ def shard_params_tp(cfg: LlamaConfig, params: LlamaParams, mesh: Mesh) -> LlamaP
         place, params, specs,
         is_leaf=lambda x: isinstance(x, (QWeight, jax.Array)) or hasattr(x, "shape"),
     )
+
+
+def stack_params_tp(params: LlamaParams, mesh: Mesh) -> LlamaParams:
+    """Stack unrolled per-layer weights directly into the TP-sharded
+    stacked [L, ...] form (the lax.scan layout the paged forwards use).
+
+    A plain `stack_params` on sharded per-layer leaves lets XLA pick the
+    intermediate layout, which can transiently materialize the full
+    stacked weight replicated per device — an OOM for models that only
+    fit sharded.  Running the stack under jit with `out_shardings`
+    pinned to the TP specs keeps every intermediate sharded: the
+    stacked arrays are born in their final head/column placement.
+    """
+    from tokenhawk_tpu.models.llama import stack_params
+
+    if not isinstance(params.layers, tuple):
+        return params
+    abs_out = jax.eval_shape(stack_params, params)
+    specs = param_specs_tp(abs_out)
+    shardings = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), specs,
+        is_leaf=lambda x: isinstance(x, P))
+    return jax.jit(stack_params, out_shardings=shardings)(params)

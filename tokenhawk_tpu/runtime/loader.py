@@ -170,8 +170,10 @@ def _load_model_once(
             if tp == 1 and _os.environ.get("THAWK_KQUANT_NATIVE", "1") == "1":
                 # NATIVE k-quant device path: the super-block structure
                 # reduces to per-group affine int codes the generic qk
-                # Pallas kernel serves directly — bit-exact and ~5 bpw
-                # on device for Q4_K vs the requantize detour's ~8.5.
+                # Pallas kernel serves directly — ~5 bpw on device for
+                # Q4_K vs the requantize detour's ~8.5.  Bit-exact at
+                # scale_dtype=f32; the default bf16 rounds the affine
+                # sides (see ops/qweight.from_kquant_raw).
                 from tokenhawk_tpu.ops.qweight import from_kquant_raw
 
                 # w2 stays in the FLAT affine form: the fused gated-FFN

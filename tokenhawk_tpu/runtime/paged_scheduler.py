@@ -178,15 +178,19 @@ class PagedScheduler:
         if isinstance(params.layers, tuple):
             # The loader's decode-fast pipelines end in the unrolled
             # tuple form; the paged forwards scan stacked layer weights.
-            from tokenhawk_tpu.models.llama import stack_params
-
-            params = stack_params(params)
             if mesh is not None:
-                # Re-pin shardings (stacking sharded per-layer arrays
-                # does not preserve the head-axis placement).
-                from tokenhawk_tpu.parallel.tp import shard_params_tp
+                # Stack under jit with out_shardings pinned so the
+                # stacked weights are born sharded — a plain stack of
+                # sharded per-layer leaves can transiently replicate
+                # the full stacked weight per device (OOM for models
+                # that only fit sharded).
+                from tokenhawk_tpu.parallel.tp import stack_params_tp
 
-                params = shard_params_tp(cfg, params, mesh)
+                params = stack_params_tp(params, mesh)
+            else:
+                from tokenhawk_tpu.models.llama import stack_params
+
+                params = stack_params(params)
         self.cfg = cfg
         self.params = params
         self.sampling = sampling

@@ -203,8 +203,13 @@ def processed_probs_dynamic(
 
 def categorical_probs(probs: jax.Array, seeds: jax.Array,
                       counters: jax.Array) -> jax.Array:
-    """Per-slot categorical draw from probability rows [B, V] -> [B]."""
-    z = jnp.log(jnp.maximum(probs, 1e-30))
+    """Per-slot categorical draw from probability rows [B, V] -> [B].
+
+    Zero-probability tokens map to -inf logits (not a tiny clamp), so
+    tokens masked out by top-k/top-p are exactly unreachable — matching
+    sample_dynamic's hard mask and the processed distribution the
+    speculative rejection-sampling theorem assumes."""
+    z = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)), _NEG_INF)
     return _per_slot_categorical(z, seeds, counters)
 
 

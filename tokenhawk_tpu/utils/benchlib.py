@@ -17,6 +17,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _time_call(fn, args) -> float:
@@ -49,3 +51,79 @@ def measure_iter_seconds(
         per_iter = (t_large - t_small) / (n_large - n_small)
         best = min(best, per_iter)
     return max(best, 1e-9)
+
+
+def _stream_sum_kernel(seed_ref, x_ref, o_ref):
+    """Reduce one block to a scalar; the DMA of the full block into VMEM
+    is the measured work, the VPU sum just guarantees nothing is elided.
+
+    `seed` is threaded through so repeated calls form a dependency chain
+    — without it XLA hoists the (loop-invariant) kernel out of the
+    timing loop and the probe measures nothing.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[0, 0] = seed_ref[0, 0]
+
+    o_ref[0, 0] += jnp.sum(x_ref[...].astype(jnp.float32))
+
+
+def hbm_stream_gbps(
+    nbytes: int = 1 << 31,
+    block_rows: int = 1024,
+    trials: int = 5,
+) -> float:
+    """Independent HBM speed-of-light probe: pure read-stream bandwidth.
+
+    The decode roofline claim ("X% of HBM SoL") needs a yardstick that is
+    NOT the model itself — a same-session f16-model calibration is
+    circular if a shared inefficiency caps both.  This streams `nbytes`
+    of bf16 from HBM through the standard Pallas double-buffered block
+    pipeline (the same mechanism the quantized matmul kernels use to
+    stream weights) and reduces each block to a scalar, so the only HBM
+    traffic is one sequential read of the array.  Returns achieved GB/s.
+
+    Methodology matches `measure_iter_seconds`: the array is re-read n
+    times inside ONE jitted executable (lax.fori_loop over the kernel —
+    HBM has no cache, every pass pays full price), and two iteration
+    counts are differenced to cancel dispatch/relay overhead.
+    """
+    cols = 1024
+    rows = max(block_rows, int(nbytes) // (2 * cols) // block_rows * block_rows)
+    x = jnp.ones((rows, cols), jnp.bfloat16)
+    actual_bytes = rows * cols * 2
+
+    stream = pl.pallas_call(
+        _stream_sum_kernel,
+        grid=(rows // block_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM, block_shape=(1, 1),
+                         index_map=lambda i: (0, 0)),
+            pl.BlockSpec((block_rows, cols), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            memory_space=pltpu.SMEM, block_shape=(1, 1), index_map=lambda i: (0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+    def make_fn(n):
+        @jax.jit
+        def f(x):
+            def body(_, acc):
+                return stream(acc, x)
+
+            return jax.lax.fori_loop(
+                0, n, body, jnp.zeros((1, 1), jnp.float32))
+
+        return f
+
+    per_iter = measure_iter_seconds(
+        make_fn, (x,), n_small=2, n_large=8, trials=trials
+    )
+    return actual_bytes / per_iter / 1e9
