@@ -255,16 +255,28 @@ def test_unsupported_tensor_type_raises(tmp_path):
         GGUFFile(path)
 
 
-def test_bpe_tokenizer_model_rejected(tmp_path):
-    """A llama-arch GGUF carrying a byte-level-BPE tokenizer ("gpt2",
-    e.g. Llama-3 conversions) must refuse loudly: applying SentencePiece
-    conventions to a BPE vocab silently tokenizes wrong."""
+def test_unknown_tokenizer_model_rejected(tmp_path):
+    """gpt2 (byte-level BPE) vocabs are supported (tokenizer_bpe.py; the
+    full path is covered in test_tokenizer_bpe.py) — but a gpt2 file
+    without its merge table must refuse at build_tokenizer, and a truly
+    unknown tokenizer model must refuse at parse: applying the wrong
+    conventions silently tokenizes wrong."""
     rng = np.random.default_rng(6)
     tensors = make_ggml_weights(CFG, rng)
     out = {_to_gguf_name(n): v for n, v in tensors.items()}
+
     md = dict(_metadata(CFG.n_vocab))
-    md["tokenizer.ggml.model"] = "gpt2"
+    md["tokenizer.ggml.model"] = "gpt2"  # no tokenizer.ggml.merges
     path = tmp_path / "bpe.gguf"
     write_gguf(path, md, out)
+    f = GGUFFile(path)  # vocab-level parse succeeds
+    with pytest.raises(ValueError, match="merges"):
+        f.build_tokenizer()
+    f.close()
+
+    md = dict(_metadata(CFG.n_vocab))
+    md["tokenizer.ggml.model"] = "bert"
+    path2 = tmp_path / "unk.gguf"
+    write_gguf(path2, md, out)
     with pytest.raises(ValueError, match="tokenizer model"):
-        GGUFFile(path)
+        GGUFFile(path2)

@@ -213,14 +213,29 @@ def _vocab_from_metadata(md: Dict[str, Any]) -> Vocab:
     <0xXX> forms, llama.cpp converts at decode time, we convert once
     here)."""
     tok_model = md.get("tokenizer.ggml.model", "llama")
+    if tok_model == "gpt2":
+        # Byte-level BPE (Llama-3-family conversions): vocab strings live
+        # in the GPT-2 byte->unicode space.  Decode them to raw bytes for
+        # the generic Vocab (n_vocab, debugging); the real tokenizer is
+        # tokenizer_bpe.BpeTokenizer via build_tokenizer().
+        from tokenhawk_tpu.tokenizer_bpe import CONTROL, unicode_to_bytes
+
+        dec = unicode_to_bytes()
+        tokens_s = md["tokenizer.ggml.tokens"]
+        types = md.get("tokenizer.ggml.token_type", [1] * len(tokens_s))
+        toks: List[bytes] = []
+        for t, ty in zip(tokens_s, types):
+            if ty == CONTROL or any(c not in dec for c in t):
+                toks.append(t.encode("utf-8"))
+            else:
+                toks.append(bytes(dec[c] for c in t))
+        return Vocab(toks, [0.0] * len(toks))
     if tok_model != "llama":
-        # "gpt2" (byte-level BPE, e.g. Llama-3 conversions) uses a
-        # different byte<->unicode mapping and merge table; applying the
-        # SentencePiece conventions below would silently produce a wrong
-        # vocab, so refuse loudly instead.
+        # Unknown vocab convention — refusing loudly beats silently
+        # mis-tokenizing.
         raise ValueError(
-            f"unsupported GGUF tokenizer model {tok_model!r}: only "
-            "SentencePiece ('llama') vocabularies are supported")
+            f"unsupported GGUF tokenizer model {tok_model!r}: supported "
+            "are 'llama' (SentencePiece) and 'gpt2' (byte-level BPE)")
     tokens_s: List[str] = md["tokenizer.ggml.tokens"]
     scores: List[float] = md.get(
         "tokenizer.ggml.scores", [0.0] * len(tokens_s))
@@ -284,6 +299,24 @@ class GGUFFile:
                 "output.weight", emb.ggml_type, emb.shape, emb.data_offset,
                 emb.data_nbytes, emb.record_offset,
             )
+
+    def build_tokenizer(self):
+        """The file's tokenizer: SPM (``tokenizer.ggml.model == "llama"``)
+        or byte-level BPE (``"gpt2"``, the Llama-3-family convention),
+        with bos/eos ids taken from the metadata rather than the SPM
+        defaults (Llama-3's BOS is 128000, EOS 128001/128009)."""
+        md = self.metadata
+        if md.get("tokenizer.ggml.model", "llama") == "gpt2":
+            from tokenhawk_tpu.tokenizer_bpe import BpeTokenizer
+
+            return BpeTokenizer.from_gguf_metadata(md)
+        from tokenhawk_tpu.tokenizer import Tokenizer
+
+        return Tokenizer.from_vocab(
+            self.vocab,
+            bos_id=int(md.get("tokenizer.ggml.bos_token_id", 1)),
+            eos_id=int(md.get("tokenizer.ggml.eos_token_id", 2)),
+        )
 
     # -- parsing ---------------------------------------------------------
 

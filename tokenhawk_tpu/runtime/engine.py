@@ -163,10 +163,16 @@ class Engine:
         batch_size: int = 1,
         cache_dtype=jnp.bfloat16,
         decode_chunk: int = 8,
-        eos_id: int = EOS_ID,
+        eos_id: Optional[int] = None,
         mesh=None,
         parallel: str = "gspmd",  # "gspmd" | "tp" (shard_map, pallas-capable)
     ):
+        if eos_id is None:
+            # The tokenizer knows the file's EOS (Llama-3 BPE vocabs use
+            # 128001/128009, not the SPM default 2).
+            eos_id = getattr(tokenizer, "eos_id", EOS_ID)
+            if eos_id is None or eos_id < 0:
+                eos_id = EOS_ID
         self.cfg = cfg
         self.params = params
         self.mesh = mesh
@@ -334,7 +340,8 @@ class Engine:
         else:
             prompt_ids = list(prompt)
         if not prompt_ids:
-            prompt_ids = [BOS_ID]
+            bos = getattr(self.tokenizer, "bos_id", BOS_ID)
+            prompt_ids = [bos if bos is not None and bos >= 0 else BOS_ID]
         if len(prompt_ids) >= self.max_seq:
             raise ValueError(
                 f"prompt ({len(prompt_ids)} tokens) exceeds context {self.max_seq}"

@@ -141,7 +141,10 @@ def _load_model_once(
         head_dim = f.hparams.n_embd // f.hparams.n_head
         config_overrides.setdefault("n_kv_head", wk.shape[0] // head_dim)
     cfg = config_from_hparams(f.hparams, n_ctx=n_ctx, **config_overrides)
-    tokenizer = Tokenizer.from_vocab(f.vocab)
+    # GGUF files know their tokenizer model (SPM vs gpt2 byte-level BPE)
+    # and bos/eos ids; ggjt/chunked files are SPM by construction.
+    tokenizer = (f.build_tokenizer() if hasattr(f, "build_tokenizer")
+                 else Tokenizer.from_vocab(f.vocab))
 
     tp = 1
     if mesh is not None and parallel == "tp":

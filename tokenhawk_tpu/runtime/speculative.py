@@ -451,8 +451,12 @@ class SpeculativeEngine:
         gamma: int = 4,
         max_seq: Optional[int] = None,
         cache_dtype=jnp.bfloat16,
-        eos_id: int = EOS_ID,
+        eos_id: Optional[int] = None,
     ):
+        if eos_id is None:
+            eos_id = getattr(tokenizer, "eos_id", EOS_ID)
+            if eos_id is None or eos_id < 0:
+                eos_id = EOS_ID
         if cfg_target.n_vocab != cfg_draft.n_vocab:
             raise ValueError("draft and target must share the vocab")
         from tokenhawk_tpu.runtime.engine import Engine
@@ -483,7 +487,9 @@ class SpeculativeEngine:
         if isinstance(prompt, str):
             if self.tokenizer is None:
                 raise ValueError("string prompt needs a tokenizer")
-            ids = [BOS_ID] + self.tokenizer.encode(" " + prompt)
+            # encode_prompt handles BOS and the tokenizer-model-specific
+            # prefix convention (SPM dummy space vs byte-level BPE none).
+            ids = self.tokenizer.encode_prompt(prompt, add_bos=True)
         else:
             ids = list(prompt)
 

@@ -108,6 +108,11 @@ def main(argv=None) -> int:
         draft_cfg, draft_params, _ = load_model(
             args.draft_model, n_ctx=args.n_ctx, dtype=dtype)
 
+    # The file's EOS id (Llama-3 BPE vocabs stop on 128001/128009, not
+    # the SPM default 2).
+    eos_id = getattr(tokenizer, "eos_id", 2)
+    if eos_id is None or eos_id < 0:
+        eos_id = 2
     if args.paged:
         from tokenhawk_tpu.runtime.paged_scheduler import PagedScheduler
 
@@ -119,14 +124,14 @@ def main(argv=None) -> int:
             prefill_chunk=args.prefill_chunk,
             prefix_cache=args.prefix_cache,
             draft_cfg=draft_cfg, draft_params=draft_params,
-            gamma=args.gamma, mesh=mesh,
+            gamma=args.gamma, mesh=mesh, eos_id=eos_id,
         )
     else:
         sched = Scheduler(
             cfg, params, sampling=sampling, max_batch=args.max_batch,
             max_seq=args.n_ctx, decode_chunk=args.decode_chunk,
             draft_cfg=draft_cfg, draft_params=draft_params, gamma=args.gamma,
-            mesh=mesh, parallel="tp",
+            mesh=mesh, parallel="tp", eos_id=eos_id,
         )
     chat_template = None
     try:

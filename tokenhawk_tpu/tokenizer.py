@@ -29,7 +29,8 @@ def utf8_char_len(first_byte: int) -> int:
 
 
 class Tokenizer:
-    def __init__(self, tokens: Sequence[bytes], scores: Sequence[float]):
+    def __init__(self, tokens: Sequence[bytes], scores: Sequence[float],
+                 bos_id: int = BOS_ID, eos_id: int = EOS_ID):
         self.id_to_token: List[bytes] = [
             t.encode("utf-8") if isinstance(t, str) else bytes(t) for t in tokens
         ]
@@ -38,6 +39,11 @@ class Tokenizer:
         # First occurrence wins, matching insertion into a map keyed by text.
         for i, t in enumerate(self.id_to_token):
             self.token_to_id.setdefault(t, i)
+        # GGUF files carry explicit ids (usually the SPM defaults 1/2);
+        # ggjt v1 has no field for them, so the defaults apply.
+        self.bos_id = bos_id
+        self.eos_id = eos_id
+        self.eog_ids = {eos_id}
 
     @property
     def n_vocab(self) -> int:
@@ -46,7 +52,7 @@ class Tokenizer:
     # -- encoding --------------------------------------------------------
 
     def encode(self, text: str, add_bos: bool = True) -> List[int]:
-        out: List[int] = [BOS_ID] if add_bos else []
+        out: List[int] = [self.bos_id] if add_bos else []
         if not text:
             return out
 
@@ -143,7 +149,7 @@ class Tokenizer:
     def decode(self, ids: Sequence[int]) -> str:
         parts = []
         for i in ids:
-            if i in (BOS_ID, EOS_ID):
+            if i in (self.bos_id, self.eos_id):
                 continue
             parts.append(self.decode_token_bytes(i))
         return b"".join(parts).decode("utf-8", errors="replace")
@@ -151,9 +157,11 @@ class Tokenizer:
     # -- construction ----------------------------------------------------
 
     @staticmethod
-    def from_vocab(vocab) -> "Tokenizer":
+    def from_vocab(vocab, bos_id: int = BOS_ID,
+                   eos_id: int = EOS_ID) -> "Tokenizer":
         """Build from a ggml reader Vocab."""
-        return Tokenizer(vocab.tokens, vocab.scores)
+        return Tokenizer(vocab.tokens, vocab.scores,
+                         bos_id=bos_id, eos_id=eos_id)
 
 
 def byte_fallback_vocab(extra: Dict[str, float] | None = None) -> Tokenizer:
