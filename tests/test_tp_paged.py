@@ -95,25 +95,76 @@ def test_tp_paged_sampled_requests(tensors):
     assert run(s_tp) == run(s_ref)
 
 
-def test_tp_paged_rejects_unsupported(tensors):
-    mesh = make_mesh(dp=1, tp=4)
-    params_tp = shard_params_tp(
-        CFG, params_from_ggml(CFG, tensors, dtype=jnp.float32,
-                              row_parallel_shards=4), mesh)
-    with pytest.raises(NotImplementedError):
-        PagedScheduler(CFG, params_tp, mesh=mesh, cache_dtype="int8",
-                       max_batch=2, max_seq=96, page_size=16)
-    draft_cfg = LlamaConfig.tiny(n_vocab=512, n_embd=128, n_head=2,
-                                 n_ctx=96, n_ff=128)
-    from tokenhawk_tpu.models.llama import init_params
-    import jax
+def test_tp_paged_int8_pages_match_single_device(tensors):
+    """int8 pages under TP: the scale pages shard along the same KV-head
+    axis as their payloads, so quantize-on-append and the int8 attention
+    stay shard-local — outputs bit-match the single-device int8 paged
+    scheduler."""
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(3, CFG.n_vocab, n).tolist() for n in (5, 9)]
+    s_ref, s_tp = _pair(tensors, 4, cache_dtype="int8")
+    want = [r.output for r in s_ref.generate_many(prompts, max_new_tokens=6)]
+    got = [r.output for r in s_tp.generate_many(prompts, max_new_tokens=6)]
+    assert got == want
 
-    with pytest.raises(NotImplementedError):
-        PagedScheduler(
-            CFG, params_tp, mesh=mesh, max_batch=2, max_seq=96,
-            page_size=16, draft_cfg=draft_cfg,
-            draft_params=init_params(draft_cfg, jax.random.PRNGKey(0),
-                                     jnp.float32))
+
+def test_tp_paged_int8_chunked_prefill(tensors):
+    """int8 pages + chunked prefill + TP compose."""
+    long_prompt = list(range(3, 40))
+    s_ref, s_tp = _pair(tensors, 2, cache_dtype="int8", prefill_chunk=16,
+                        n_pages=32)
+    want = [r.output for r in s_ref.generate_many([long_prompt],
+                                                  max_new_tokens=5)]
+    got = [r.output for r in s_tp.generate_many([long_prompt],
+                                                max_new_tokens=5)]
+    assert got == want
+
+
+DRAFT_CFG = LlamaConfig.tiny(n_vocab=512, n_embd=128, n_head=2, n_ctx=96,
+                             n_ff=128)
+
+
+def _draft_params(seed=0):
+    import jax
+    from tokenhawk_tpu.models.llama import init_params
+
+    return init_params(DRAFT_CFG, jax.random.PRNGKey(seed), jnp.float32)
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_paged_speculative_greedy(tensors, tp):
+    """Speculative serving under TP: the draft runs replicated per shard,
+    the target verifies head-sharded — greedy outputs bit-match the
+    single-device speculative paged scheduler (which is itself
+    bit-identical to non-speculative greedy, test_spec_paged.py)."""
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(3, CFG.n_vocab, n).tolist() for n in (5, 8)]
+    kw = dict(draft_cfg=DRAFT_CFG, draft_params=_draft_params(), gamma=3)
+    s_ref, s_tp = _pair(tensors, tp, **kw)
+    want = [r.output for r in s_ref.generate_many(prompts, max_new_tokens=7)]
+    got = [r.output for r in s_tp.generate_many(prompts, max_new_tokens=7)]
+    assert got == want
+
+
+def test_tp_paged_speculative_sampled(tensors):
+    """Sampled speculation under TP: per-slot (seed, counter) RNG streams
+    run on model-axis-replicated values, so the rejection-sampling draws
+    match the single-device sampled speculative scheduler bit for bit."""
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(3, CFG.n_vocab, 6).tolist() for _ in range(2)]
+    kw = dict(draft_cfg=DRAFT_CFG, draft_params=_draft_params(1), gamma=3)
+    s_ref, s_tp = _pair(tensors, 4, **kw)
+    scfg = SamplingConfig(temperature=0.8, top_k=20, seed=11)
+
+    def run(s):
+        reqs = [Request(prompt=list(p), max_new_tokens=6, sampling=scfg)
+                for p in prompts]
+        for r in reqs:
+            s.submit(r)
+        s.run()
+        return [r.output for r in reqs]
+
+    assert run(s_tp) == run(s_ref)
 
 
 def test_paged_scheduler_accepts_loader_params(tmp_path):

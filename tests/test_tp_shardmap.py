@@ -266,3 +266,66 @@ def test_tp_unrolled_decode_updates_cache_in_place(tensors):
         f"decode temps {temp} B suggest a cache rewrite "
         f"(one layer's local cache = {layer_cache_bytes} B)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Speculative serving under dense TP (parallel/tp.make_tp_spec_serving_fn*)
+# ---------------------------------------------------------------------------
+
+SPEC_DRAFT_CFG = LlamaConfig.tiny(n_vocab=512, n_embd=128, n_head=2,
+                                  n_ctx=64, n_ff=128)
+
+
+def _spec_pair(tensors, tp, draft_seed=0):
+    """(single-device spec scheduler, TP spec scheduler), same weights."""
+    from tokenhawk_tpu.models.llama import init_params
+    from tokenhawk_tpu.runtime.scheduler import Scheduler
+
+    mesh = make_mesh(dp=1, tp=tp)
+    params = params_from_ggml(CFG, tensors, dtype=jnp.float32)
+    params_tp = shard_params_tp(
+        CFG, params_from_ggml(CFG, tensors, dtype=jnp.float32,
+                              row_parallel_shards=tp), mesh)
+    dparams = init_params(SPEC_DRAFT_CFG, jax.random.PRNGKey(draft_seed),
+                          jnp.float32)
+    kw = dict(sampling=GREEDY, max_batch=2, cache_dtype=jnp.float32,
+              decode_chunk=4, draft_cfg=SPEC_DRAFT_CFG, draft_params=dparams,
+              gamma=3)
+    s_ref = Scheduler(CFG, params, **kw)
+    s_tp = Scheduler(CFG, params_tp, mesh=mesh, parallel="tp", **kw)
+    return s_ref, s_tp
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_dense_speculative_greedy(tensors, tp):
+    """Dense-scheduler speculation under TP: draft replicated over the
+    model axis, target verify head-sharded — greedy outputs bit-match
+    the single-device speculative scheduler."""
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(3, CFG.n_vocab, n).tolist() for n in (5, 8)]
+    s_ref, s_tp = _spec_pair(tensors, tp)
+    want = [r.output for r in s_ref.generate_many(prompts, max_new_tokens=7)]
+    got = [r.output for r in s_tp.generate_many(prompts, max_new_tokens=7)]
+    assert got == want
+
+
+def test_tp_dense_speculative_sampled(tensors):
+    """Sampled (rejection-sampling) speculation under dense TP matches
+    the single-device sampled speculative scheduler bit for bit (same
+    per-slot seed/counter streams)."""
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(3, CFG.n_vocab, 6).tolist() for _ in range(2)]
+    s_ref, s_tp = _spec_pair(tensors, 4, draft_seed=1)
+    scfg = SamplingConfig(temperature=0.8, top_k=20, seed=13)
+
+    def run(s):
+        reqs = [Request(prompt=list(p), max_new_tokens=6, sampling=scfg)
+                for p in prompts]
+        for r in reqs:
+            s.submit(r)
+        s.run()
+        return [r.output for r in reqs]
+
+    assert run(s_tp) == run(s_ref)

@@ -386,6 +386,120 @@ def make_tp_decode_fn_dynamic(cfg: LlamaConfig, mesh: Mesh, chunk: int,
     return decode
 
 
+def _draft_cache_specs(cfg_draft: LlamaConfig, params_d: LlamaParams):
+    """Draft dense-cache partition specs: batch on data, heads replicated
+    (the draft itself is replicated over the model axis).  Form follows
+    the draft params: unrolled tuple-of-(k, v) per layer vs stacked
+    KVCache (runtime/scheduler.py picks the matching cache)."""
+    if params_d is not None and isinstance(params_d.layers, tuple):
+        lay = P(DATA_AXIS, None, None, None)
+        return tuple((lay, lay) for _ in range(cfg_draft.n_layer))
+    dc = P(None, DATA_AXIS, None, None, None)
+    return KVCache(dc, dc)
+
+
+def make_tp_spec_serving_fn(cfg_draft: LlamaConfig, cfg_target: LlamaConfig,
+                            mesh: Mesh, gamma: int, eos_id: int = 2,
+                            params: LlamaParams = None,
+                            params_d: LlamaParams = None):
+    """Greedy speculative round under shard_map TP (the twin of
+    speculative.make_spec_serving_fn, dense target cache).
+
+    The draft stays replicated over the model axis (small by
+    construction) and batch-sharded over data like every per-slot array;
+    the target verify block runs head-sharded through _forward_tp."""
+    from tokenhawk_tpu.runtime.speculative import _spec_round_greedy
+
+    tp = mesh.shape[MODEL_AXIS]
+    validate_tp(cfg_target, tp)
+    pspecs_t = param_specs_tp(params)
+    unrolled = params is not None and isinstance(params.layers, tuple)
+    cspecs_t = (cache_specs_tp(tuple(range(cfg_target.n_layer))) if unrolled
+                else KVCache(kv_cache_spec_tp(), kv_cache_spec_tp()))
+    cspecs_d = _draft_cache_specs(cfg_draft, params_d)
+    bspec = P(DATA_AXIS)
+
+    def local_fn(params_d, params_t, cache_d, cache_t, last_tok, offsets,
+                 done):
+        def tgt_fwd(params_t, seq, cache_t, offsets, adv):
+            return _forward_tp(cfg_target, tp, params_t, seq, cache_t,
+                               offsets)
+
+        def tgt_logits(params_t, h):
+            return _logits_tp(cfg_target, params_t, h)
+
+        return _spec_round_greedy(
+            cfg_draft, cfg_target, gamma, eos_id, tgt_fwd, tgt_logits,
+            params_d, params_t, cache_d, cache_t, last_tok, offsets, done)
+
+    mapped = shard_map(
+        local_fn, mesh,
+        in_specs=(P(), pspecs_t, cspecs_d, cspecs_t, bspec, bspec, bspec),
+        out_specs=(cspecs_d, cspecs_t, P(DATA_AXIS, None), bspec, bspec,
+                   bspec, bspec),
+    )
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(params_d, params_t, cache_d, cache_t, last_tok, offsets, done):
+        return mapped(params_d, params_t, cache_d, cache_t, last_tok,
+                      offsets, done)
+
+    return step
+
+
+def make_tp_spec_serving_fn_sampled(cfg_draft: LlamaConfig,
+                                    cfg_target: LlamaConfig, mesh: Mesh,
+                                    gamma: int, eos_id: int = 2,
+                                    params: LlamaParams = None,
+                                    params_d: LlamaParams = None):
+    """Sampled (rejection-sampling) speculative round under shard_map TP,
+    dense target cache.  Per-slot (seed, counter) RNG streams run on
+    replicated-within-model-axis values, so draws are identical on every
+    model shard (same argument as make_tp_decode_fn_dynamic)."""
+    from tokenhawk_tpu.runtime.speculative import _spec_round_sampled
+    from tokenhawk_tpu.sampling import SamplingParams
+
+    tp = mesh.shape[MODEL_AXIS]
+    validate_tp(cfg_target, tp)
+    pspecs_t = param_specs_tp(params)
+    unrolled = params is not None and isinstance(params.layers, tuple)
+    cspecs_t = (cache_specs_tp(tuple(range(cfg_target.n_layer))) if unrolled
+                else KVCache(kv_cache_spec_tp(), kv_cache_spec_tp()))
+    cspecs_d = _draft_cache_specs(cfg_draft, params_d)
+    bspec = P(DATA_AXIS)
+    sp_spec = SamplingParams(bspec, bspec, bspec, bspec, bspec)
+
+    def local_fn(params_d, params_t, cache_d, cache_t, last_tok, offsets,
+                 done, last_n, sp, counters):
+        def tgt_fwd(params_t, seq, cache_t, offsets, adv):
+            return _forward_tp(cfg_target, tp, params_t, seq, cache_t,
+                               offsets)
+
+        def tgt_logits(params_t, h):
+            return _logits_tp(cfg_target, params_t, h)
+
+        return _spec_round_sampled(
+            cfg_draft, cfg_target, gamma, eos_id, tgt_fwd,
+            params_d, params_t, cache_d, cache_t, last_tok, offsets, done,
+            last_n, sp, counters, target_logits=tgt_logits)
+
+    mapped = shard_map(
+        local_fn, mesh,
+        in_specs=(P(), pspecs_t, cspecs_d, cspecs_t, bspec, bspec, bspec,
+                  P(DATA_AXIS, None), sp_spec, bspec),
+        out_specs=(cspecs_d, cspecs_t, P(DATA_AXIS, None), bspec, bspec,
+                   bspec, bspec, P(DATA_AXIS, None), bspec),
+    )
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(params_d, params_t, cache_d, cache_t, last_tok, offsets, done,
+             last_n, sp, counters):
+        return mapped(params_d, params_t, cache_d, cache_t, last_tok,
+                      offsets, done, last_n, sp, counters)
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # Parameter placement / fusion
 # ---------------------------------------------------------------------------

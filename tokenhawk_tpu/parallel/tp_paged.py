@@ -12,9 +12,10 @@ psum hooks (models/llama.py forward_paged_* psum_axis).
 
 This gives the full production serving stack — continuous batching,
 chunked prefill, automatic prefix caching (page reuse is index-level and
-device-layout agnostic), per-request sampling — on tensor-sharded
-models: BASELINE configs 4-5.  Speculative decoding and int8 pages
-remain single-chip (PagedScheduler validates).
+device-layout agnostic), per-request sampling, int8 pages (scale pages
+shard along the same head axis as their payloads), and speculative
+decoding (draft replicated per shard, target verify under psum hooks) —
+on tensor-sharded models: BASELINE configs 4-5.
 """
 
 from __future__ import annotations
@@ -44,24 +45,38 @@ from tokenhawk_tpu.runtime.paged import PagedKVCache
 EOS_ID = 2
 
 
-def paged_cache_spec_tp() -> PagedKVCache:
-    """[L, Hkv, n_pages, ps, Dh]: heads sharded, everything else local."""
+def paged_cache_spec_tp(quant: bool = False):
+    """Page-pool partition specs: heads sharded, everything else local.
+
+    bf16: payload pages [L, Hkv, n_pages, ps, Dh].
+    int8: payload pages plus per-token scale pages [L, Hkv, n_pages, ps]
+    — the scales shard along the SAME head axis as their payloads, so
+    quantize-on-append and the int8 attention kernels stay fully local
+    per shard."""
     s = P(None, MODEL_AXIS, None, None, None)
+    if quant:
+        from tokenhawk_tpu.runtime.paged import PagedQuantKVCache
+
+        sc = P(None, MODEL_AXIS, None, None)
+        return PagedQuantKVCache(s, sc, s, sc)
     return PagedKVCache(s, s)
 
 
-def shard_paged_cache_tp(cache: PagedKVCache, mesh: Mesh) -> PagedKVCache:
+def shard_paged_cache_tp(cache, mesh: Mesh):
+    from tokenhawk_tpu.runtime.paged import PagedQuantKVCache
+
+    specs = paged_cache_spec_tp(quant=isinstance(cache, PagedQuantKVCache))
     return jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
-        cache, paged_cache_spec_tp())
+        cache, specs)
 
 
 def make_tp_paged_prefill_fn(cfg: LlamaConfig, mesh: Mesh,
-                             params=None):
+                             params=None, quant: bool = False):
     tp = mesh.shape[MODEL_AXIS]
     validate_tp(cfg, tp)
     pspecs = param_specs_tp(params)
-    cspecs = paged_cache_spec_tp()
+    cspecs = paged_cache_spec_tp(quant)
     rep = P()
 
     def local_fn(params, cache, tokens, lengths, table_row):
@@ -87,11 +102,11 @@ def make_tp_paged_prefill_fn(cfg: LlamaConfig, mesh: Mesh,
 
 
 def make_tp_paged_prefill_cont_fn(cfg: LlamaConfig, mesh: Mesh,
-                                  params=None):
+                                  params=None, quant: bool = False):
     tp = mesh.shape[MODEL_AXIS]
     validate_tp(cfg, tp)
     pspecs = param_specs_tp(params)
-    cspecs = paged_cache_spec_tp()
+    cspecs = paged_cache_spec_tp(quant)
     rep = P()
 
     def local_fn(params, cache, tokens, table_row, start, n_new):
@@ -118,7 +133,7 @@ def make_tp_paged_prefill_cont_fn(cfg: LlamaConfig, mesh: Mesh,
 
 def make_tp_paged_decode_fn_dynamic(cfg: LlamaConfig, mesh: Mesh,
                                     chunk: int, eos_id: int = EOS_ID,
-                                    params=None):
+                                    params=None, quant: bool = False):
     """Chunked paged decode with per-slot sampling under shard_map TP.
 
     Sampling runs REPLICATED per shard on the all-gathered logits (same
@@ -130,7 +145,7 @@ def make_tp_paged_decode_fn_dynamic(cfg: LlamaConfig, mesh: Mesh,
     tp = mesh.shape[MODEL_AXIS]
     validate_tp(cfg, tp)
     pspecs = param_specs_tp(params)
-    cspecs = paged_cache_spec_tp()
+    cspecs = paged_cache_spec_tp(quant)
     rep = P()
 
     def local_fn(params, cache, table, last_tok, lengths, last_n, done,
@@ -179,3 +194,107 @@ def _sp_structure():
     z = jnp.zeros((1,))
     return SamplingParams(temperature=z, top_k=z, top_p=z,
                           repeat_penalty=z, seed=z)
+
+
+def make_tp_spec_serving_fn_paged(cfg_draft: LlamaConfig,
+                                  cfg_target: LlamaConfig, mesh: Mesh,
+                                  gamma: int, eos_id: int = EOS_ID,
+                                  params=None):
+    """Greedy speculative round under shard_map TP (the twin of
+    speculative.make_spec_serving_fn_paged).
+
+    The DRAFT stays replicated (params, dense cache, its forwards) — a
+    draft is small by construction, so every shard runs the identical
+    draft computation locally and no collective touches it.  The TARGET
+    verify runs head-sharded through forward_paged_verify's psum hooks;
+    its logits all-gather over the vocab shards, after which the
+    accept/EOS/freeze math is replicated per shard (deterministic, so
+    identical everywhere)."""
+    from tokenhawk_tpu.models.llama import forward_paged_verify
+    from tokenhawk_tpu.runtime.speculative import _spec_round_greedy
+
+    tp = mesh.shape[MODEL_AXIS]
+    validate_tp(cfg_target, tp)
+    pspecs_t = param_specs_tp(params)
+    cspecs_t = paged_cache_spec_tp()
+    rep = P()
+
+    def local_fn(params_d, params_t, cache_d, cache_t, table, last_tok,
+                 lengths, done):
+        def tgt_fwd(params_t, seq, cache_t, lengths, adv):
+            return forward_paged_verify(
+                cfg_target, params_t, seq, cache_t, table, lengths, adv,
+                psum_axis=MODEL_AXIS, tp=tp)
+
+        def tgt_logits(params_t, h):
+            return _logits_tp(cfg_target, params_t, h)
+
+        return _spec_round_greedy(
+            cfg_draft, cfg_target, gamma, eos_id, tgt_fwd, tgt_logits,
+            params_d, params_t, cache_d, cache_t, last_tok, lengths, done)
+
+    mapped = shard_map(
+        local_fn, mesh,
+        in_specs=(rep, pspecs_t, rep, cspecs_t, rep, rep, rep, rep),
+        out_specs=(rep, cspecs_t, rep, rep, rep, rep, rep),
+    )
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(params_d, params_t, cache_d, cache_t, table, last_tok,
+             lengths, done):
+        return mapped(params_d, params_t, cache_d, cache_t, table,
+                      last_tok, lengths, done)
+
+    return step
+
+
+def make_tp_spec_serving_fn_paged_sampled(cfg_draft: LlamaConfig,
+                                          cfg_target: LlamaConfig,
+                                          mesh: Mesh, gamma: int,
+                                          eos_id: int = EOS_ID,
+                                          params=None):
+    """Sampled (rejection-sampling) speculative round under shard_map TP.
+
+    Same replication story as the greedy twin; every random draw keys on
+    per-slot (seed, counter) streams over replicated values, so draft
+    proposals, accept tests, and residual draws are identical on every
+    shard."""
+    from tokenhawk_tpu.models.llama import forward_paged_verify
+    from tokenhawk_tpu.runtime.speculative import _spec_round_sampled
+
+    tp = mesh.shape[MODEL_AXIS]
+    validate_tp(cfg_target, tp)
+    pspecs_t = param_specs_tp(params)
+    cspecs_t = paged_cache_spec_tp()
+    rep = P()
+    sp_spec = jax.tree_util.tree_map(lambda _: rep, _sp_structure())
+
+    def local_fn(params_d, params_t, cache_d, cache_t, table, last_tok,
+                 lengths, done, last_n, sp, counters):
+        def tgt_fwd(params_t, seq, cache_t, lengths, adv):
+            return forward_paged_verify(
+                cfg_target, params_t, seq, cache_t, table, lengths, adv,
+                psum_axis=MODEL_AXIS, tp=tp)
+
+        def tgt_logits(params_t, h):
+            return _logits_tp(cfg_target, params_t, h)
+
+        return _spec_round_sampled(
+            cfg_draft, cfg_target, gamma, eos_id, tgt_fwd,
+            params_d, params_t, cache_d, cache_t, last_tok, lengths, done,
+            last_n, sp, counters, target_logits=tgt_logits)
+
+    mapped = shard_map(
+        local_fn, mesh,
+        in_specs=(rep, pspecs_t, rep, cspecs_t, rep, rep, rep, rep, rep,
+                  sp_spec, rep),
+        out_specs=(rep, cspecs_t, rep, rep, rep, rep, rep, rep, rep),
+    )
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(params_d, params_t, cache_d, cache_t, table, last_tok,
+             lengths, done, last_n, sp, counters):
+        return mapped(params_d, params_t, cache_d, cache_t, table,
+                      last_tok, lengths, done, last_n, sp, counters)
+
+    return step

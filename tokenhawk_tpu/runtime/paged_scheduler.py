@@ -205,18 +205,11 @@ class PagedScheduler:
             # Default: full occupancy for half the slots + 1 trash page.
             n_pages = self.B * self.max_pages // 2 + 2
 
-        if mesh is not None:
-            # Tensor-parallel paged serving (parallel/tp_paged.py): the
-            # page pool shards along KV heads; params must be the
-            # row_parallel_shards=tp layout (see shard_params_tp).
-            if cache_dtype == "int8":
-                raise NotImplementedError(
-                    "int8 pages are single-chip only (use bf16 pages "
-                    "under tensor parallelism)")
-            if draft_params is not None:
-                raise NotImplementedError(
-                    "speculative paged serving is single-chip only")
-
+        # mesh = tensor-parallel paged serving (parallel/tp_paged.py):
+        # the page pool (int8 scale pages included) shards along KV
+        # heads; params must be the row_parallel_shards=tp layout (see
+        # shard_params_tp).  Speculative serving keeps the draft
+        # replicated and verifies head-sharded.
         if cache_dtype == "int8":  # quantized pages (runtime/paged.py)
             from tokenhawk_tpu.runtime.paged import PagedQuantKVCache
 
@@ -224,12 +217,10 @@ class PagedScheduler:
         else:
             self.cache = PagedKVCache.create(cfg, n_pages, page_size,
                                              cache_dtype)
-            if mesh is not None:
-                from tokenhawk_tpu.parallel.tp_paged import (
-                    shard_paged_cache_tp,
-                )
+        if mesh is not None:
+            from tokenhawk_tpu.parallel.tp_paged import shard_paged_cache_tp
 
-                self.cache = shard_paged_cache_tp(self.cache, mesh)
+            self.cache = shard_paged_cache_tp(self.cache, mesh)
         self.cache_dtype = cache_dtype
         self.alloc = PageAllocator(n_pages)
         self.trash_page = self.alloc.alloc(1)[0]
@@ -252,19 +243,41 @@ class PagedScheduler:
             )
 
             self.draft_cfg = draft_cfg
+            if isinstance(draft_params.layers, tuple):
+                # The loader's decode-fast pipelines end in the unrolled
+                # tuple form; the spec round scans stacked draft weights
+                # against the stacked dense draft cache (an unrolled
+                # draft would zip its layer tuple against the KVCache
+                # NamedTuple — wrong shapes).  Replicated under TP.
+                from tokenhawk_tpu.models.llama import stack_params
+
+                draft_params = stack_params(draft_params)
             self.draft_params = draft_params
             self.draft_cache = KVCache.create(
                 draft_cfg, max_batch, self.S, cache_dtype)
             self._draft_prefill = make_prefill_fn(draft_cfg)
-            self._spec_step = make_spec_serving_fn_paged(
-                draft_cfg, cfg, gamma, eos_id)
-            self._spec_step_sampled = make_spec_serving_fn_paged_sampled(
-                draft_cfg, cfg, gamma, eos_id)
+            if mesh is not None:
+                from tokenhawk_tpu.parallel.tp_paged import (
+                    make_tp_spec_serving_fn_paged,
+                    make_tp_spec_serving_fn_paged_sampled,
+                )
+
+                self._spec_step = make_tp_spec_serving_fn_paged(
+                    draft_cfg, cfg, mesh, gamma, eos_id, params)
+                self._spec_step_sampled = (
+                    make_tp_spec_serving_fn_paged_sampled(
+                        draft_cfg, cfg, mesh, gamma, eos_id, params))
+            else:
+                self._spec_step = make_spec_serving_fn_paged(
+                    draft_cfg, cfg, gamma, eos_id)
+                self._spec_step_sampled = make_spec_serving_fn_paged_sampled(
+                    draft_cfg, cfg, gamma, eos_id)
             # Host mirror of per-slot temperatures: rounds where every
             # live slot is greedy take the cheaper exact-match fn;
             # sampled slots use rejection sampling (target-distributed).
             self._slot_sampled = [False] * max_batch
 
+        quant = cache_dtype == "int8"
         if mesh is not None:
             from tokenhawk_tpu.parallel.tp_paged import (
                 make_tp_paged_decode_fn_dynamic,
@@ -272,9 +285,10 @@ class PagedScheduler:
                 make_tp_paged_prefill_fn,
             )
 
-            self._prefill = make_tp_paged_prefill_fn(cfg, mesh, params)
+            self._prefill = make_tp_paged_prefill_fn(cfg, mesh, params,
+                                                     quant=quant)
             self._decode = make_tp_paged_decode_fn_dynamic(
-                cfg, mesh, decode_chunk, eos_id, params)
+                cfg, mesh, decode_chunk, eos_id, params, quant=quant)
         else:
             self._prefill = make_paged_prefill_fn(cfg)
             self._decode = make_paged_decode_fn_dynamic(cfg, decode_chunk,
@@ -289,7 +303,7 @@ class PagedScheduler:
                 )
 
                 self._prefill_cont = make_tp_paged_prefill_cont_fn(
-                    cfg, mesh, params)
+                    cfg, mesh, params, quant=quant)
             else:
                 self._prefill_cont = make_paged_prefill_cont_fn(cfg)
         # Mid-admission long prompts: slot -> (request, tokens prefilled).

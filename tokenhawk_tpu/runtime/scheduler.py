@@ -223,22 +223,38 @@ class Scheduler:
         self.spec = draft_params is not None
         self.gamma = gamma
         if self.spec:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "speculative serving is single-mesh only")
             if draft_cfg.n_vocab != cfg.n_vocab:
                 raise ValueError("draft and target must share the vocab")
-            from tokenhawk_tpu.runtime.speculative import (
-                make_spec_serving_fn,
-                make_spec_serving_fn_sampled,
-            )
-
             self.draft_cfg = draft_cfg
             self.draft_params = draft_params
-            self._spec_step = make_spec_serving_fn(draft_cfg, cfg, gamma,
-                                                   eos_id)
-            self._spec_step_sampled = make_spec_serving_fn_sampled(
-                draft_cfg, cfg, gamma, eos_id)
+            if mesh is not None and parallel == "tp":
+                # TP speculation: draft replicated over the model axis,
+                # target verify head-sharded (parallel/tp.py).
+                from tokenhawk_tpu.parallel.tp import (
+                    make_tp_spec_serving_fn,
+                    make_tp_spec_serving_fn_sampled,
+                )
+
+                self._spec_step = make_tp_spec_serving_fn(
+                    draft_cfg, cfg, mesh, gamma, eos_id, params,
+                    params_d=draft_params)
+                self._spec_step_sampled = make_tp_spec_serving_fn_sampled(
+                    draft_cfg, cfg, mesh, gamma, eos_id, params,
+                    params_d=draft_params)
+            elif mesh is not None:
+                raise NotImplementedError(
+                    "speculative serving under a mesh requires "
+                    "parallel='tp'")
+            else:
+                from tokenhawk_tpu.runtime.speculative import (
+                    make_spec_serving_fn,
+                    make_spec_serving_fn_sampled,
+                )
+
+                self._spec_step = make_spec_serving_fn(draft_cfg, cfg,
+                                                       gamma, eos_id)
+                self._spec_step_sampled = make_spec_serving_fn_sampled(
+                    draft_cfg, cfg, gamma, eos_id)
             # Host mirror of per-slot temperatures: rounds where every
             # live slot is greedy take the cheaper exact-match fn.
             self._slot_sampled = [False] * max_batch

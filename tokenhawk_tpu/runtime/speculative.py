@@ -106,6 +106,62 @@ def make_spec_decode_fn(cfg_draft: LlamaConfig, cfg_target: LlamaConfig,
     return step
 
 
+def _spec_round_greedy(cfg_draft, cfg_target, gamma, eos_id, target_forward,
+                       target_logits, params_d, params_t, cache_d, cache_t,
+                       last_tok, offsets, done):
+    """Shared body of the dense/paged greedy speculative round.
+
+    `target_forward(params_t, seq, cache_t, offsets, adv)` and
+    `target_logits(params_t, h)` are hooks so the same accept/EOS/freeze
+    math serves the dense forward, the paged verify, and their
+    tensor-parallel twins (parallel/tp.py, parallel/tp_paged.py)."""
+    B = last_tok.shape[0]
+    adv = (~done).astype(jnp.int32)
+
+    def dstep(carry, _):
+        cache_d, tok, off = carry
+        h, cache_d = forward(cfg_draft, params_d, tok[:, None],
+                             cache_d, off)
+        lg = logits_from_hidden(cfg_draft, params_d, h[:, 0])
+        nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+        return (cache_d, nxt, off + adv), nxt
+
+    (cache_d, _, _), drafts = jax.lax.scan(
+        dstep, (cache_d, last_tok, offsets), None, length=gamma
+    )
+    drafts = drafts.T  # [B, gamma]
+
+    seq = jnp.concatenate([last_tok[:, None], drafts], axis=1)
+    h, cache_t = target_forward(params_t, seq, cache_t, offsets, adv)
+    logits = target_logits(params_t, h)  # [B, g+1, V]
+    tgt = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    match = drafts == tgt[:, :gamma]
+    k = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+
+    j = jnp.arange(gamma + 1)[None, :]
+    bonus = jnp.take_along_axis(tgt, k[:, None], axis=1)  # [B, 1]
+    drafts_pad = jnp.concatenate(
+        [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    out = jnp.where(j < k[:, None], drafts_pad, -1)
+    out = jnp.where(j == k[:, None], bonus, out)
+
+    n_new = jnp.where(done, 0, k + 1)
+    # Cut at the first EOS among the committed tokens (inclusive).
+    is_eos = (out == eos_id) & (j < n_new[:, None])
+    eos_pos = jnp.min(jnp.where(is_eos, j, gamma + 1), axis=1)
+    has_eos = eos_pos <= gamma
+    n_new = jnp.where(has_eos, eos_pos + 1, n_new)
+    out = jnp.where(j < n_new[:, None], out, -1)
+
+    offsets = offsets + n_new
+    done_new = done | has_eos
+    last_idx = jnp.clip(n_new - 1, 0, gamma)
+    last_new = jnp.take_along_axis(out, last_idx[:, None], axis=1)[:, 0]
+    last_tok = jnp.where(done, last_tok, last_new)
+    return cache_d, cache_t, out, n_new, offsets, done_new, last_tok
+
+
 def make_spec_serving_fn(cfg_draft: LlamaConfig, cfg_target: LlamaConfig,
                          gamma: int, eos_id: int = EOS_ID):
     """One speculative round shaped for the continuous-batching scheduler.
@@ -126,54 +182,17 @@ def make_spec_serving_fn(cfg_draft: LlamaConfig, cfg_target: LlamaConfig,
         host's delivery loop sees it and retires the slot).
     """
 
+    def tgt_fwd(params_t, seq, cache_t, offsets, adv):
+        return forward(cfg_target, params_t, seq, cache_t, offsets)
+
+    def tgt_logits(params_t, h):
+        return logits_from_hidden(cfg_target, params_t, h)
+
     @partial(jax.jit, donate_argnums=(2, 3))
     def step(params_d, params_t, cache_d, cache_t, last_tok, offsets, done):
-        B = last_tok.shape[0]
-        live = ~done
-        adv = live.astype(jnp.int32)
-
-        def dstep(carry, _):
-            cache_d, tok, off = carry
-            h, cache_d = forward(cfg_draft, params_d, tok[:, None],
-                                 cache_d, off)
-            lg = logits_from_hidden(cfg_draft, params_d, h[:, 0])
-            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
-            return (cache_d, nxt, off + adv), nxt
-
-        (cache_d, _, _), drafts = jax.lax.scan(
-            dstep, (cache_d, last_tok, offsets), None, length=gamma
-        )
-        drafts = drafts.T  # [B, gamma]
-
-        seq = jnp.concatenate([last_tok[:, None], drafts], axis=1)
-        h, cache_t = forward(cfg_target, params_t, seq, cache_t, offsets)
-        logits = logits_from_hidden(cfg_target, params_t, h)  # [B, g+1, V]
-        tgt = jnp.argmax(logits, -1).astype(jnp.int32)
-
-        match = drafts == tgt[:, :gamma]
-        k = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-
-        j = jnp.arange(gamma + 1)[None, :]
-        bonus = jnp.take_along_axis(tgt, k[:, None], axis=1)  # [B, 1]
-        drafts_pad = jnp.concatenate(
-            [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)
-        out = jnp.where(j < k[:, None], drafts_pad, -1)
-        out = jnp.where(j == k[:, None], bonus, out)
-
-        n_new = jnp.where(done, 0, k + 1)
-        # Cut at the first EOS among the committed tokens (inclusive).
-        is_eos = (out == eos_id) & (j < n_new[:, None])
-        eos_pos = jnp.min(jnp.where(is_eos, j, gamma + 1), axis=1)
-        has_eos = eos_pos <= gamma
-        n_new = jnp.where(has_eos, eos_pos + 1, n_new)
-        out = jnp.where(j < n_new[:, None], out, -1)
-
-        offsets = offsets + n_new
-        done_new = done | has_eos
-        last_idx = jnp.clip(n_new - 1, 0, gamma)
-        last_new = jnp.take_along_axis(out, last_idx[:, None], axis=1)[:, 0]
-        last_tok = jnp.where(done, last_tok, last_new)
-        return cache_d, cache_t, out, n_new, offsets, done_new, last_tok
+        return _spec_round_greedy(
+            cfg_draft, cfg_target, gamma, eos_id, tgt_fwd, tgt_logits,
+            params_d, params_t, cache_d, cache_t, last_tok, offsets, done)
 
     return step
 
@@ -195,51 +214,16 @@ def make_spec_serving_fn_paged(cfg_draft: LlamaConfig,
     @partial(jax.jit, donate_argnums=(2, 3))
     def step(params_d, params_t, cache_d, cache_t, table, last_tok,
              lengths, done):
-        B = last_tok.shape[0]
-        adv = (~done).astype(jnp.int32)
+        def tgt_fwd(params_t, seq, cache_t, lengths, adv):
+            return forward_paged_verify(
+                cfg_target, params_t, seq, cache_t, table, lengths, adv)
 
-        def dstep(carry, _):
-            cache_d, tok, off = carry
-            h, cache_d = forward(cfg_draft, params_d, tok[:, None],
-                                 cache_d, off)
-            lg = logits_from_hidden(cfg_draft, params_d, h[:, 0])
-            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
-            return (cache_d, nxt, off + adv), nxt
+        def tgt_logits(params_t, h):
+            return logits_from_hidden(cfg_target, params_t, h)
 
-        (cache_d, _, _), drafts = jax.lax.scan(
-            dstep, (cache_d, last_tok, lengths), None, length=gamma
-        )
-        drafts = drafts.T  # [B, gamma]
-
-        seq = jnp.concatenate([last_tok[:, None], drafts], axis=1)
-        h, cache_t = forward_paged_verify(
-            cfg_target, params_t, seq, cache_t, table, lengths, adv)
-        logits = logits_from_hidden(cfg_target, params_t, h)  # [B, g+1, V]
-        tgt = jnp.argmax(logits, -1).astype(jnp.int32)
-
-        match = drafts == tgt[:, :gamma]
-        k = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-
-        j = jnp.arange(gamma + 1)[None, :]
-        bonus = jnp.take_along_axis(tgt, k[:, None], axis=1)  # [B, 1]
-        drafts_pad = jnp.concatenate(
-            [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)
-        out = jnp.where(j < k[:, None], drafts_pad, -1)
-        out = jnp.where(j == k[:, None], bonus, out)
-
-        n_new = jnp.where(done, 0, k + 1)
-        is_eos = (out == eos_id) & (j < n_new[:, None])
-        eos_pos = jnp.min(jnp.where(is_eos, j, gamma + 1), axis=1)
-        has_eos = eos_pos <= gamma
-        n_new = jnp.where(has_eos, eos_pos + 1, n_new)
-        out = jnp.where(j < n_new[:, None], out, -1)
-
-        lengths = lengths + n_new
-        done_new = done | has_eos
-        last_idx = jnp.clip(n_new - 1, 0, gamma)
-        last_new = jnp.take_along_axis(out, last_idx[:, None], axis=1)[:, 0]
-        last_tok = jnp.where(done, last_tok, last_new)
-        return cache_d, cache_t, out, n_new, lengths, done_new, last_tok
+        return _spec_round_greedy(
+            cfg_draft, cfg_target, gamma, eos_id, tgt_fwd, tgt_logits,
+            params_d, params_t, cache_d, cache_t, last_tok, lengths, done)
 
     return step
 
@@ -315,8 +299,11 @@ def _accept_sampled(drafts, probs_d, probs_t, sp, counters):
 def _spec_round_sampled(cfg_draft, cfg_target, gamma, eos_id,
                         target_forward, params_d, params_t, cache_d,
                         cache_t, last_tok, offsets, done, last_n, sp,
-                        counters):
-    """Shared body of the dense/paged sampled speculative round."""
+                        counters, target_logits=None):
+    """Shared body of the dense/paged sampled speculative round.
+
+    `target_logits(params_t, h)` overrides the plain logits head for the
+    tensor-parallel twins (vocab-parallel matmul + all-gather)."""
     from tokenhawk_tpu.sampling import (
         categorical_probs,
         processed_probs_dynamic,
@@ -342,7 +329,10 @@ def _spec_round_sampled(cfg_draft, cfg_target, gamma, eos_id,
 
     seq = jnp.concatenate([last_tok[:, None], drafts], axis=1)
     h, cache_t = target_forward(params_t, seq, cache_t, offsets, adv)
-    logits = logits_from_hidden(cfg_target, params_t, h)  # [B, g+1, V]
+    if target_logits is None:
+        logits = logits_from_hidden(cfg_target, params_t, h)  # [B, g+1, V]
+    else:
+        logits = target_logits(params_t, h)
 
     # Target distributions position by position: position i's penalty
     # history is the committed ring extended with drafts[:i].

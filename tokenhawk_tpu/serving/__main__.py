@@ -84,10 +84,6 @@ def main(argv=None) -> int:
         from tokenhawk_tpu.parallel import make_mesh
 
         mesh = make_mesh(dp=1, tp=args.tp)
-        if args.draft_model:
-            parser.error("--draft-model is single-chip only (no --tp)")
-        if args.kv == "int8" and args.paged:
-            parser.error("--kv int8 pages are single-chip only (no --tp)")
     print(f"Loading {model_path} ...", file=sys.stderr)
     t0 = time.perf_counter()
     cfg, params, tokenizer = load_model(model_path, n_ctx=args.n_ctx,
