@@ -464,11 +464,33 @@ def main(argv=None) -> int:
         p50 = samples[len(samples) // 2] * 1e3
         print(f"TTFT samples (ms): {[f'{s*1e3:.1f}' for s in samples]}",
               file=sys.stderr)
+        # Prefill compute roofline (VERDICT r3 #8): MXU FLOPs the pass
+        # must spend vs the chip's peak.  p50 is WALL time through the
+        # relay (device time is lower — the round-2 trace measured
+        # ~53 ms device vs ~120 ms wall at 512 tokens), so this fraction
+        # is a conservative floor on the kernels' MXU efficiency.
+        from tokenhawk_tpu.utils.profiling import (
+            prefill_roofline_fraction,
+            prefill_speed_of_light,
+        )
+
+        sol_s = prefill_speed_of_light(cfg, args.prompt_tokens, batch=B)
+        frac = prefill_roofline_fraction(cfg, args.prompt_tokens,
+                                         p50 / 1e3, batch=B)
+        tps_pre = args.prompt_tokens * B / (p50 / 1e3)
+        print(
+            f"prefill: {tps_pre:.0f} tok/s; MXU roofline {sol_s * 1e3:.1f} ms "
+            f"-> {frac * 100:.0f}% of compute SoL (wall, incl. relay)",
+            file=sys.stderr,
+        )
         emit(
             f"llama{args.model}_{args.quant}_ttft_p50_ms_prompt{args.prompt_tokens}"
             + ("_kvint8" if args.kv == "int8" else ""),
             round(p50, 1), "ms",
             0.0,  # the reference published no TTFT numbers
+            prefill_tokens_per_sec=round(tps_pre, 1),
+            mxu_roofline_ms=round(sol_s * 1e3, 2),
+            pct_of_mxu_roofline=round(frac * 100, 1),
         )
         return 0
 
@@ -564,6 +586,7 @@ def main(argv=None) -> int:
 
     emit(
         f"llama{args.model}_{args.quant}_decode_tokens_per_sec"
+        + (f"_b{B}" if B > 1 else "")  # batch-8 must not clobber B=1
         + ("_kvint8" if args.kv == "int8" else ""),
         round(tps, 2), "tok/s", round(tps / 37.0, 3),
         **extra,

@@ -10,7 +10,9 @@ cd "$(dirname "$0")/.."
 out=BENCH_MATRIX.jsonl
 run() {
     echo "=== $* ===" >&2
-    timeout 1800 python bench.py "$@" 2>&1 | tee /dev/stderr | grep '^{' \
+    # NOT `tee /dev/stderr`: when stderr is a redirected file, tee
+    # reopens it with O_TRUNC and each run erases the log of the last.
+    timeout 1800 python bench.py "$@" 2>&1 | tee >(cat >&2) | grep '^{' \
         | python experiments/merge_matrix.py "$out"
 }
 run --quant q4_0 --tokens 256

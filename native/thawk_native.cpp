@@ -12,10 +12,13 @@
 //
 // C ABI only; bound via ctypes (no pybind11 in the image).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <functional>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -411,6 +414,267 @@ void thawk_dequant_q3_k(const uint8_t* raw, float* y, int64_t nb) {
       q += 32;
     }
   }
+}
+
+}  // extern "C"
+
+// ---- independent GGUF container writer -------------------------------------
+//
+// A complete tiny GGUF v3 llama file written element-at-a-time from the
+// published container spec — INDEPENDENT of the Python writer
+// (ggml/gguf.py write_gguf), as the container-level half of the codec
+// cross-check: the Python parser must load a file this code produces
+// byte-stream-compatibly (header, every kv value type it uses, string
+// arrays, ne0-fastest dims, non-default alignment, GGUF f16-scale
+// quant blocks with the first-half/second-half nibble split).
+// Weights are a deterministic LCG stream so tests can reproduce the
+// expected values without shipping a fixture blob.
+
+namespace {
+
+// GGUF kv value type ids (container spec).
+enum : uint32_t {
+  GGUF_U32 = 4,
+  GGUF_F32 = 6,
+  GGUF_STR = 8,
+  GGUF_ARR = 9,
+};
+
+inline uint16_t f32_to_f16_rne(float f) {
+  // Round-to-nearest-even f32 -> f16, bit-level (no <stdfloat> dep).
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  uint32_t sign = (x >> 16) & 0x8000u;
+  int32_t exp = (int32_t)((x >> 23) & 0xFF) - 127 + 15;
+  uint32_t mant = x & 0x7FFFFFu;
+  if (((x >> 23) & 0xFF) == 0xFF) return (uint16_t)(sign | 0x7C00u | (mant ? 1 : 0));
+  if (exp >= 0x1F) return (uint16_t)(sign | 0x7C00u);  // overflow -> inf
+  if (exp <= 0) {
+    if (exp < -10) return (uint16_t)sign;  // underflow -> 0
+    mant |= 0x800000u;                      // make implicit bit explicit
+    int shift = 14 - exp;                   // exp in [-10, 0] -> shift in [14, 24]
+    uint32_t half = mant >> shift;
+    uint32_t rem = mant & ((1u << shift) - 1), mid = 1u << (shift - 1);
+    if (rem > mid || (rem == mid && (half & 1))) half++;
+    return (uint16_t)(sign | half);
+  }
+  uint32_t half = (uint32_t)(exp << 10) | (mant >> 13);
+  uint32_t rem = mant & 0x1FFFu;
+  if (rem > 0x1000u || (rem == 0x1000u && (half & 1))) half++;
+  return (uint16_t)(sign | half);
+}
+
+struct Lcg {
+  uint64_t s;
+  explicit Lcg(uint64_t seed) : s(seed) {}
+  // Numerical Recipes LCG; float in [-0.5, 0.5).
+  float next() {
+    s = s * 6364136223846793005ull + 1442695040888963407ull;
+    return (float)((s >> 33) & 0xFFFFFFu) / 16777216.0f - 0.5f;
+  }
+};
+
+struct Buf {
+  std::vector<uint8_t> v;
+  void raw(const void* p, size_t n) {
+    const uint8_t* b = (const uint8_t*)p;
+    v.insert(v.end(), b, b + n);
+  }
+  void u32(uint32_t x) { raw(&x, 4); }
+  void u64(uint64_t x) { raw(&x, 8); }
+  void f32v(float x) { raw(&x, 4); }
+  void str(const std::string& s) { u64(s.size()); raw(s.data(), s.size()); }
+  void pad_to(size_t align) { v.resize((v.size() + align - 1) / align * align, 0); }
+};
+
+void kv_u32(Buf& b, const char* k, uint32_t x) { b.str(k); b.u32(GGUF_U32); b.u32(x); }
+void kv_str(Buf& b, const char* k, const std::string& s) { b.str(k); b.u32(GGUF_STR); b.str(s); }
+
+// GGUF-format quant blocks (f16 scale; low nibbles = elems 0..15, high
+// = 16..31 — NOT the ggjt adjacent-pair layout the encoders above use).
+void gguf_q8_blocks(const float* x, int64_t n, Buf& out) {
+  for (int64_t b = 0; b < n / kQK; ++b) {
+    const float* xb = x + b * kQK;
+    float amax = 0.f;
+    for (int i = 0; i < kQK; ++i) amax = std::max(amax, std::fabs(xb[i]));
+    float d = amax / 127.0f;
+    uint16_t dh = f32_to_f16_rne(d);
+    float dr;  // quantize with the f16-rounded scale (llama.cpp stores f16)
+    {
+      uint32_t e = ((dh & 0x7C00u) ? ((uint32_t)(((dh >> 10) & 0x1F) - 15 + 127) << 23) : 0) |
+                   ((uint32_t)(dh & 0x3FFu) << 13) | ((uint32_t)(dh & 0x8000u) << 16);
+      std::memcpy(&dr, &e, 4);
+    }
+    float inv = dr != 0.f ? 1.0f / dr : 0.0f;
+    out.raw(&dh, 2);
+    for (int i = 0; i < kQK; ++i) {
+      int q = (int)std::nearbyintf(xb[i] * inv);
+      q = std::min(127, std::max(-127, q));
+      int8_t q8 = (int8_t)q;
+      out.raw(&q8, 1);
+    }
+  }
+}
+
+void gguf_q4_blocks(const float* x, int64_t n, Buf& out) {
+  for (int64_t b = 0; b < n / kQK; ++b) {
+    const float* xb = x + b * kQK;
+    float amax = 0.f, smax = 0.f;
+    for (int i = 0; i < kQK; ++i) {
+      float a = std::fabs(xb[i]);
+      if (a > amax) { amax = a; smax = xb[i]; }
+    }
+    float d = smax / -8.0f;
+    uint16_t dh = f32_to_f16_rne(d);
+    float dr;
+    {
+      uint32_t e = ((dh & 0x7C00u) ? ((uint32_t)(((dh >> 10) & 0x1F) - 15 + 127) << 23) : 0) |
+                   ((uint32_t)(dh & 0x3FFu) << 13) | ((uint32_t)(dh & 0x8000u) << 16);
+      std::memcpy(&dr, &e, 4);
+    }
+    float inv = dr != 0.f ? 1.0f / dr : 0.0f;
+    out.raw(&dh, 2);
+    for (int i = 0; i < kQK / 2; ++i) {
+      int q0 = (int)std::nearbyintf(xb[i] * inv) + 8;           // elems 0..15
+      int q1 = (int)std::nearbyintf(xb[i + kQK / 2] * inv) + 8;  // elems 16..31
+      q0 = std::min(15, std::max(0, q0));
+      q1 = std::min(15, std::max(0, q1));
+      uint8_t p = (uint8_t)(q0 | (q1 << 4));
+      out.raw(&p, 1);
+    }
+  }
+}
+
+struct TensorOut {
+  std::string name;
+  uint32_t gtype;           // 0=f32, 1=f16, 2=q4_0, 8=q8_0
+  std::vector<uint64_t> ne; // ne0 fastest (GGUF order)
+  std::vector<uint8_t> payload;
+};
+
+TensorOut make_tensor(const std::string& name, uint32_t gtype,
+                      int64_t rows, int64_t cols, uint64_t seed) {
+  TensorOut t;
+  t.name = name;
+  t.gtype = gtype;
+  if (cols > 0) t.ne = {(uint64_t)cols, (uint64_t)rows};  // ne0 fastest
+  else t.ne = {(uint64_t)rows};
+  int64_t n = rows * (cols > 0 ? cols : 1);
+  std::vector<float> x((size_t)n);
+  Lcg g(seed);
+  for (int64_t i = 0; i < n; ++i) x[(size_t)i] = g.next();
+  Buf b;
+  if (gtype == 0) b.raw(x.data(), (size_t)n * 4);
+  else if (gtype == 1) {
+    for (int64_t i = 0; i < n; ++i) { uint16_t h = f32_to_f16_rne(x[(size_t)i]); b.raw(&h, 2); }
+  } else if (gtype == 2) gguf_q4_blocks(x.data(), n, b);
+  else gguf_q8_blocks(x.data(), n, b);
+  t.payload = std::move(b.v);
+  return t;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Writes a complete tiny GGUF v3 llama model with an SPM byte-fallback
+// vocab and LCG weights.  Tensor seeds: `seed * 1000003 + index` in
+// the fixed write order (token_embd, output_norm, then per layer:
+// attn_norm, attn_q, attn_k, attn_v, attn_output, ffn_norm, ffn_gate,
+// ffn_down, ffn_up).  output.weight is omitted (tied embeddings).
+// Returns 0 on success.
+int thawk_write_tiny_gguf(const char* path, int32_t n_vocab, int32_t n_embd,
+                          int32_t n_head, int32_t n_layer, int32_t n_ff,
+                          uint64_t seed) {
+  const uint32_t align = 64;  // non-default on purpose (parser must honor it)
+  Buf b;
+
+  // ---- tensors (payloads first so infos can carry offsets) ----
+  std::vector<TensorOut> ts;
+  uint64_t idx = 0;
+  auto s = [&]() { return seed * 1000003ull + (idx++); };
+  ts.push_back(make_tensor("token_embd.weight", 1, n_vocab, n_embd, s()));
+  ts.push_back(make_tensor("output_norm.weight", 0, n_embd, 0, s()));
+  for (int l = 0; l < n_layer; ++l) {
+    std::string p = "blk." + std::to_string(l) + ".";
+    ts.push_back(make_tensor(p + "attn_norm.weight", 0, n_embd, 0, s()));
+    ts.push_back(make_tensor(p + "attn_q.weight", 2, n_embd, n_embd, s()));
+    ts.push_back(make_tensor(p + "attn_k.weight", 2, n_embd, n_embd, s()));
+    ts.push_back(make_tensor(p + "attn_v.weight", 2, n_embd, n_embd, s()));
+    ts.push_back(make_tensor(p + "attn_output.weight", 2, n_embd, n_embd, s()));
+    ts.push_back(make_tensor(p + "ffn_norm.weight", 0, n_embd, 0, s()));
+    ts.push_back(make_tensor(p + "ffn_gate.weight", 8, n_ff, n_embd, s()));
+    ts.push_back(make_tensor(p + "ffn_down.weight", 8, n_embd, n_ff, s()));
+    ts.push_back(make_tensor(p + "ffn_up.weight", 8, n_ff, n_embd, s()));
+  }
+
+  // ---- header ----
+  b.u32(0x46554747u);  // "GGUF"
+  b.u32(3);            // version
+  b.u64(ts.size());
+  b.u64(13);           // kv count (keep in sync below)
+
+  // ---- metadata ----
+  kv_str(b, "general.architecture", "llama");
+  kv_u32(b, "general.alignment", align);
+  kv_u32(b, "llama.embedding_length", (uint32_t)n_embd);
+  kv_u32(b, "llama.block_count", (uint32_t)n_layer);
+  kv_u32(b, "llama.attention.head_count", (uint32_t)n_head);
+  kv_u32(b, "llama.feed_forward_length", (uint32_t)n_ff);
+  kv_u32(b, "llama.rope.dimension_count", (uint32_t)(n_embd / n_head));
+  kv_str(b, "tokenizer.ggml.model", "llama");
+  // SPM byte-fallback vocab: specials + <0xHH> byte pieces + filler.
+  b.str("tokenizer.ggml.tokens");
+  b.u32(GGUF_ARR);
+  b.u32(GGUF_STR);
+  b.u64((uint64_t)n_vocab);
+  for (int i = 0; i < n_vocab; ++i) {
+    if (i == 0) b.str("<unk>");
+    else if (i == 1) b.str("<s>");
+    else if (i == 2) b.str("</s>");
+    else if (i < 259) {
+      char t[8];
+      std::snprintf(t, sizeof t, "<0x%02X>", i - 3);
+      b.str(t);
+    } else b.str("tok" + std::to_string(i));
+  }
+  b.str("tokenizer.ggml.scores");
+  b.u32(GGUF_ARR);
+  b.u32(GGUF_F32);
+  b.u64((uint64_t)n_vocab);
+  for (int i = 0; i < n_vocab; ++i) b.f32v(i < 259 ? -1e6f : (float)i);
+  b.str("tokenizer.ggml.token_type");
+  b.u32(GGUF_ARR);
+  b.u32(GGUF_U32);
+  b.u64((uint64_t)n_vocab);
+  for (int i = 0; i < n_vocab; ++i)
+    b.u32(i < 3 ? 3u : (i < 259 ? 6u : 1u));  // control / byte / normal
+  kv_u32(b, "tokenizer.ggml.bos_token_id", 1);
+  kv_u32(b, "tokenizer.ggml.eos_token_id", 2);
+
+  // ---- tensor infos ----
+  uint64_t rel = 0;
+  for (auto& t : ts) {
+    b.str(t.name);
+    b.u32((uint32_t)t.ne.size());
+    for (uint64_t d : t.ne) b.u64(d);
+    b.u32(t.gtype);
+    b.u64(rel);
+    rel = (rel + t.payload.size() + align - 1) / align * align;
+  }
+
+  // ---- data ----
+  b.pad_to(align);
+  for (auto& t : ts) {
+    b.raw(t.payload.data(), t.payload.size());
+    b.pad_to(align);
+  }
+
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 1;
+  size_t w = std::fwrite(b.v.data(), 1, b.v.size(), f);
+  std::fclose(f);
+  return w == b.v.size() ? 0 : 2;
 }
 
 }  // extern "C"

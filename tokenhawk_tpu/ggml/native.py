@@ -75,6 +75,11 @@ def _load() -> Optional[ctypes.CDLL]:
             for kq in ("q2_k", "q3_k", "q4_k", "q5_k", "q6_k"):
                 getattr(lib, f"thawk_dequant_{kq}").argtypes = [
                     vp, vp, c_i64]
+            lib.thawk_write_tiny_gguf.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_uint64]
+            lib.thawk_write_tiny_gguf.restype = ctypes.c_int
             _LIB = lib
             break
     return _LIB
@@ -210,3 +215,21 @@ def dequant_kquant_c(kind, raw: bytes, n: int):
     out = np.empty((n,), np.float32)
     fn(_ptr(buf), _ptr(out), nb)
     return out
+
+
+def write_tiny_gguf(path, n_vocab: int, n_embd: int, n_head: int,
+                    n_layer: int, n_ff: int, seed: int = 1) -> bool:
+    """Write a complete tiny GGUF v3 llama file via the INDEPENDENT C
+    container writer (native/thawk_native.cpp thawk_write_tiny_gguf) —
+    the container-level half of the codec cross-check: the Python GGUF
+    parser must load a file whose header, kv encoding, tensor infos,
+    alignment, and quant block streams were produced from the spec by a
+    second implementation.  Weights are a reproducible LCG stream (see
+    the C source for the per-tensor seeding rule).  Returns False when
+    the native library is unavailable (tests skip)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "thawk_write_tiny_gguf"):
+        return False
+    rc = lib.thawk_write_tiny_gguf(
+        str(path).encode(), n_vocab, n_embd, n_head, n_layer, n_ff, seed)
+    return rc == 0

