@@ -425,6 +425,34 @@ def main(argv=None) -> int:
             ]
         # warmup: one request end-to-end compiles prefill+decode
         sched.generate_many([prompts[0]], max_new_tokens=args.chunk)
+
+        # Phase attribution (VERDICT r3 #3: serve-mode wall must be
+        # explainable from its parts): wrap the scheduler's device entry
+        # points with blocking timers.  Blocking inside the wrapper
+        # serializes what the scheduler already serializes (it consumes
+        # every result on host immediately), so the attribution is
+        # faithful, not an observer effect.
+        import collections
+
+        phase = collections.defaultdict(float)
+        calls = collections.defaultdict(int)
+
+        def timed(name, fn):
+            def wrapper(*a, **k):
+                t = time.perf_counter()
+                out = fn(*a, **k)
+                jax.block_until_ready(out)
+                phase[name] += time.perf_counter() - t
+                calls[name] += 1
+                return out
+
+            return wrapper
+
+        sched._prefill = timed("prefill", sched._prefill)
+        sched._decode = timed("decode", sched._decode)
+        if getattr(sched, "_prefill_cont", None) is not None:
+            sched._prefill_cont = timed("prefill_cont", sched._prefill_cont)
+
         t0 = time.perf_counter()
         reqs = [Request(prompt=pr, max_new_tokens=gen_tokens)
                 for pr in prompts]
@@ -433,6 +461,13 @@ def main(argv=None) -> int:
         while sched.has_work:
             sched.step()
         wall = time.perf_counter() - t0
+        dev = sum(phase.values())
+        print(
+            "serve phases: "
+            + ", ".join(f"{k} {v:.2f}s/{calls[k]}x" for k, v in phase.items())
+            + f"; host+glue {wall - dev:.2f}s of {wall:.2f}s wall",
+            file=sys.stderr,
+        )
         total = sum(len(r.output) for r in reqs)
         tps = total / wall
         ttfts = sorted(r.ttft_seconds for r in reqs if r.ttft_seconds)
@@ -447,6 +482,10 @@ def main(argv=None) -> int:
             round(tps, 2), "tok/s", round(tps / 37.0, 3),
             requests=args.requests, prefix_cache=args.prefix_cache,
             gen_tokens=gen_tokens, ttft_p50_ms=round(p50, 1),
+            wall_s=round(wall, 2),
+            **{f"{k}_s": round(v, 2) for k, v in phase.items()},
+            **{f"{k}_calls": n for k, n in calls.items()},
+            host_glue_s=round(wall - dev, 2),
         )
         return 0
 
