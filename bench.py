@@ -244,10 +244,11 @@ def main(argv=None) -> int:
                    help="skip the independent HBM stream probe (the probe "
                         "is the non-circular yardstick for SoL claims)")
     args = p.parse_args(argv)
-    if args.mode == "serve":
-        # The paged forwards scan stacked [L, ...] layer weights; the
-        # unrolled tuple form is the dense-engine layout.
-        args.unroll = False
+    # serve mode uses the UNROLLED form too: single-chip paged forwards
+    # pair unrolled weights with the per-layer tuple pool, whose donated
+    # arrays update in place (the stacked pool rode lax.scan as xs/ys
+    # and was reallocated+rewritten every decode step — the round-4
+    # 5x serving gap).
 
     # Each timing trial decodes up to (tokens//chunk + 1) chunks past the
     # prompt (+8 slack from recycling); never run past the cache.

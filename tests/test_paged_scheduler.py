@@ -245,3 +245,65 @@ def test_chunked_prefill_non_pow2_pages_no_clamp_corruption():
     s1 = PagedScheduler(cfg, p2, prefill_chunk=32, **kw)
     [got] = s1.generate_many([prompt], max_new_tokens=5)
     assert got.output == want.output
+
+
+# ---------------------------------------------------------------------------
+# Unrolled per-layer page pool (the serve decode-fast form, round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_unrolled_pool_matches_stacked():
+    """Unrolled params + per-layer tuple pool (in-place donated updates)
+    must be bit-identical to the stacked scan form — bf16 and int8,
+    plain and chunked-prefill + prefix-cache admissions."""
+    from tokenhawk_tpu.models.llama import unstack_params
+    from tokenhawk_tpu.runtime.paged import is_unrolled_pool
+
+    rng = np.random.default_rng(77)
+    params = params_from_ggml(CFG, make_ggml_weights(CFG, rng),
+                              dtype=jnp.float32)
+    params_u = unstack_params(params)
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(3, CFG.n_vocab, n).tolist() for n in (5, 37)]
+
+    for extra in (
+        dict(cache_dtype=jnp.float32),
+        dict(cache_dtype="int8"),
+        dict(cache_dtype=jnp.float32, prefill_chunk=16, prefix_cache=True),
+    ):
+        kw = dict(sampling=GREEDY, max_batch=2, max_seq=64, page_size=16,
+                  n_pages=24, decode_chunk=4, **extra)
+        s_ref = PagedScheduler(CFG, params, **kw)
+        s_unr = PagedScheduler(CFG, params_u, **kw)
+        assert s_unr._unrolled and is_unrolled_pool(s_unr.cache)
+        assert not s_ref._unrolled
+        want = [r.output for r in s_ref.generate_many(prompts,
+                                                      max_new_tokens=7)]
+        got = [r.output for r in s_unr.generate_many(prompts,
+                                                     max_new_tokens=7)]
+        assert got == want, extra
+
+
+def test_unrolled_pool_speculative_matches():
+    """Speculative serving over the unrolled pool (verify writes pages
+    in place) stays bit-identical to non-speculative greedy."""
+    import jax
+
+    from tokenhawk_tpu.models.llama import init_params, unstack_params
+
+    draft_cfg = LlamaConfig(n_vocab=CFG.n_vocab, n_embd=32, n_head=2,
+                            n_layer=1, n_ctx=64, n_ff=48)
+    rng = np.random.default_rng(77)
+    params_u = unstack_params(params_from_ggml(
+        CFG, make_ggml_weights(CFG, rng), dtype=jnp.float32))
+    kw = dict(sampling=GREEDY, max_batch=2, max_seq=64, page_size=16,
+              n_pages=24, decode_chunk=4, cache_dtype=jnp.float32)
+    plain = PagedScheduler(CFG, params_u, **kw)
+    spec = PagedScheduler(
+        CFG, params_u, draft_cfg=draft_cfg,
+        draft_params=init_params(draft_cfg, jax.random.PRNGKey(0),
+                                 jnp.float32), gamma=3, **kw)
+    prompts = [[1, 5, 9, 13, 17], [1, 30, 60]]
+    want = [r.output for r in plain.generate_many(prompts, max_new_tokens=9)]
+    got = [r.output for r in spec.generate_many(prompts, max_new_tokens=9)]
+    assert got == want

@@ -626,7 +626,10 @@ def forward_paged_decode(
         attend_paged_layer_int8,
     )
 
-    quant = isinstance(cache, PagedQuantKVCache)
+    from tokenhawk_tpu.runtime.paged import is_unrolled_pool
+
+    quant = (isinstance(cache, PagedQuantKVCache)
+             or (is_unrolled_pool(cache) and len(cache[0]) == 4))
     B = tokens.shape[0]
     H, Hkv = cfg.n_head // tp, cfg.n_kv_head // tp  # local under TP
     Dh = cfg.head_dim
@@ -675,6 +678,19 @@ def forward_paged_decode(
         return _wo_ffn_block(cfg, x, ctx.reshape(B, 1, H * Dh), lp,
                              psum_axis), lcache
 
+    if isinstance(params.layers, tuple):
+        # Decode-fast unrolled form (per-layer tuple pool): the python
+        # layer loop updates each donated per-layer pool array IN PLACE
+        # via its dynamic-update-slice chain.  The stacked form below
+        # must carry the pool through lax.scan as xs/ys, and scan ys
+        # reallocate + rewrite the WHOLE pool every call — measured on
+        # v5e: serve decode cost scaled with pool size, not live tokens
+        # (49 ms/step @66 pages vs 28 @26; the round-4 serving gap).
+        new = []
+        for lp, lcache in zip(params.layers, cache):
+            x, lc = body(x, (lp, *lcache))
+            new.append(lc)
+        return x, tuple(new)
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)
 
@@ -705,7 +721,10 @@ def forward_paged_prefill(
         paginate_fragment_layer_int8,
     )
 
-    quant = isinstance(cache, PagedQuantKVCache)
+    from tokenhawk_tpu.runtime.paged import is_unrolled_pool
+
+    quant = (isinstance(cache, PagedQuantKVCache)
+             or (is_unrolled_pool(cache) and len(cache[0]) == 4))
     B, T = tokens.shape
     H, Hkv = cfg.n_head // tp, cfg.n_kv_head // tp  # local under TP
     Dh = cfg.head_dim
@@ -753,6 +772,19 @@ def forward_paged_prefill(
         return _wo_ffn_block(cfg, x, ctx.reshape(B, T, H * Dh), lp,
                              psum_axis), lcache
 
+    if isinstance(params.layers, tuple):
+        # Decode-fast unrolled form (per-layer tuple pool): the python
+        # layer loop updates each donated per-layer pool array IN PLACE
+        # via its dynamic-update-slice chain.  The stacked form below
+        # must carry the pool through lax.scan as xs/ys, and scan ys
+        # reallocate + rewrite the WHOLE pool every call — measured on
+        # v5e: serve decode cost scaled with pool size, not live tokens
+        # (49 ms/step @66 pages vs 28 @26; the round-4 serving gap).
+        new = []
+        for lp, lcache in zip(params.layers, cache):
+            x, lc = body(x, (lp, *lcache))
+            new.append(lc)
+        return x, tuple(new)
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)
 
@@ -784,7 +816,10 @@ def forward_paged_prefill_cont(
         paginate_fragment_layer_int8_at,
     )
 
-    quant = isinstance(cache, PagedQuantKVCache)
+    from tokenhawk_tpu.runtime.paged import is_unrolled_pool
+
+    quant = (isinstance(cache, PagedQuantKVCache)
+             or (is_unrolled_pool(cache) and len(cache[0]) == 4))
     B, C = tokens.shape
     H, Hkv = cfg.n_head // tp, cfg.n_kv_head // tp  # local under TP
     Dh = cfg.head_dim
@@ -800,7 +835,9 @@ def forward_paged_prefill_cont(
         jnp.arange(C)[None, :] < n_new[:, None], positions, 0
     )
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
-    ps = cache.page_size
+    from tokenhawk_tpu.runtime.paged import pool_page_size
+
+    ps = pool_page_size(cache)
     start_page = start // ps
 
     def body(x, layer_inputs):
@@ -858,6 +895,19 @@ def forward_paged_prefill_cont(
         return _wo_ffn_block(cfg, x, ctx.reshape(B, C, H * Dh), lp,
                              psum_axis), lcache
 
+    if isinstance(params.layers, tuple):
+        # Decode-fast unrolled form (per-layer tuple pool): the python
+        # layer loop updates each donated per-layer pool array IN PLACE
+        # via its dynamic-update-slice chain.  The stacked form below
+        # must carry the pool through lax.scan as xs/ys, and scan ys
+        # reallocate + rewrite the WHOLE pool every call — measured on
+        # v5e: serve decode cost scaled with pool size, not live tokens
+        # (49 ms/step @66 pages vs 28 @26; the round-4 serving gap).
+        new = []
+        for lp, lcache in zip(params.layers, cache):
+            x, lc = body(x, (lp, *lcache))
+            new.append(lc)
+        return x, tuple(new)
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)
 
@@ -895,7 +945,9 @@ def forward_paged_verify(
     x = x.astype(params.tok_embd.dtype)
     positions = start[:, None] + adv[:, None] * jnp.arange(T, dtype=jnp.int32)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
-    ps = cache.page_size
+    from tokenhawk_tpu.runtime.paged import pool_page_size
+
+    ps = pool_page_size(cache)
     mp = page_table.shape[1]
 
     def body(x, layer_inputs):
@@ -929,6 +981,19 @@ def forward_paged_verify(
         return _wo_ffn_block(cfg, x, ctx.reshape(B, T, H * Dh), lp,
                              psum_axis), (k_l, v_l)
 
+    if isinstance(params.layers, tuple):
+        # Decode-fast unrolled form (per-layer tuple pool): the python
+        # layer loop updates each donated per-layer pool array IN PLACE
+        # via its dynamic-update-slice chain.  The stacked form below
+        # must carry the pool through lax.scan as xs/ys, and scan ys
+        # reallocate + rewrite the WHOLE pool every call — measured on
+        # v5e: serve decode cost scaled with pool size, not live tokens
+        # (49 ms/step @66 pages vs 28 @26; the round-4 serving gap).
+        new = []
+        for lp, lcache in zip(params.layers, cache):
+            x, lc = body(x, (lp, *lcache))
+            new.append(lc)
+        return x, tuple(new)
     x, new = jax.lax.scan(body, x, (params.layers, *cache))
     return x, type(cache)(*new)
 

@@ -135,6 +135,88 @@ def _kernel_vec(
             ).astype(o_ref.dtype)
 
 
+def _append_kernel(
+    page_ref,  # SMEM [B] physical page per sequence
+    slot_ref,  # SMEM [B] row within the page
+    new_ref,  # VMEM [1, Hkv, Dh] this sequence's new row
+    pages_in,  # ANY [Hkv, n_pages, ps, Dh] (aliased to out)
+    out_ref,  # ANY — the same buffer
+    slab,  # VMEM [Hkv, 8, Dh]
+    sem,
+):
+    b = pl.program_id(0)
+    page = page_ref[b]
+    slot = slot_ref[b]
+    slab0 = pl.multiple_of((slot // 8) * 8, 8)
+    r = slot - slab0
+    rd = pltpu.make_async_copy(
+        out_ref.at[:, page, pl.ds(slab0, 8)], slab, sem)
+    rd.start()
+    rd.wait()
+    # Insert the row via a masked select (a dynamic single-row store
+    # needs sublane alignment Mosaic cannot prove for packed dtypes).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+    newv = jnp.swapaxes(new_ref[...], 0, 1)  # [Hkv, 1, Dh]
+    slab[...] = jnp.where(rows == r, newv, slab[...])
+    wr = pltpu.make_async_copy(
+        slab, out_ref.at[:, page, pl.ds(slab0, 8)], sem)
+    wr.start()
+    wr.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_append_rows(
+    pages: jax.Array,  # [Hkv, n_pages, ps, Dh]
+    new: jax.Array,  # [B, Hkv, Dh]
+    page: jax.Array,  # [B] int32 physical page ids
+    slot: jax.Array,  # [B] int32 rows within the page
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Append one token row per sequence into its page, IN PLACE.
+
+    A tile-aligned 8-row slab RMW on the aliased pool — the same write
+    discipline as the dense fused append kernel (flash_decode_dma.py).
+    Exists because the jnp dynamic-update-slice formulation made XLA's
+    layout assignment flip the whole pool to a token-contiguous layout
+    ({3,0,2,1}) and copy every pool array back to the default layout for
+    the attention kernel EVERY STEP — 13.5 ms/step of pure relayout
+    copies at 66 pages (round-4 serve trace).  A kernel-side write gives
+    layout assignment no reason to leave the default.
+
+    Grid cells run sequentially ("arbitrary"), so concurrent writes to a
+    shared page (done slots parked on the trash page) do not race.
+    """
+    B = new.shape[0]
+    Hkv, _, ps, Dh = pages.shape
+    grid = (B,)
+    return pl.pallas_call(
+        _append_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # page, slot
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, Hkv, Dh), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, 8, Dh), pages.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(pages.shape, pages.dtype),
+        # Operand index counts scalar-prefetch args: (page, slot, new,
+        # pages) -> pages is 3.
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(page.astype(jnp.int32), slot.astype(jnp.int32),
+      new.astype(pages.dtype), pages)
+
+
 @functools.partial(jax.jit, static_argnames=("head_block", "interpret"))
 def paged_flash_decode(
     q: jax.Array,  # [B, Hkv, rep, Dh]

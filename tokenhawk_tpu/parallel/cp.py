@@ -42,7 +42,8 @@ from tokenhawk_tpu.ops import apply_rope, matmul, rope_cos_sin
 from tokenhawk_tpu.parallel.mesh import CTX_AXIS, DATA_AXIS
 from tokenhawk_tpu.parallel.ring import decode_attend_cp, ring_attention
 from tokenhawk_tpu.parallel.tp import shard_map
-from tokenhawk_tpu.sampling import sample
+from tokenhawk_tpu.sampling import is_eos as _is_eos
+from tokenhawk_tpu.sampling import normalize_eos, sample
 
 
 def layer_cache_spec_cp() -> P:
@@ -222,7 +223,8 @@ def make_cp_prefill_fn(cfg: LlamaConfig, mesh: Mesh, params: LlamaParams):
 
 
 def make_cp_decode_fn(cfg: LlamaConfig, mesh: Mesh, sampling: SamplingConfig,
-                      chunk: int, eos_id: int = 2, params: LlamaParams = None):
+                      chunk: int, eos_id=2, params: LlamaParams = None):
+    eos0, eos_ids = normalize_eos(eos_id)
     ncp = mesh.shape[CTX_AXIS]
     pspecs = replicated_specs(params)
     cspecs = cache_specs_cp(tuple(range(cfg.n_layer)))
@@ -244,9 +246,9 @@ def make_cp_decode_fn(cfg: LlamaConfig, mesh: Mesh, sampling: SamplingConfig,
                 new_cache.append((kc, vc))
             logits = logits_from_hidden(cfg, params, x[:, 0])
             nxt = sample(logits, k, sampling, last_n)  # replicated: same key
-            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            nxt = jnp.where(done, jnp.int32(eos0), nxt)
             off = off + jnp.where(done, 0, 1)
-            done = done | (nxt == eos_id)
+            done = done | _is_eos(nxt, eos_ids)
             last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
             return (tuple(new_cache), nxt, off, last_n, done), nxt
 

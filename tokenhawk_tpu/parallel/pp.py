@@ -53,7 +53,8 @@ from tokenhawk_tpu.models.llama import (
 from tokenhawk_tpu.ops import rope_cos_sin
 from tokenhawk_tpu.parallel.mesh import DATA_AXIS, STAGE_AXIS
 from tokenhawk_tpu.parallel.tp import shard_map
-from tokenhawk_tpu.sampling import sample
+from tokenhawk_tpu.sampling import is_eos as _is_eos
+from tokenhawk_tpu.sampling import normalize_eos, sample
 
 
 def validate_pp(cfg: LlamaConfig, pp: int):
@@ -213,6 +214,7 @@ def make_pp_decode_fn(cfg: LlamaConfig, mesh: Mesh, sampling: SamplingConfig,
                       chunk: int, eos_id: int = 2,
                       params: LlamaParams = None):
     """Stage-serial PP decode chunk (Engine-compatible signature)."""
+    eos0, eos_ids = normalize_eos(eos_id)
     pp = mesh.shape[STAGE_AXIS]
     validate_pp(cfg, pp)
     pspecs = param_specs_pp(params)
@@ -253,9 +255,9 @@ def make_pp_decode_fn(cfg: LlamaConfig, mesh: Mesh, sampling: SamplingConfig,
             logits = jax.lax.psum(logits, STAGE_AXIS)
 
             nxt = sample(logits, k, sampling, last_n)  # replicated: same key
-            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            nxt = jnp.where(done, jnp.int32(eos0), nxt)
             off = off + jnp.where(done, 0, 1)
-            done = done | (nxt == eos_id)
+            done = done | _is_eos(nxt, eos_ids)
             last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
             return (KVCache(kc, vc), nxt, off, last_n, done), nxt
 

@@ -41,7 +41,8 @@ from tokenhawk_tpu.ops import (
 )
 from tokenhawk_tpu.ops.qweight import QWeight
 from tokenhawk_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from tokenhawk_tpu.sampling import sample
+from tokenhawk_tpu.sampling import is_eos as _is_eos
+from tokenhawk_tpu.sampling import normalize_eos, sample
 
 try:  # jax >= 0.7 exposes shard_map at the top level
     from jax import shard_map as _shard_map
@@ -282,8 +283,9 @@ def make_tp_prefill_fn(cfg: LlamaConfig, mesh: Mesh,
 
 
 def make_tp_decode_fn(cfg: LlamaConfig, mesh: Mesh, sampling: SamplingConfig,
-                      chunk: int, eos_id: int = 2,
+                      chunk: int, eos_id=2,
                       params: LlamaParams = None):
+    eos0, eos_ids = normalize_eos(eos_id)
     tp = mesh.shape[MODEL_AXIS]
     validate_tp(cfg, tp)
     pspecs = param_specs_tp(params)
@@ -298,10 +300,10 @@ def make_tp_decode_fn(cfg: LlamaConfig, mesh: Mesh, sampling: SamplingConfig,
             h, cache = _forward_tp(cfg, tp, params, tok[:, None], cache, off)
             logits = _logits_tp(cfg, params, h[:, 0])
             nxt = sample(logits, k, sampling, last_n)
-            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            nxt = jnp.where(done, jnp.int32(eos0), nxt)
             # Freeze offsets for done/idle slots (see engine.make_decode_fn).
             off = off + jnp.where(done, 0, 1)
-            done = done | (nxt == eos_id)
+            done = done | _is_eos(nxt, eos_ids)
             last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
             return (cache, nxt, off, last_n, done), nxt
 
@@ -342,6 +344,7 @@ def make_tp_decode_fn_dynamic(cfg: LlamaConfig, mesh: Mesh, chunk: int,
     (seed, counter) RNG stream)."""
     from tokenhawk_tpu.sampling import SamplingParams, sample_dynamic
 
+    eos0, eos_ids = normalize_eos(eos_id)
     tp = mesh.shape[MODEL_AXIS]
     validate_tp(cfg, tp)
     pspecs = param_specs_tp(params)
@@ -357,10 +360,10 @@ def make_tp_decode_fn_dynamic(cfg: LlamaConfig, mesh: Mesh, chunk: int,
             h, cache = _forward_tp(cfg, tp, params, tok[:, None], cache, off)
             logits = _logits_tp(cfg, params, h[:, 0])
             nxt = sample_dynamic(logits, sp, counters, last_n)
-            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            nxt = jnp.where(done, jnp.int32(eos0), nxt)
             off = off + jnp.where(done, 0, 1)
             counters = counters + 1
-            done = done | (nxt == eos_id)
+            done = done | _is_eos(nxt, eos_ids)
             last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
             return (cache, nxt, off, last_n, done, counters), nxt
 

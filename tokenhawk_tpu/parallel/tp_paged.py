@@ -41,6 +41,8 @@ from tokenhawk_tpu.parallel.tp import (
     validate_tp,
 )
 from tokenhawk_tpu.runtime.paged import PagedKVCache
+from tokenhawk_tpu.sampling import is_eos as _is_eos
+from tokenhawk_tpu.sampling import normalize_eos
 
 EOS_ID = 2
 
@@ -142,6 +144,7 @@ def make_tp_paged_decode_fn_dynamic(cfg: LlamaConfig, mesh: Mesh,
     """
     from tokenhawk_tpu.sampling import sample_dynamic
 
+    eos0, eos_ids = normalize_eos(eos_id)
     tp = mesh.shape[MODEL_AXIS]
     validate_tp(cfg, tp)
     pspecs = param_specs_tp(params)
@@ -157,10 +160,10 @@ def make_tp_paged_decode_fn_dynamic(cfg: LlamaConfig, mesh: Mesh,
                 psum_axis=MODEL_AXIS, tp=tp)
             logits = _logits_tp(cfg, params, h[:, 0])
             nxt = sample_dynamic(logits, sp, counters, last_n)
-            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            nxt = jnp.where(done, jnp.int32(eos0), nxt)
             lens = lens + jnp.where(done, 0, 1)
             counters = counters + 1
-            done = done | (nxt == eos_id)
+            done = done | _is_eos(nxt, eos_ids)
             last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
             return (cache, nxt, lens, last_n, done, counters), nxt
 

@@ -37,7 +37,8 @@ from tokenhawk_tpu.models.llama import (
     forward,
     logits_from_hidden,
 )
-from tokenhawk_tpu.sampling import sample
+from tokenhawk_tpu.sampling import is_eos as _is_eos
+from tokenhawk_tpu.sampling import normalize_eos, sample
 from tokenhawk_tpu.tokenizer import BOS_ID, EOS_ID, Tokenizer
 
 
@@ -83,7 +84,11 @@ def make_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig, chunk: int,
 
     (params, cache, last_tok [B], offsets [B], last_n [B,N], done [B], key)
       -> (cache, tokens [B,chunk], offsets, last_n, done)
+
+    eos_id: int, or an iterable for multi-EOS vocabs (Llama-3 instruct
+    stops on <|end_of_text|> AND <|eot_id|>).
     """
+    eos0, eos_ids = normalize_eos(eos_id)
 
     @partial(jax.jit, donate_argnums=(1,))
     def decode(params, cache, last_tok, offsets, last_n, done, key):
@@ -92,13 +97,13 @@ def make_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig, chunk: int,
             h, cache = forward(cfg, params, tok[:, None], cache, off)
             logits = logits_from_hidden(cfg, params, h[:, 0])
             nxt = sample(logits, k, sampling, last_n)
-            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            nxt = jnp.where(done, jnp.int32(eos0), nxt)
             # Done/idle slots must not advance: in long-lived serving an
             # unbounded offset walks past the cache end (OOB DMA in the
             # length-aware decode kernel, stale-cache unmasking in the
             # pipelined one).
             off = off + jnp.where(done, 0, 1)
-            done = done | (nxt == eos_id)
+            done = done | _is_eos(nxt, eos_ids)
             last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
             return (cache, nxt, off, last_n, done), nxt
 
@@ -123,6 +128,8 @@ def make_decode_fn_dynamic(cfg: LlamaConfig, chunk: int, eos_id: int = EOS_ID):
     """
     from tokenhawk_tpu.sampling import sample_dynamic
 
+    eos0, eos_ids = normalize_eos(eos_id)
+
     @partial(jax.jit, donate_argnums=(1,))
     def decode(params, cache, last_tok, offsets, last_n, done, sp, counters):
         def step(carry, _):
@@ -130,10 +137,10 @@ def make_decode_fn_dynamic(cfg: LlamaConfig, chunk: int, eos_id: int = EOS_ID):
             h, cache = forward(cfg, params, tok[:, None], cache, off)
             logits = logits_from_hidden(cfg, params, h[:, 0])
             nxt = sample_dynamic(logits, sp, counters, last_n)
-            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            nxt = jnp.where(done, jnp.int32(eos0), nxt)
             off = off + jnp.where(done, 0, 1)
             counters = counters + 1
-            done = done | (nxt == eos_id)
+            done = done | _is_eos(nxt, eos_ids)
             last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
             return (cache, nxt, off, last_n, done, counters), nxt
 
@@ -168,10 +175,15 @@ class Engine:
         parallel: str = "gspmd",  # "gspmd" | "tp" (shard_map, pallas-capable)
     ):
         if eos_id is None:
-            # The tokenizer knows the file's EOS (Llama-3 BPE vocabs use
-            # 128001/128009, not the SPM default 2).
-            eos_id = getattr(tokenizer, "eos_id", EOS_ID)
-            if eos_id is None or eos_id < 0:
+            # The tokenizer knows the file's end-of-generation ids
+            # (Llama-3 BPE vocabs stop on 128001 AND 128009, not the SPM
+            # default 2).
+            eog = getattr(tokenizer, "eog_ids", None)
+            if eog:
+                eos_id = tuple(sorted(int(e) for e in eog if e >= 0))
+            if not eos_id:
+                eos_id = getattr(tokenizer, "eos_id", EOS_ID)
+            if eos_id is None or (isinstance(eos_id, int) and eos_id < 0):
                 eos_id = EOS_ID
         self.cfg = cfg
         self.params = params
@@ -192,7 +204,8 @@ class Engine:
                            else jnp.bfloat16)
         self.cache_dtype = cache_dtype
         self.decode_chunk = decode_chunk
-        self.eos_id = eos_id
+        self.eos_id, self.eos_ids = normalize_eos(eos_id)
+        eos_id = self.eos_ids if len(self.eos_ids) > 1 else self.eos_id
 
         if mesh is not None and parallel == "tp":
             from tokenhawk_tpu.parallel.tp import (
@@ -368,7 +381,7 @@ class Engine:
 
         def emit(tid: int) -> bool:
             nonlocal done_host
-            if tid == self.eos_id:
+            if tid in self.eos_ids:
                 done_host = True
                 return False
             out_tokens.append(tid)
@@ -411,7 +424,7 @@ class Engine:
                 produced += 1
                 if not emit(int(t)):
                     break
-            if done_host or bool(toks_host[-1] == self.eos_id):
+            if done_host or int(toks_host[-1]) in self.eos_ids:
                 done_host = True
         t2 = time.perf_counter()
 

@@ -53,6 +53,59 @@ class PagedKVCache(NamedTuple):
         return self.k_pages.shape[2]
 
 
+def make_unrolled_pool(cfg: LlamaConfig, n_pages: int, page_size: int = 128,
+                       dtype=jnp.bfloat16):
+    """Per-layer tuple page pool: tuple of (k_l, v_l), each
+    [Hkv, n_pages, ps, Dh].
+
+    THE decode-fast form (the same fix that made the dense cache
+    context-independent, BENCH_NOTES round 1): the stacked [L, ...]
+    pool must ride `lax.scan` as xs/ys, and scan ys REALLOCATE AND
+    REWRITE the whole pool every step — measured 49 ms/step at 66 pages
+    vs 28 at 26 on v5e, i.e. serve decode cost scaled with POOL SIZE,
+    not live tokens (the round-4 5x serving gap).  Per-layer donated
+    arrays updated by dynamic_update_slice chains alias in place."""
+    shape = (cfg.n_kv_head, n_pages, page_size, cfg.head_dim)
+    return tuple(
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(cfg.n_layer)
+    )
+
+
+def make_unrolled_quant_pool(cfg: LlamaConfig, n_pages: int,
+                             page_size: int = 128):
+    """int8 per-layer pool: tuple of (k, ks, v, vs) per layer (payloads
+    int8 [Hkv, n_pages, ps, Dh], scales f32 [Hkv, n_pages, ps])."""
+    shape = (cfg.n_kv_head, n_pages, page_size, cfg.head_dim)
+    sshape = (cfg.n_kv_head, n_pages, page_size)
+    return tuple(
+        (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32),
+         jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32))
+        for _ in range(cfg.n_layer)
+    )
+
+
+def is_unrolled_pool(cache) -> bool:
+    """True for the per-layer tuple pool form (elements are tuples of
+    per-layer arrays); False for the stacked NamedTuple caches."""
+    return (isinstance(cache, tuple) and len(cache) > 0
+            and isinstance(cache[0], tuple))
+
+
+def pool_page_size(cache) -> int:
+    """page_size for a stacked PagedKVCache/PagedQuantKVCache or an
+    unrolled tuple pool."""
+    if isinstance(cache, tuple) and not hasattr(cache, "page_size"):
+        return cache[0][0].shape[2]
+    return cache.page_size
+
+
+def pool_n_pages(cache) -> int:
+    if isinstance(cache, tuple) and not hasattr(cache, "n_pages"):
+        return cache[0][0].shape[1]
+    return cache.n_pages
+
+
 class PageAllocator:
     """Host-side free-list allocator over physical pages."""
 
@@ -90,6 +143,20 @@ def append_token_layer(
     ps = pages.shape[2]
     page = jnp.take_along_axis(page_table, (positions // ps)[:, None], axis=1)[:, 0]
     slot = positions % ps
+
+    from tokenhawk_tpu.ops.dispatch import pallas_mode
+
+    mode = pallas_mode()
+    if (mode is not None and pages.shape[3] % 128 == 0 and ps % 8 == 0):
+        # Kernel-side aliased slab RMW: the jnp dus formulation below
+        # made XLA layout assignment flip the whole pool to a
+        # token-contiguous layout and relayout-copy every pool array
+        # back for the attention kernel each step (13.5 ms/step at 66
+        # pages — the round-4 serve trace).
+        from tokenhawk_tpu.ops.pallas.paged_decode import paged_append_rows
+
+        return paged_append_rows(pages, new, page, slot,
+                                 interpret=(mode == "interpret"))
     B = new.shape[0]
 
     def body(b, pages):

@@ -34,11 +34,15 @@ from tokenhawk_tpu.runtime.engine import _bucket
 from tokenhawk_tpu.runtime.paged import PageAllocator, PagedKVCache
 from tokenhawk_tpu.runtime.scheduler import Request
 from tokenhawk_tpu.sampling import sample
+from tokenhawk_tpu.sampling import is_eos as _is_eos
+from tokenhawk_tpu.sampling import normalize_eos
 from tokenhawk_tpu.tokenizer import EOS_ID
 
 
 def make_paged_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig,
-                         chunk: int, eos_id: int = EOS_ID):
+                         chunk: int, eos_id=EOS_ID):
+    eos0, eos_ids = normalize_eos(eos_id)
+
     @partial(jax.jit, donate_argnums=(1,))
     def decode(params, cache, table, last_tok, lengths, last_n, done, key):
         def step(carry, k):
@@ -48,11 +52,11 @@ def make_paged_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig,
             )
             logits = logits_from_hidden(cfg, params, h[:, 0])
             nxt = sample(logits, k, sampling, last_n)
-            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            nxt = jnp.where(done, jnp.int32(eos0), nxt)
             # Freeze lengths for done/idle slots (see engine.make_decode_fn):
             # an unbounded length walks the page walk past the slot's pages.
             lens = lens + jnp.where(done, 0, 1)
-            done = done | (nxt == eos_id)
+            done = done | _is_eos(nxt, eos_ids)
             last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
             return (cache, nxt, lens, last_n, done), nxt
 
@@ -71,6 +75,8 @@ def make_paged_decode_fn_dynamic(cfg: LlamaConfig, chunk: int,
     engine.make_decode_fn_dynamic)."""
     from tokenhawk_tpu.sampling import sample_dynamic
 
+    eos0, eos_ids = normalize_eos(eos_id)
+
     @partial(jax.jit, donate_argnums=(1,))
     def decode(params, cache, table, last_tok, lengths, last_n, done, sp,
                counters):
@@ -81,10 +87,10 @@ def make_paged_decode_fn_dynamic(cfg: LlamaConfig, chunk: int,
             )
             logits = logits_from_hidden(cfg, params, h[:, 0])
             nxt = sample_dynamic(logits, sp, counters, last_n)
-            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            nxt = jnp.where(done, jnp.int32(eos0), nxt)
             lens = lens + jnp.where(done, 0, 1)
             counters = counters + 1
-            done = done | (nxt == eos_id)
+            done = done | _is_eos(nxt, eos_ids)
             last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
             return (cache, nxt, lens, last_n, done, counters), nxt
 
@@ -175,29 +181,28 @@ class PagedScheduler:
         paged multi-token pass (greedy-only; bit-identical to
         non-speculative greedy).  The draft keeps a dense per-slot
         cache."""
-        if isinstance(params.layers, tuple):
-            # The loader's decode-fast pipelines end in the unrolled
-            # tuple form; the paged forwards scan stacked layer weights.
-            if mesh is not None:
-                # Stack under jit with out_shardings pinned so the
-                # stacked weights are born sharded — a plain stack of
-                # sharded per-layer leaves can transiently replicate
-                # the full stacked weight per device (OOM for models
-                # that only fit sharded).
-                from tokenhawk_tpu.parallel.tp import stack_params_tp
+        if isinstance(params.layers, tuple) and mesh is not None:
+            # The TP paged path scans stacked layer weights; stack under
+            # jit with out_shardings pinned so the stacked weights are
+            # born sharded — a plain stack of sharded per-layer leaves
+            # can transiently replicate the full stacked weight per
+            # device (OOM for models that only fit sharded).
+            from tokenhawk_tpu.parallel.tp import stack_params_tp
 
-                params = stack_params_tp(params, mesh)
-            else:
-                from tokenhawk_tpu.models.llama import stack_params
-
-                params = stack_params(params)
+            params = stack_params_tp(params, mesh)
+        # Single chip: unrolled params (the loader's decode-fast form)
+        # pair with the UNROLLED per-layer page pool — the paged
+        # forwards' python layer loop updates each donated pool array in
+        # place.  Stacked params keep the stacked pool + lax.scan.
+        self._unrolled = isinstance(params.layers, tuple) and mesh is None
         self.cfg = cfg
         self.params = params
         self.sampling = sampling
         self.B = max_batch
         self.S = max_seq or cfg.n_ctx
         self.ps = page_size
-        self.eos_id = eos_id
+        self.eos_id, self.eos_ids = normalize_eos(eos_id)
+        eos_id = self.eos_ids if len(self.eos_ids) > 1 else self.eos_id
         self.decode_chunk = decode_chunk
         self.mesh = mesh
         self.max_pages = -(-self.S // page_size)
@@ -211,9 +216,23 @@ class PagedScheduler:
         # shard_params_tp).  Speculative serving keeps the draft
         # replicated and verifies head-sharded.
         if cache_dtype == "int8":  # quantized pages (runtime/paged.py)
-            from tokenhawk_tpu.runtime.paged import PagedQuantKVCache
+            if self._unrolled:
+                from tokenhawk_tpu.runtime.paged import (
+                    make_unrolled_quant_pool,
+                )
 
-            self.cache = PagedQuantKVCache.create(cfg, n_pages, page_size)
+                self.cache = make_unrolled_quant_pool(cfg, n_pages,
+                                                      page_size)
+            else:
+                from tokenhawk_tpu.runtime.paged import PagedQuantKVCache
+
+                self.cache = PagedQuantKVCache.create(cfg, n_pages,
+                                                      page_size)
+        elif self._unrolled:
+            from tokenhawk_tpu.runtime.paged import make_unrolled_pool
+
+            self.cache = make_unrolled_pool(cfg, n_pages, page_size,
+                                            cache_dtype)
         else:
             self.cache = PagedKVCache.create(cfg, n_pages, page_size,
                                              cache_dtype)
@@ -652,7 +671,7 @@ class PagedScheduler:
         req = self.slots[slot]
         if req is None:
             return False
-        if tok == self.eos_id:
+        if tok in self.eos_ids:
             self._retire(slot, "eos")
             return False
         req.output.append(tok)
@@ -837,22 +856,37 @@ class PagedScheduler:
         """Recovery path: rebuild the page pool and slot state from
         scratch after repeated device-step failures (callers retire the
         active slots first); the pending queue is untouched."""
-        if self.cache_dtype == "int8":
-            from tokenhawk_tpu.runtime.paged import PagedQuantKVCache
+        from tokenhawk_tpu.runtime.paged import pool_n_pages
 
-            self.cache = PagedQuantKVCache.create(
-                self.cfg, self.cache.k_pages.shape[2], self.ps)
+        n_pages = pool_n_pages(self.cache)
+        if self.cache_dtype == "int8":
+            if self._unrolled:
+                from tokenhawk_tpu.runtime.paged import (
+                    make_unrolled_quant_pool,
+                )
+
+                self.cache = make_unrolled_quant_pool(self.cfg, n_pages,
+                                                      self.ps)
+            else:
+                from tokenhawk_tpu.runtime.paged import PagedQuantKVCache
+
+                self.cache = PagedQuantKVCache.create(self.cfg, n_pages,
+                                                      self.ps)
+        elif self._unrolled:
+            from tokenhawk_tpu.runtime.paged import make_unrolled_pool
+
+            self.cache = make_unrolled_pool(self.cfg, n_pages, self.ps,
+                                            self.cache_dtype)
         else:
             self.cache = PagedKVCache.create(
-                self.cfg, self.cache.k_pages.shape[2], self.ps,
-                self.cache_dtype)
+                self.cfg, n_pages, self.ps, self.cache_dtype)
             if self.mesh is not None:
                 from tokenhawk_tpu.parallel.tp_paged import (
                     shard_paged_cache_tp,
                 )
 
                 self.cache = shard_paged_cache_tp(self.cache, self.mesh)
-        self.alloc = PageAllocator(self.cache.k_pages.shape[2])
+        self.alloc = PageAllocator(n_pages)
         self.trash_page = self.alloc.alloc(1)[0]
         self.table = np.full((self.B, self.max_pages), self.trash_page,
                              np.int32)

@@ -207,7 +207,10 @@ class Scheduler:
         self.sampling = sampling
         self.B = max_batch
         self.S = max_seq or cfg.n_ctx
-        self.eos_id = eos_id
+        from tokenhawk_tpu.sampling import normalize_eos
+
+        self.eos_id, self.eos_ids = normalize_eos(eos_id)
+        eos_id = self.eos_ids if len(self.eos_ids) > 1 else self.eos_id
         self.decode_chunk = decode_chunk
         self.mesh = mesh
         self.parallel = parallel
@@ -538,7 +541,7 @@ class Scheduler:
         req = self.slots[slot]
         if req is None:
             return False
-        if tok == self.eos_id:
+        if tok in self.eos_ids:
             self._retire(slot, "eos")
             return False
         req.output.append(tok)

@@ -114,7 +114,12 @@ def _spec_round_greedy(cfg_draft, cfg_target, gamma, eos_id, target_forward,
     `target_forward(params_t, seq, cache_t, offsets, adv)` and
     `target_logits(params_t, h)` are hooks so the same accept/EOS/freeze
     math serves the dense forward, the paged verify, and their
-    tensor-parallel twins (parallel/tp.py, parallel/tp_paged.py)."""
+    tensor-parallel twins (parallel/tp.py, parallel/tp_paged.py).
+    eos_id: int or iterable (multi-EOS vocabs)."""
+    from tokenhawk_tpu.sampling import is_eos as _tok_is_eos
+    from tokenhawk_tpu.sampling import normalize_eos
+
+    _, eos_ids = normalize_eos(eos_id)
     B = last_tok.shape[0]
     adv = (~done).astype(jnp.int32)
 
@@ -148,7 +153,7 @@ def _spec_round_greedy(cfg_draft, cfg_target, gamma, eos_id, target_forward,
 
     n_new = jnp.where(done, 0, k + 1)
     # Cut at the first EOS among the committed tokens (inclusive).
-    is_eos = (out == eos_id) & (j < n_new[:, None])
+    is_eos = _tok_is_eos(out, eos_ids) & (j < n_new[:, None])
     eos_pos = jnp.min(jnp.where(is_eos, j, gamma + 1), axis=1)
     has_eos = eos_pos <= gamma
     n_new = jnp.where(has_eos, eos_pos + 1, n_new)
@@ -303,11 +308,16 @@ def _spec_round_sampled(cfg_draft, cfg_target, gamma, eos_id,
     """Shared body of the dense/paged sampled speculative round.
 
     `target_logits(params_t, h)` overrides the plain logits head for the
-    tensor-parallel twins (vocab-parallel matmul + all-gather)."""
+    tensor-parallel twins (vocab-parallel matmul + all-gather).
+    eos_id: int or iterable (multi-EOS vocabs)."""
+    from tokenhawk_tpu.sampling import is_eos as _tok_is_eos
     from tokenhawk_tpu.sampling import (
         categorical_probs,
+        normalize_eos,
         processed_probs_dynamic,
     )
+
+    _, eos_ids = normalize_eos(eos_id)
 
     B = last_tok.shape[0]
     adv = (~done).astype(jnp.int32)
@@ -348,7 +358,7 @@ def _spec_round_sampled(cfg_draft, cfg_target, gamma, eos_id,
 
     j = jnp.arange(gamma + 1)[None, :]
     n_new = jnp.where(done, 0, k + 1)
-    is_eos = (out == eos_id) & (j < n_new[:, None])
+    is_eos = _tok_is_eos(out, eos_ids) & (j < n_new[:, None])
     eos_pos = jnp.min(jnp.where(is_eos, j, gamma + 1), axis=1)
     has_eos = eos_pos <= gamma
     n_new = jnp.where(has_eos, eos_pos + 1, n_new)
@@ -444,9 +454,16 @@ class SpeculativeEngine:
         eos_id: Optional[int] = None,
     ):
         if eos_id is None:
-            eos_id = getattr(tokenizer, "eos_id", EOS_ID)
-            if eos_id is None or eos_id < 0:
+            eog = getattr(tokenizer, "eog_ids", None)
+            if eog:
+                eos_id = tuple(sorted(int(e) for e in eog if e >= 0))
+            if not eos_id:
+                eos_id = getattr(tokenizer, "eos_id", EOS_ID)
+            if eos_id is None or (isinstance(eos_id, int) and eos_id < 0):
                 eos_id = EOS_ID
+        from tokenhawk_tpu.sampling import normalize_eos
+
+        eos_id, self.eos_ids_all = normalize_eos(eos_id)
         if cfg_target.n_vocab != cfg_draft.n_vocab:
             raise ValueError("draft and target must share the vocab")
         from tokenhawk_tpu.runtime.engine import Engine
@@ -503,7 +520,7 @@ class SpeculativeEngine:
         accepted_drafts = 0
         t0 = time.perf_counter()
         while (len(tokens) < max_new_tokens
-               and tokens[-1] != self.eos_id
+               and tokens[-1] not in self.eos_ids_all
                and int(offsets[0]) + self.gamma + 1 < self.max_seq):
             d_cache, t_cache, out, n_new, offsets, last = self._step(
                 self.draft.params, self.target.params, d_cache, t_cache,
@@ -516,9 +533,10 @@ class SpeculativeEngine:
                 tokens.append(t)
                 if on_token:
                     on_token(t)
-                if t == self.eos_id or len(tokens) >= max_new_tokens:
+                if (t in self.eos_ids_all
+                        or len(tokens) >= max_new_tokens):
                     break
-            if self.eos_id in new:
+            if any(t in self.eos_ids_all for t in new):
                 break
         decode_s = time.perf_counter() - t0
 

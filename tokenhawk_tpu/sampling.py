@@ -26,6 +26,29 @@ from tokenhawk_tpu.config import SamplingConfig
 _NEG_INF = jnp.float32(-1e30)
 
 
+def normalize_eos(eos_id):
+    """An eos spec (int, or an iterable for multi-EOS vocabs — Llama-3
+    instruct stops on <|end_of_text|> AND <|eot_id|>) -> (sentinel,
+    sorted tuple).  The sentinel (primary EOS) is what frozen slots
+    emit; the tuple is what the traced done-latch tests against."""
+    if isinstance(eos_id, (tuple, list, set, frozenset)):
+        ids = tuple(sorted(int(e) for e in eos_id))
+        if not ids:
+            raise ValueError("empty eos id set")
+        return ids[0], ids
+    return int(eos_id), (int(eos_id),)
+
+
+def is_eos(tok: jax.Array, eos_ids) -> jax.Array:
+    """Elementwise membership in a STATIC tuple of end-of-generation ids
+    (unrolled compare-or chain: the set is tiny and baked into the
+    compiled step)."""
+    m = tok == eos_ids[0]
+    for e in eos_ids[1:]:
+        m = m | (tok == e)
+    return m
+
+
 def apply_repeat_penalty(
     logits: jax.Array, last_tokens: jax.Array, penalty: float
 ) -> jax.Array:

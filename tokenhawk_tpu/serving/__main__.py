@@ -104,10 +104,13 @@ def main(argv=None) -> int:
         draft_cfg, draft_params, _ = load_model(
             args.draft_model, n_ctx=args.n_ctx, dtype=dtype)
 
-    # The file's EOS id (Llama-3 BPE vocabs stop on 128001/128009, not
-    # the SPM default 2).
-    eos_id = getattr(tokenizer, "eos_id", 2)
-    if eos_id is None or eos_id < 0:
+    # The file's end-of-generation ids (Llama-3 BPE vocabs stop on
+    # 128001 AND the chat terminator 128009, not the SPM default 2).
+    eog = getattr(tokenizer, "eog_ids", None)
+    eos_id = tuple(sorted(int(e) for e in eog if e >= 0)) if eog else None
+    if not eos_id:
+        eos_id = getattr(tokenizer, "eos_id", 2)
+    if eos_id is None or (isinstance(eos_id, int) and eos_id < 0):
         eos_id = 2
     if args.paged:
         from tokenhawk_tpu.runtime.paged_scheduler import PagedScheduler
