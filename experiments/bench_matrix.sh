@@ -26,7 +26,9 @@ run --quant q4_0 --mode serve --requests 24 --batch 8 --ctx 1024 \
     --prompt-tokens 128 --tokens 64
 run --quant q4_0 --mode serve --requests 24 --batch 8 --ctx 1024 \
     --prompt-tokens 384 --tokens 64 --prefix-cache
-# BASELINE config 4: 13B q4_0 on one chip (~7.6 GB weights).
+# BASELINE config 4: 13B q4_0 on one chip (~7.3 GB weights).  Serve
+# uses ctx 512: 13B KV is 0.82 MB/token, so a full-occupancy 1024-ctx
+# pool (13.8 GB) plus weights would OOM the 16 GB chip.
 run --model 13b --quant q4_0 --tokens 192
 run --model 13b --quant q4_0 --mode serve --requests 16 --batch 8 \
-    --ctx 1024 --prompt-tokens 128 --tokens 64
+    --ctx 512 --prompt-tokens 128 --tokens 64
