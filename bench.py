@@ -602,7 +602,9 @@ def main(argv=None) -> int:
     wbytes = weight_stream_bytes(params)
     achieved_bw = wbytes * (tps / B) / 1e9
     n_past_mid = args.prompt_tokens + n_tok // 2
-    sol = decode_speed_of_light(params, cfg=cfg, n_past=n_past_mid, batch=B)
+    sol = decode_speed_of_light(
+        params, cfg=cfg, n_past=n_past_mid, batch=B,
+        kv_dtype_bytes=1 if args.kv == "int8" else 2)
     extra = {
         "weight_gb_per_tok": round(wbytes / 1e9, 3),
         "achieved_gbps": round(achieved_bw, 1),

@@ -71,13 +71,18 @@ def kv_stream_bytes(cfg, n_past: int, batch: int = 1, dtype_bytes: int = 2) -> i
 
 def decode_speed_of_light(
     params, cfg=None, n_past: int = 0, batch: int = 1,
-    chip: str = DEFAULT_CHIP,
+    chip: str = DEFAULT_CHIP, kv_dtype_bytes: int = 2,
 ) -> float:
-    """Roofline decode tok/s: HBM bandwidth / bytes-per-token."""
+    """Roofline decode tok/s: HBM bandwidth / bytes-per-token.
+
+    kv_dtype_bytes: 1 for int8 KV caches — using bf16 bytes for an int8
+    cache overstates the roofline's denominator and once printed a
+    nonsensical 102%-of-SoL line."""
     bw = HBM_GBPS[chip] * 1e9
     bytes_per_tok = weight_stream_bytes(params)
     if cfg is not None and n_past:
-        bytes_per_tok += kv_stream_bytes(cfg, n_past, batch) // max(batch, 1)
+        bytes_per_tok += (kv_stream_bytes(cfg, n_past, batch, kv_dtype_bytes)
+                          // max(batch, 1))
     return bw / bytes_per_tok
 
 
