@@ -42,3 +42,59 @@ def test_paged_kernel_matches_gather_reference(rng, rep_heads):
         qg, cache.k_pages[0], cache.v_pages[0], table, lengths, interpret=True
     )).reshape(B, 1, H, Dh)
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_gather_pages_dense_matches_fancy_index():
+    """Page-gather kernels (ops/pallas/paged_decode.py): the direct
+    page-DMA materialization must equal the jnp fancy-index gather,
+    bf16 and int8 (payloads + scale pages)."""
+    import numpy as np
+
+    from tokenhawk_tpu.ops.pallas.paged_decode import (
+        gather_pages_dense,
+        gather_pages_dense_int8,
+    )
+
+    rng = np.random.default_rng(5)
+    Hkv, npg, ps, Dh, B, mp = 4, 9, 128, 128, 3, 4
+    kp = jnp.asarray(rng.normal(size=(Hkv, npg, ps, Dh)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(Hkv, npg, ps, Dh)), jnp.float32)
+    table = jnp.asarray(rng.integers(0, npg, (B, mp)), jnp.int32)
+
+    def want(pages):
+        return np.swapaxes(np.asarray(pages)[:, np.asarray(table)], 0, 1
+                           ).reshape(B, Hkv, mp * ps, Dh)
+
+    kg, vg = gather_pages_dense(kp, vp, table, interpret=True)
+    np.testing.assert_array_equal(np.asarray(kg), want(kp))
+    np.testing.assert_array_equal(np.asarray(vg), want(vp))
+
+    k8 = jnp.asarray(rng.integers(-127, 127, (Hkv, npg, ps, Dh)), jnp.int8)
+    ks = jnp.asarray(rng.normal(size=(Hkv, npg, ps)), jnp.float32)
+    kq, ksq, vq, vsq = gather_pages_dense_int8(k8, ks, k8, ks, table,
+                                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(kq), want(k8))
+    np.testing.assert_array_equal(
+        np.asarray(ksq),
+        np.swapaxes(np.asarray(ks)[:, np.asarray(table)], 0, 1
+                    ).reshape(B, Hkv, mp * ps))
+
+
+def test_paged_append_rows_matches_dus():
+    """paged_append_rows (aliased slab RMW) == the jnp dus append,
+    including two sequences writing the same page (trash-page case)."""
+    import numpy as np
+
+    from tokenhawk_tpu.ops.pallas.paged_decode import paged_append_rows
+
+    rng = np.random.default_rng(6)
+    Hkv, npg, ps, Dh, B = 4, 6, 16, 128, 3
+    pool = jnp.asarray(rng.normal(size=(Hkv, npg, ps, Dh)), jnp.float32)
+    new = jnp.asarray(rng.normal(size=(B, Hkv, Dh)), jnp.float32)
+    page = jnp.asarray([1, 4, 1], jnp.int32)
+    slot = jnp.asarray([3, 9, 5], jnp.int32)
+    out = paged_append_rows(pool, new, page, slot, interpret=True)
+    want = np.asarray(pool).copy()
+    for b in range(B):
+        want[:, int(page[b]), int(slot[b]), :] = np.asarray(new[b])
+    np.testing.assert_array_equal(np.asarray(out), want)

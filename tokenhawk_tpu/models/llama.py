@@ -873,13 +873,27 @@ def forward_paged_prefill_cont(
                 v_l, vs_l, v_b, page_table, start_page)
             lcache = (k_l, ks_l, v_l, vs_l)
 
-            def dq(pages, spages):
-                g = jnp.swapaxes(pages[:, page_table], 0, 1)
-                sg = jnp.swapaxes(spages[:, page_table], 0, 1)
-                g = g.astype(x.dtype) * sg[..., None].astype(x.dtype)
-                return g.reshape(B, Hkv, mp * ps, Dh)
+            from tokenhawk_tpu.ops.dispatch import pallas_mode
 
-            kg, vg = dq(k_l, ks_l), dq(v_l, vs_l)
+            _mode = pallas_mode()
+            if _mode is not None and Dh % 128 == 0 and ps % 128 == 0:
+                from tokenhawk_tpu.ops.pallas.paged_decode import (
+                    gather_pages_dense_int8,
+                )
+
+                kq, ksq, vq, vsq = gather_pages_dense_int8(
+                    k_l, ks_l, v_l, vs_l, page_table,
+                    interpret=(_mode == "interpret"))
+                kg = (kq.astype(x.dtype) * ksq[..., None].astype(x.dtype))
+                vg = (vq.astype(x.dtype) * vsq[..., None].astype(x.dtype))
+            else:
+                def dq(pages, spages):
+                    g = jnp.swapaxes(pages[:, page_table], 0, 1)
+                    sg = jnp.swapaxes(spages[:, page_table], 0, 1)
+                    g = g.astype(x.dtype) * sg[..., None].astype(x.dtype)
+                    return g.reshape(B, Hkv, mp * ps, Dh)
+
+                kg, vg = dq(k_l, ks_l), dq(v_l, vs_l)
         else:
             k_l, v_l = lcache
             k_l = paginate_fragment_layer_at(k_l, k_b, page_table,
@@ -887,10 +901,25 @@ def forward_paged_prefill_cont(
             v_l = paginate_fragment_layer_at(v_l, v_b, page_table,
                                              start_page)
             lcache = (k_l, v_l)
-            kg = jnp.swapaxes(k_l[:, page_table], 0, 1).reshape(
-                B, Hkv, mp * ps, Dh)
-            vg = jnp.swapaxes(v_l[:, page_table], 0, 1).reshape(
-                B, Hkv, mp * ps, Dh)
+            from tokenhawk_tpu.ops.dispatch import pallas_mode
+
+            _mode = pallas_mode()
+            if _mode is not None and Dh % 128 == 0 and ps % 128 == 0:
+                # Direct page DMAs: the jnp fancy-index gather lowered
+                # to a ~330 ms/call XLA gather (vs ~12 ms of bytes) and
+                # dominated prefix-cache serving.
+                from tokenhawk_tpu.ops.pallas.paged_decode import (
+                    gather_pages_dense,
+                )
+
+                kg, vg = gather_pages_dense(
+                    k_l, v_l, page_table,
+                    interpret=(_mode == "interpret"))
+            else:
+                kg = jnp.swapaxes(k_l[:, page_table], 0, 1).reshape(
+                    B, Hkv, mp * ps, Dh)
+                vg = jnp.swapaxes(v_l[:, page_table], 0, 1).reshape(
+                    B, Hkv, mp * ps, Dh)
         ctx = attend_cache(q, kg, vg, positions)
         return _wo_ffn_block(cfg, x, ctx.reshape(B, C, H * Dh), lp,
                              psum_axis), lcache
