@@ -448,7 +448,13 @@ def main(argv=None) -> int:
             def wrapper(*a, **k):
                 t = time.perf_counter()
                 out = fn(*a, **k)
-                jax.block_until_ready(out)
+                # Block on ONE output leaf: every call here is a single
+                # executable, so one ready buffer means the whole call
+                # finished.  (block_until_ready on the full tree pays a
+                # relay round trip PER LEAF — ~450 ms of observer
+                # overhead per prefill_cont call with its 64 per-layer
+                # pool arrays.)
+                jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
                 phase[name] += time.perf_counter() - t
                 calls[name] += 1
                 return out

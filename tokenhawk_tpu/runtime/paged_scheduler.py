@@ -39,6 +39,26 @@ from tokenhawk_tpu.sampling import normalize_eos
 from tokenhawk_tpu.tokenizer import EOS_ID
 
 
+@partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
+def _admit_state_paged(logits, sp, counters, last_tok, last_n, done, slot,
+                       ring, slot_sp):
+    """Fused admission state update: sample the first token from the
+    prefill logits and write every per-slot device field in one
+    dispatch (see PagedScheduler._activate)."""
+    from tokenhawk_tpu.sampling import sample_dynamic
+
+    first = sample_dynamic(logits, slot_sp, jnp.zeros((1,), jnp.int32),
+                           ring[None, :])[0]
+    sp = jax.tree_util.tree_map(lambda a, v: a.at[slot].set(v[0]),
+                                sp, slot_sp)
+    counters = counters.at[slot].set(1)
+    last_tok = last_tok.at[slot].set(first)
+    last_n = last_n.at[slot].set(
+        jnp.concatenate([ring[1:], first[None]]))
+    done = done.at[slot].set(False)
+    return sp, counters, last_tok, last_n, done, first
+
+
 def make_paged_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig,
                          chunk: int, eos_id=EOS_ID):
     eos0, eos_ids = normalize_eos(eos_id)
@@ -645,22 +665,22 @@ class PagedScheduler:
         ring = np.full((self.n_ring,), -1, np.int32)
         m = min(self.n_ring, len(prompt))
         ring[self.n_ring - m :] = prompt[-m:]
-        from tokenhawk_tpu.sampling import SamplingParams, sample_dynamic
+        from tokenhawk_tpu.sampling import SamplingParams
 
         scfg = req.sampling or self.sampling
         if self.spec:
             self._slot_sampled[slot] = scfg.temperature > 0.0
-        self.sp = self.sp.set_slot(slot, SamplingParams.slot_values(scfg))
-        first = sample_dynamic(
-            logits, SamplingParams.broadcast(scfg, 1),
-            jnp.zeros((1,), jnp.int32), jnp.asarray(ring[None, :]),
-        )[0]
-        self.counters = self.counters.at[slot].set(1)
-        self.last_tok = self.last_tok.at[slot].set(first)
-        self.last_n = self.last_n.at[slot].set(
-            jnp.concatenate([jnp.asarray(ring[1:]), first[None]])
+        # ONE fused dispatch for the whole slot-state update (sample +
+        # sp/counters/last_tok/last_n/done writes): the unfused form was
+        # ~7 tiny device calls per admission, each paying the tunneled
+        # relay's ~5 ms — ~1 s of pure dispatch across a 24-request
+        # serve run.
+        (self.sp, self.counters, self.last_tok, self.last_n, self.done,
+         first) = _admit_state_paged(
+            logits, self.sp, self.counters, self.last_tok, self.last_n,
+            self.done, jnp.int32(slot), jnp.asarray(ring),
+            SamplingParams.broadcast(scfg, 1),
         )
-        self.done = self.done.at[slot].set(False)
         self.lengths[slot] = len(prompt)
         self.slots[slot] = req
         req.first_token_at = time.perf_counter()
