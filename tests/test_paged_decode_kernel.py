@@ -98,3 +98,22 @@ def test_paged_append_rows_matches_dus():
     for b in range(B):
         want[:, int(page[b]), int(slot[b]), :] = np.asarray(new[b])
     np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_paged_append_scales_matches_dus():
+    """int8 scale-page append kernel (whole page-row RMW) == jnp dus."""
+    import numpy as np
+
+    from tokenhawk_tpu.ops.pallas.paged_decode import paged_append_scales
+
+    rng = np.random.default_rng(7)
+    Hkv, npg, ps, B = 4, 6, 128, 3
+    sp = jnp.asarray(rng.normal(size=(Hkv, npg, ps)), jnp.float32)
+    new = jnp.asarray(rng.normal(size=(B, Hkv)), jnp.float32)
+    page = jnp.asarray([1, 4, 1], jnp.int32)
+    slot = jnp.asarray([3, 99, 5], jnp.int32)
+    out = paged_append_scales(sp, new, page, slot, interpret=True)
+    want = np.asarray(sp).copy()
+    for b in range(B):
+        want[:, int(page[b]), int(slot[b])] = np.asarray(new[b])
+    np.testing.assert_array_equal(np.asarray(out), want)

@@ -217,6 +217,73 @@ def paged_append_rows(
       new.astype(pages.dtype), pages)
 
 
+def _append_scales_kernel(
+    page_ref,  # SMEM [B]
+    slot_ref,  # SMEM [B]
+    new_ref,  # VMEM [B, Hkv] per-head scales, all sequences
+    scales_in,  # ANY [Hkv, n_pages, ps] (aliased to out)
+    out_ref,  # ANY — the same buffer
+    row,  # VMEM [Hkv, ps]
+    sem,
+):
+    b = pl.program_id(0)
+    page = page_ref[b]
+    slot = slot_ref[b]
+    rd = pltpu.make_async_copy(out_ref.at[:, page], row, sem)
+    rd.start()
+    rd.wait()
+    # Select row b of the scales via a masked reduction (a (1, Hkv)
+    # block or dynamic sublane read trips Mosaic's tiling rules).
+    allv = new_ref[...].astype(jnp.float32)  # [B, Hkv]
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, allv.shape, 0)
+    vals = jnp.sum(jnp.where(rows_b == b, allv, 0.0), axis=0)  # [Hkv]
+    cols = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    row[...] = jnp.where(cols == slot, vals[:, None].astype(row.dtype),
+                         row[...])
+    wr = pltpu.make_async_copy(row, out_ref.at[:, page], sem)
+    wr.start()
+    wr.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_append_scales(
+    spages: jax.Array,  # [Hkv, n_pages, ps] per-token scales
+    new: jax.Array,  # [B, Hkv]
+    page: jax.Array,  # [B] int32
+    slot: jax.Array,  # [B] int32
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """paged_append_rows's twin for int8 scale pages: one scale column
+    per sequence lands via a whole page-row RMW ([Hkv, ps] is the
+    smallest lane-aligned slice of the token-innermost scale layout)."""
+    B = new.shape[0]
+    Hkv, _, ps = spages.shape
+    return pl.pallas_call(
+        _append_scales_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # whole [B, Hkv]
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, ps), spages.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(spages.shape, spages.dtype),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(page.astype(jnp.int32), slot.astype(jnp.int32),
+      new.astype(spages.dtype), spages)
+
+
 _GATHER_DEPTH = 4  # page DMAs in flight (HBM->HBM copies are
 # latency-bound: start-then-wait per cell measured ~26 ms/layer for
 # ~270 MB — fixed per-DMA latency, not bytes)

@@ -340,6 +340,25 @@ def append_token_layer_int8(
     B = new.shape[0]
     q8, sc = quantize_kv_block(new)  # int8 [B, Hkv, Dh], bf16 [B, Hkv]
 
+    from tokenhawk_tpu.ops.dispatch import pallas_mode
+
+    mode = pallas_mode()
+    if (mode is not None and pages.shape[3] % 128 == 0 and ps % 8 == 0
+            and ps % 128 == 0):
+        # Kernel-side aliased RMW writes (same rationale as the bf16
+        # append: the jnp dus formulation biases XLA layout assignment
+        # into whole-pool relayout copies every step).
+        from tokenhawk_tpu.ops.pallas.paged_decode import (
+            paged_append_rows,
+            paged_append_scales,
+        )
+
+        interp = mode == "interpret"
+        pages = paged_append_rows(pages, q8, page, slot, interpret=interp)
+        spages = paged_append_scales(spages, sc, page, slot,
+                                     interpret=interp)
+        return pages, spages
+
     def body(b, carry):
         pages, spages = carry
         pages = jax.lax.dynamic_update_slice(
