@@ -78,6 +78,25 @@ def make_prefill_fn(cfg: LlamaConfig):
     return prefill
 
 
+def _xla_opts():
+    """Env-gated per-jit XLA compiler options for perf experiments:
+    THAWK_XLA_OPTS="xla_msa_max_outstanding_prefetches=64,...".
+    Returns a kwargs dict for jax.jit (empty by default)."""
+    import os
+
+    raw = os.environ.get("THAWK_XLA_OPTS", "")
+    if not raw:
+        return {}
+    opts = {}
+    for kv in raw.split(","):
+        k, _, v = kv.partition("=")
+        try:
+            opts[k.strip()] = int(v)
+        except ValueError:
+            opts[k.strip()] = v.strip()
+    return {"compiler_options": opts}
+
+
 def make_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig, chunk: int,
                    eos_id: int = EOS_ID):
     """jit fn decoding `chunk` tokens on device.
@@ -90,7 +109,7 @@ def make_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig, chunk: int,
     """
     eos0, eos_ids = normalize_eos(eos_id)
 
-    @partial(jax.jit, donate_argnums=(1,))
+    @partial(jax.jit, donate_argnums=(1,), **_xla_opts())
     def decode(params, cache, last_tok, offsets, last_n, done, key):
         def step(carry, k):
             cache, tok, off, last_n, done = carry
