@@ -425,12 +425,20 @@ def main(argv=None) -> int:
                 for _ in range(args.requests)
             ]
         # warmup: one request end-to-end compiles prefill+decode
-        sched.generate_many([prompts[0]], max_new_tokens=args.chunk)
         if args.prefix_cache:
-            # A second pass over the same prompt HITS the prefix cache
-            # and compiles the prefill-continuation path — without this
-            # the first in-region admission pays a multi-second jit
-            # compile that the non-pc serve's warmup already excludes.
+            # Warm with THROWAWAY suffixes sharing only the intended
+            # prefix: warming with prompts[0] itself put its FULL
+            # prompt in the prefix cache, handing request 0 a free
+            # whole-prompt hit the other requests don't get (advisor
+            # r4).  The second pass HITS the shared prefix and compiles
+            # the prefill-continuation path.
+            def warm_prompt():
+                return shared + rng.integers(
+                    3, cfg.n_vocab, args.prompt_tokens).tolist()
+
+            sched.generate_many([warm_prompt()], max_new_tokens=args.chunk)
+            sched.generate_many([warm_prompt()], max_new_tokens=args.chunk)
+        else:
             sched.generate_many([prompts[0]], max_new_tokens=args.chunk)
 
         # Phase attribution (VERDICT r3 #3: serve-mode wall must be

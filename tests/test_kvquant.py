@@ -80,6 +80,26 @@ def test_flash_decode_int8_matches_reference(rng, Hkv, rep):
     np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
 
 
+def test_pick_hb_int8_stays_legal_under_scale_budget():
+    """The scale-VMEM step-down must land on LEGAL head blocks only
+    (divides Hkv; 8-aligned or the whole axis).  13B (Hkv=40) with int8
+    KV at S>13107 used to raw-decrement 40 -> 20 — the exact illegal
+    20-head partial Mosaic block _pick_hb was introduced to avoid."""
+    from tokenhawk_tpu.ops.pallas.flash_decode_int8 import (
+        _INT8_SCALE_VMEM,
+        _pick_hb_int8,
+    )
+
+    for Hkv in (8, 32, 40, 64):
+        for S in (1024, 8192, 16384, 32768):
+            hb = _pick_hb_int8(32, Hkv, 1, min(256, S), 128, 1, S)
+            assert Hkv % hb == 0, (Hkv, S, hb)
+            assert hb == Hkv or hb % 8 == 0 or hb == 1, (Hkv, S, hb)
+            assert 4 * hb * S <= _INT8_SCALE_VMEM or hb == 1, (Hkv, S, hb)
+    # the live 13B case: must step 40 -> 8, never 20
+    assert _pick_hb_int8(32, 40, 1, 256, 128, 1, 16384) == 8
+
+
 def test_engine_int8_kv_cache_generates(rng):
     """End-to-end generation with cache_dtype='int8' (opt-in path)."""
     import jax

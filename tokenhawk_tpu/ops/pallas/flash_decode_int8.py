@@ -60,6 +60,23 @@ _MASK = -0.7 * float(jnp.finfo(jnp.float32).max)
 _INT8_SCALE_VMEM = 2 * 1024 * 1024
 
 
+def _pick_hb_int8(head_block: int, Hkv: int, rep: int, bs: int, Dh: int,
+                  itemsize: int, S: int) -> int:
+    """_pick_hb, then shrink for the whole-S scale rows — stepping only
+    through LEGAL sizes (divides Hkv; 8-aligned or the whole axis).  A
+    raw decrement recreated the illegal partial block _pick_hb exists to
+    avoid: 13B's Hkv=40 with int8 KV at S>13107 stepped 40 -> 20, a
+    20-head sublane block Mosaic rejects."""
+    from tokenhawk_tpu.ops.pallas.flash_decode_dma import _pick_hb
+
+    hb = _pick_hb(head_block, Hkv, rep, bs, Dh, itemsize)
+    while hb > 1 and 4 * hb * S > _INT8_SCALE_VMEM:
+        hb = max((h for h in range(1, hb)
+                  if Hkv % h == 0 and (h == Hkv or h % 8 == 0)),
+                 default=1)
+    return hb
+
+
 def _kernel(
     lengths_ref,  # SMEM [B]
     q_ref,  # VMEM [1, HB, rep, Dh]
@@ -219,8 +236,6 @@ def flash_decode_int8(
     head_block: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
-    from tokenhawk_tpu.ops.pallas.flash_decode_dma import _pick_hb
-
     B, Hkv, rep, Dh = q.shape
     S = k_cache.shape[2]
     bs = min(block_s, S)
@@ -230,9 +245,8 @@ def flash_decode_int8(
     # Same fewer-larger-cells rule as the bf16 DMA kernel (BENCH_NOTES
     # round 2: hb 8 -> 32 wins at every length); int8 payload halves the
     # double-buffer bytes, the in-VMEM scale rows add 2*hb*S*2.
-    hb = _pick_hb(head_block, Hkv, rep, bs, Dh, k_cache.dtype.itemsize)
-    while hb > 1 and (Hkv % hb or 4 * hb * S > _INT8_SCALE_VMEM):
-        hb -= 1
+    hb = _pick_hb_int8(head_block, Hkv, rep, bs, Dh,
+                       k_cache.dtype.itemsize, S)
 
     kv_view = (B, Hkv, n_blocks, bs, Dh)
     grid = (B, Hkv // hb, n_blocks)

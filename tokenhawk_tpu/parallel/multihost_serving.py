@@ -30,6 +30,7 @@ multihost_utils idiom and activates under a real per-host launcher.
 
 from __future__ import annotations
 
+import base64
 import json
 from typing import Callable, List, Optional
 
@@ -57,7 +58,14 @@ def _jax_broadcast(payload: Optional[bytes]) -> bytes:
 def encode_packet(reqs: List[Request], cancels: List[int],
                   stop: bool = False) -> bytes:
     """Admissions + cancellations + loop control -> deterministic wire
-    bytes."""
+    bytes.
+
+    EVERYTHING a scheduler uses to make control decisions must travel
+    here: prompt, budget, sampling, stop sequences (they retire slots),
+    and the session id (it pins/evicts slots).  Callbacks and detok do
+    NOT travel — callbacks are external-world effects, and detok is a
+    pure tokenizer mapping every process reconstructs locally from the
+    same model file (the driver's `detok` argument)."""
     def sp(r):
         if r.sampling is None:
             return None
@@ -66,7 +74,13 @@ def encode_packet(reqs: List[Request], cancels: List[int],
                 s.repeat_last_n, s.seed]
 
     return json.dumps({
-        "reqs": [[list(r.prompt), r.max_new_tokens, sp(r)] for r in reqs],
+        "reqs": [
+            [list(r.prompt), r.max_new_tokens, sp(r),
+             [base64.b64encode(s).decode() for s in r.stop]
+             if r.stop else None,
+             r.session]
+            for r in reqs
+        ],
         "cancel": list(cancels),
         "stop": bool(stop),
     }).encode()
@@ -77,15 +91,18 @@ def decode_packet(data: bytes):
         return [], [], False
     obj = json.loads(data.decode())
     reqs = []
-    for prompt, mnt, sp in obj["reqs"]:
+    for prompt, mnt, sp, stop_seqs, session in obj["reqs"]:
         sampling = None
         if sp is not None:
             sampling = SamplingConfig(
                 temperature=sp[0], top_k=int(sp[1]), top_p=sp[2],
                 repeat_penalty=sp[3], repeat_last_n=int(sp[4]),
                 seed=int(sp[5]))
-        reqs.append(Request(prompt=prompt, max_new_tokens=mnt,
-                            sampling=sampling))
+        reqs.append(Request(
+            prompt=prompt, max_new_tokens=mnt, sampling=sampling,
+            stop=[base64.b64decode(s) for s in stop_seqs]
+            if stop_seqs is not None else None,
+            session=session))
     return reqs, obj["cancel"], obj.get("stop", False)
 
 
@@ -103,27 +120,52 @@ class MultihostServingDriver:
     """
 
     def __init__(self, sched, is_coordinator: Optional[bool] = None,
-                 broadcast: Callable[[Optional[bytes]], bytes] = _jax_broadcast):
+                 broadcast: Callable[[Optional[bytes]], bytes] = _jax_broadcast,
+                 detok: Optional[Callable[[int], bytes]] = None):
         import jax
 
         self.sched = sched
         self.is_coordinator = (jax.process_index() == 0
                                if is_coordinator is None else is_coordinator)
         self._bcast = broadcast
+        # Local token->bytes mapping for requests reconstructed from the
+        # packet.  Stop-sequence retirement is a CONTROL decision, so
+        # every process must run the same detok; it's a pure function of
+        # the (shared) model file, so each process builds its own from
+        # its tokenizer rather than shipping it on the wire.
+        self._detok = detok
         self._queue: List[Request] = []
         self._cancels: List[int] = []
-        # Mirrors of coordinator request objects by replay order, so the
-        # coordinator's rich Request (callbacks, session) is what the
-        # local scheduler actually runs with.
+        # replay_id -> submitted Request, maintained in REPLAY ORDER on
+        # every process, so a coordinator cancel(replay_id) resolves to
+        # the same logical request everywhere (schedulers cancel by
+        # object identity).
+        self._replay: dict = {}
         self._next_replay_id = 0
 
     # -- coordinator-side external API ----------------------------------
 
-    def submit(self, req: Request) -> None:
+    def submit(self, req: Request) -> int:
+        """Queue a request; returns its replay id (pass to cancel()).
+
+        Replay ids are assigned in queue order, which is packet order,
+        which is follower submit order — the same numbering everywhere.
+        """
         if not self.is_coordinator:
             raise RuntimeError("submit() is coordinator-only; followers "
                                "receive admissions via the broadcast")
+        if req.stop and req.detok is None:
+            req.detok = self._detok
+        if req.stop and req.detok is None:
+            raise ValueError(
+                "request has stop sequences but no detok: stop matching "
+                "is a control decision and would never fire (pass detok "
+                "on the request or to the driver)")
+        rid = self._next_replay_id
+        self._next_replay_id += 1
+        self._replay[rid] = req
         self._queue.append(req)
+        return rid
 
     def cancel(self, replay_id: int) -> None:
         if not self.is_coordinator:
@@ -158,11 +200,30 @@ class MultihostServingDriver:
                 self.sched.submit(r)
         else:
             for r in reqs:
+                if r.stop:
+                    if self._detok is None:
+                        raise RuntimeError(
+                            "packet request carries stop sequences but "
+                            "this follower has no detok — stop matching "
+                            "would diverge from the coordinator")
+                    r.detok = self._detok
+                rid = self._next_replay_id
+                self._next_replay_id += 1
+                self._replay[rid] = r
                 self.sched.submit(r)
         for rid in cancels:
-            if hasattr(self.sched, "cancel"):
-                self.sched.cancel(rid)
+            # Schedulers cancel by Request object identity; resolve the
+            # wire id through the replay map (an id for an already-
+            # finished request resolves but no-ops in the scheduler).
+            req = self._replay.get(rid)
+            if req is not None and hasattr(self.sched, "cancel"):
+                self.sched.cancel(req)
         self.sched.step()
+        # Prune finished entries so long-lived serving doesn't leak one
+        # Request per admission forever.
+        if self._replay:
+            self._replay = {i: r for i, r in self._replay.items()
+                            if r.done_at is None}
         return True
 
     @property

@@ -900,12 +900,15 @@ class PagedScheduler:
         else:
             self.cache = PagedKVCache.create(
                 self.cfg, n_pages, self.ps, self.cache_dtype)
-            if self.mesh is not None:
-                from tokenhawk_tpu.parallel.tp_paged import (
-                    shard_paged_cache_tp,
-                )
+        # Re-shard EVERY rebuilt pool form under TP, mirroring __init__
+        # (an int8 or unrolled pool born here with default placement
+        # would silently diverge from the sharded compiled steps).
+        if self.mesh is not None:
+            from tokenhawk_tpu.parallel.tp_paged import (
+                shard_paged_cache_tp,
+            )
 
-                self.cache = shard_paged_cache_tp(self.cache, self.mesh)
+            self.cache = shard_paged_cache_tp(self.cache, self.mesh)
         self.alloc = PageAllocator(n_pages)
         self.trash_page = self.alloc.alloc(1)[0]
         self.table = np.full((self.B, self.max_pages), self.trash_page,
