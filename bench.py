@@ -424,22 +424,32 @@ def main(argv=None) -> int:
                 rng.integers(3, cfg.n_vocab, args.prompt_tokens).tolist()
                 for _ in range(args.requests)
             ]
-        # warmup: one request end-to-end compiles prefill+decode
+        # warmup: compile prefill+decode AND the batched-admission
+        # variants the measured region will hit (a same-step group of B
+        # admissions prefills as ONE padded Nb=B dispatch — compiling it
+        # inside the timed region would swallow the measurement).
         if args.prefix_cache:
             # Warm with THROWAWAY suffixes sharing only the intended
             # prefix: warming with prompts[0] itself put its FULL
             # prompt in the prefix cache, handing request 0 a free
             # whole-prompt hit the other requests don't get (advisor
-            # r4).  The second pass HITS the shared prefix and compiles
-            # the prefill-continuation path.
+            # r4).  Pass 2 HITS the shared prefix and compiles the
+            # single continuation path; pass 3 compiles the Nb=B
+            # batched continuation + fused admit state.
             def warm_prompt():
                 return shared + rng.integers(
                     3, cfg.n_vocab, args.prompt_tokens).tolist()
 
             sched.generate_many([warm_prompt()], max_new_tokens=args.chunk)
             sched.generate_many([warm_prompt()], max_new_tokens=args.chunk)
+            sched.generate_many([warm_prompt() for _ in range(B)],
+                                max_new_tokens=args.chunk)
         else:
             sched.generate_many([prompts[0]], max_new_tokens=args.chunk)
+            warm = [rng.integers(3, cfg.n_vocab,
+                                 args.prompt_tokens).tolist()
+                    for _ in range(B)]
+            sched.generate_many(warm, max_new_tokens=args.chunk)
 
         # Phase attribution (VERDICT r3 #3: serve-mode wall must be
         # explainable from its parts): wrap the scheduler's device entry

@@ -307,3 +307,113 @@ def test_unrolled_pool_speculative_matches():
     want = [r.output for r in plain.generate_many(prompts, max_new_tokens=9)]
     got = [r.output for r in spec.generate_many(prompts, max_new_tokens=9)]
     assert got == want
+
+
+def test_batched_admission_matches_sequential(params):
+    """Same-step multi-slot admissions go through ONE padded prefill
+    dispatch (_admit_batch); outputs must be identical to admitting the
+    same requests one step apart (each a batch of 1)."""
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    prompts = [[1, 5, 9, 13], [1, 30, 60, 90, 120], [1, 4, 4, 8],
+               [1, 2, 3, 4, 5, 6, 7]]
+
+    def run(stagger):
+        s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=4,
+                           cache_dtype=jnp.float32, decode_chunk=4,
+                           page_size=16, n_pages=24)
+        reqs = [Request(prompt=p, max_new_tokens=6) for p in prompts]
+        if stagger:
+            for r in reqs:
+                s.submit(r)
+                s.step()  # admit alone: batch of exactly 1
+        else:
+            for r in reqs:
+                s.submit(r)  # all four admit in step 1: one batch of 4
+        while s.has_work:
+            s.step()
+        return [r.output for r in reqs]
+
+    assert run(stagger=False) == run(stagger=True)
+
+
+def test_batched_admission_mixed_sampling_reproducible(params):
+    """Per-request sampling params survive the fused multi-slot state
+    scatter: a seeded stochastic request admitted in a batch yields the
+    same tokens as when admitted alone (per-slot counter RNG)."""
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    mk = lambda: [  # noqa: E731
+        Request(prompt=[1, 9, 17], max_new_tokens=6),  # scheduler default
+        Request(prompt=[1, 33, 65], max_new_tokens=6,
+                sampling=SamplingConfig(temperature=0.9, top_k=13, seed=5)),
+        Request(prompt=[1, 8, 21], max_new_tokens=6,
+                sampling=SamplingConfig(temperature=0.7, top_p=0.8,
+                                        seed=11)),
+    ]
+
+    def run(batched):
+        s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=4,
+                           cache_dtype=jnp.float32, decode_chunk=4,
+                           page_size=16, n_pages=24)
+        reqs = mk()
+        for r in reqs:
+            s.submit(r)
+            if not batched:
+                s.step()
+        while s.has_work:
+            s.step()
+        return [r.output for r in reqs]
+
+    assert run(batched=True) == run(batched=False)
+
+
+def test_batched_admission_pads_to_pow2(params, monkeypatch):
+    """A 3-wide group prefills as a padded 4-row dispatch; padding rows
+    must not perturb live slots (trash-table writes, dropped scatter)."""
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=4,
+                       cache_dtype=jnp.float32, decode_chunk=4,
+                       page_size=16, n_pages=24)
+    seen = []
+    orig = s._prefill
+
+    def spy(params_, cache, toks, lengths, table):
+        seen.append(tuple(toks.shape))
+        return orig(params_, cache, toks, lengths, table)
+
+    s._prefill = spy
+    prompts = [[1, 5, 9], [1, 30, 60, 90], [1, 4, 4, 8, 15]]
+    got = [r.output
+           for r in s.generate_many(prompts, max_new_tokens=5)]
+    want = _dense(params, prompts[:2], 5) + _dense(params, prompts[2:], 5)
+    assert got == want
+    assert seen and seen[0][0] == 4  # 3 admissions padded to 4 rows
+
+
+def test_batched_cont_admission_matches_sequential(params):
+    """Prefix-cache continuation admissions also batch (one padded
+    prefill_cont dispatch); outputs identical to staggered admission."""
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    shared = [1] + list(range(3, 3 + 31))  # two full 16-token pages
+
+    def run(stagger):
+        s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=4,
+                           cache_dtype=jnp.float32, decode_chunk=4,
+                           page_size=16, n_pages=40, prefix_cache=True)
+        # seed the prefix cache so later admissions take the cont path
+        s.generate_many([shared + [200, 201]], max_new_tokens=2)
+        reqs = [Request(prompt=shared + [210 + i, 99, 98 - i],
+                        max_new_tokens=6) for i in range(3)]
+        for r in reqs:
+            s.submit(r)
+            if stagger:
+                s.step()
+        while s.has_work:
+            s.step()
+        assert s.prefix_hits >= (3 if stagger else 3)
+        return [r.output for r in reqs]
+
+    assert run(stagger=False) == run(stagger=True)

@@ -59,6 +59,30 @@ def _admit_state_paged(logits, sp, counters, last_tok, last_n, done, slot,
     return sp, counters, last_tok, last_n, done, first
 
 
+@partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
+def _admit_state_paged_many(logits, sp, counters, last_tok, last_n, done,
+                            slots, rings, slot_sp):
+    """N-admission generalization of _admit_state_paged: one dispatch
+    samples every newly-admitted slot's first token from the batched
+    prefill logits [Nb, V] and scatters all per-slot state.  Padding
+    rows (the prefill is bucket-padded) carry an out-of-range slot index
+    and drop at the scatter."""
+    from tokenhawk_tpu.sampling import sample_dynamic
+
+    n = logits.shape[0]
+    first = sample_dynamic(logits, slot_sp, jnp.zeros((n,), jnp.int32),
+                           rings)
+    sp = jax.tree_util.tree_map(
+        lambda a, v: a.at[slots].set(v, mode="drop"), sp, slot_sp)
+    counters = counters.at[slots].set(1, mode="drop")
+    last_tok = last_tok.at[slots].set(first, mode="drop")
+    last_n = last_n.at[slots].set(
+        jnp.concatenate([rings[:, 1:], first[:, None]], axis=1),
+        mode="drop")
+    done = done.at[slots].set(False, mode="drop")
+    return sp, counters, last_tok, last_n, done, first
+
+
 def make_paged_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig,
                          chunk: int, eos_id=EOS_ID):
     eos0, eos_ids = normalize_eos(eos_id)
@@ -540,7 +564,16 @@ class PagedScheduler:
             self.slot_pages[slot].extend(new)
         return True
 
-    def _admit_one(self, slot: int, req: Request) -> bool:
+    def _admit_one(self, slot: int, req: Request,
+                   batch: Optional[list] = None) -> bool:
+        """Admit req into slot.  With `batch` given, a PLAIN admission
+        (no cached prefix, no chunking, no draft model) only reserves
+        pages and appends (slot, req, Tb) for the caller to prefill in
+        ONE padded multi-slot dispatch (_admit_batch) — each separate
+        prefill call pays the full per-dispatch cost (arg marshalling
+        for the ~370-leaf params+pool tree is ~190 ms through the
+        tunneled relay), so admitting n slots in one call is the single
+        biggest serve-phase lever (BENCH_NOTES round 4)."""
         prompt = req.prompt
         reused = self._reuse_prefix(slot, prompt)  # tokens from the cache
         remaining = len(prompt) - reused
@@ -561,6 +594,9 @@ class PagedScheduler:
             if not self._ensure_pages(slot, len(prompt)):
                 self._release_slot_pages(slot)
                 return False
+            if batch is not None and not self.spec:
+                batch.append(("cont", slot, req, reused, remaining, Cb))
+                return True
             toks = np.zeros((1, Cb), np.int32)
             toks[0, :remaining] = prompt[reused:]
             self.cache, logits = self._prefill_cont(
@@ -580,6 +616,9 @@ class PagedScheduler:
         Tb = _bucket(len(prompt), self.buckets)
         if not self._ensure_pages(slot, Tb):
             return False  # not enough pages right now
+        if batch is not None and not self.spec:
+            batch.append(("plain", slot, req, Tb))
+            return True
 
         toks = np.zeros((1, Tb), np.int32)
         toks[0, : len(prompt)] = prompt
@@ -593,6 +632,109 @@ class PagedScheduler:
         self._register_prompt_pages(slot, prompt)
         self._activate(slot, req, logits)
         return True
+
+    def _admit_batch(self, group: list):
+        """Admit a group of plain same-bucket admissions with ONE padded
+        prefill dispatch + ONE fused state dispatch.
+
+        The group's row count pads to a power of two so the serve path
+        compiles at most log2(B)+1 prefill variants per token bucket
+        (an exact-n shape would compile per distinct group size).
+        Padding rows carry zero lengths and all-trash table rows: their
+        (garbage) KV writes land on the trash page and their logits rows
+        drop at the state scatter."""
+        Tb = group[0][3]
+        n = len(group)
+        Nb = 1 << (n - 1).bit_length()
+        toks = np.zeros((Nb, Tb), np.int32)
+        lengths = np.zeros((Nb,), np.int32)
+        table = np.full((Nb, self.max_pages), self.trash_page, np.int32)
+        for i, (_, slot, req, _Tb) in enumerate(group):
+            prompt = req.prompt
+            toks[i, : len(prompt)] = prompt
+            lengths[i] = len(prompt)
+            table[i] = self.table[slot]
+        self.cache, logits = self._prefill(
+            self.params, self.cache, jnp.asarray(toks),
+            jnp.asarray(lengths), jnp.asarray(table),
+        )
+        self._activate_many([(slot, req) for _, slot, req, _Tb in group],
+                            Nb, logits)
+
+    def _admit_batch_cont(self, group: list):
+        """Batched prefix-cache continuation admissions: one padded
+        prefill_cont dispatch covers every same-bucket suffix (each
+        unbatched call pays ~190 ms of relay arg marshalling for the
+        ~370-leaf params+pool tree — it dominated pc-serve).  Rows carry
+        their own page-aligned `start`; the table width pads to the
+        group's power-of-two page-count bucket (same bucketing as
+        _table_slice, so batched and single calls share compilations
+        when shapes agree)."""
+        Cb = group[0][5]
+        n = len(group)
+        Nb = 1 << (n - 1).bit_length()
+        need = max(-(-(reused + Cb) // self.ps)
+                   for _, _, _, reused, _, _ in group)
+        W = 1
+        while W < need:
+            W *= 2
+        W = min(W, self.max_pages)
+        toks = np.zeros((Nb, Cb), np.int32)
+        start = np.zeros((Nb,), np.int32)
+        n_new = np.zeros((Nb,), np.int32)
+        table = np.full((Nb, W), self.trash_page, np.int32)
+        for i, (_, slot, req, reused, remaining, _Cb) in enumerate(group):
+            toks[i, :remaining] = req.prompt[reused:]
+            start[i] = reused
+            n_new[i] = remaining
+            table[i] = self.table[slot, :W]
+        self.cache, logits = self._prefill_cont(
+            self.params, self.cache, jnp.asarray(toks),
+            jnp.asarray(table), jnp.asarray(start), jnp.asarray(n_new),
+        )
+        self._activate_many(
+            [(slot, req) for _, slot, req, _r, _m, _c in group], Nb, logits)
+
+    def _activate_many(self, rows: list, Nb: int, logits):
+        """Fused state update + host-side activation for one admission
+        group (logits [Nb, V]; rows is the n <= Nb live (slot, req)
+        prefix — padding rows scatter-drop via out-of-range indices)."""
+        n = len(rows)
+        # Out-of-range slot index = dropped at the scatter (mode="drop").
+        slots = np.full((Nb,), self.B, np.int32)
+        rings = np.full((Nb, self.n_ring), -1, np.int32)
+        scfgs = []
+        for i, (slot, req) in enumerate(rows):
+            slots[i] = slot
+            m = min(self.n_ring, len(req.prompt))
+            if m:
+                rings[i, self.n_ring - m:] = req.prompt[-m:]
+            scfgs.append(req.sampling or self.sampling)
+        from tokenhawk_tpu.sampling import SamplingParams
+
+        vals = [SamplingParams.slot_values(c) for c in scfgs]
+        vals += [vals[-1]] * (Nb - n)  # pad rows: any params, dropped
+        t, k, p, r, s = zip(*vals)
+        slot_sp = SamplingParams(
+            temperature=jnp.asarray(t, jnp.float32),
+            top_k=jnp.asarray(k, jnp.int32),
+            top_p=jnp.asarray(p, jnp.float32),
+            repeat_penalty=jnp.asarray(r, jnp.float32),
+            seed=jnp.asarray(s, jnp.int32),
+        )
+        (self.sp, self.counters, self.last_tok, self.last_n, self.done,
+         first) = _admit_state_paged_many(
+            logits, self.sp, self.counters, self.last_tok, self.last_n,
+            self.done, jnp.asarray(slots), jnp.asarray(rings), slot_sp,
+        )
+        first_host = np.asarray(first)
+        now = time.perf_counter()
+        for i, (slot, req) in enumerate(rows):
+            self._register_prompt_pages(slot, req.prompt)
+            self.lengths[slot] = len(req.prompt)
+            self.slots[slot] = req
+            req.first_token_at = now
+            self._deliver(slot, int(first_host[i]))
 
     def _spec_draft_prefill(self, slot: int, toks: np.ndarray, n: int):
         """Mirror the admission prefill into the DRAFT's dense cache
@@ -739,11 +881,13 @@ class PagedScheduler:
         return table
 
     def step(self):
+        batch: list = []  # deferred plain admissions (slot, req, Tb)
         for slot in range(self.B):
             if (self.slots[slot] is None and self.chunking[slot] is None
                     and self.pending):
-                if not self._admit_one(slot, self.pending[0]):
-                    if self.n_active == 0 and self.n_chunking == 0:
+                if not self._admit_one(slot, self.pending[0], batch):
+                    if (self.n_active == 0 and self.n_chunking == 0
+                            and not batch):
                         # Nothing in flight can ever free capacity: the
                         # request is infeasible for this pool, not merely
                         # queued.  Fail it instead of spinning forever.
@@ -758,6 +902,17 @@ class PagedScheduler:
                     break  # page pool exhausted; decode to free capacity
                 else:
                     self.pending.popleft()
+        # Flush the deferred admissions: one padded multi-slot prefill
+        # dispatch per (kind, token bucket) instead of one per request.
+        if batch:
+            plains = sorted((e for e in batch if e[0] == "plain"),
+                            key=lambda e: e[3])
+            for _, grp in itertools.groupby(plains, key=lambda e: e[3]):
+                self._admit_batch(list(grp))
+            conts = sorted((e for e in batch if e[0] == "cont"),
+                           key=lambda e: e[5])
+            for _, grp in itertools.groupby(conts, key=lambda e: e[5]):
+                self._admit_batch_cont(list(grp))
         # At most ONE prompt chunk per step: the whole point is bounding
         # how long any single step can stall the live decode streams.
         for slot in range(self.B):
