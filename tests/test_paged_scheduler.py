@@ -417,3 +417,51 @@ def test_batched_cont_admission_matches_sequential(params):
         return [r.output for r in reqs]
 
     assert run(stagger=False) == run(stagger=True)
+
+def test_batched_chunk_advance_matches_sequential(params, monkeypatch):
+    """Two long prompts chunk-prefilling at the same time advance as ONE
+    padded prefill_cont dispatch per step (_advance_chunking_batch);
+    outputs identical to the single-slot path, including the step where
+    the shorter prompt completes (mixed completion group: the finishing
+    row activates from the leading logits row, the other keeps its
+    chunking state)."""
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    rng = np.random.default_rng(31)
+    long_a = [1] + rng.integers(3, 500, 44).tolist()  # 45 tok: 3 chunks
+    long_b = [1] + rng.integers(3, 500, 33).tolist()  # 34 tok: 3 chunks
+
+    def run(single):
+        s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=2,
+                           cache_dtype=jnp.float32, decode_chunk=4,
+                           page_size=16, n_pages=24, prefill_chunk=16)
+        if single:
+            # Force the pre-batching behavior: one slot per step.
+            def one_per_step():
+                for slot in range(s.B):
+                    if s.chunking[slot] is not None:
+                        s._advance_chunking(slot)
+                        break
+
+            monkeypatch.setattr(s, "_advance_chunking_batch", one_per_step)
+        widths = []
+        orig = s._prefill_cont
+
+        def spy(params_, cache, toks, table, start, n_new):
+            widths.append(tuple(toks.shape))
+            return orig(params_, cache, toks, table, start, n_new)
+
+        s._prefill_cont = spy
+        reqs = [Request(prompt=long_a, max_new_tokens=6),
+                Request(prompt=long_b, max_new_tokens=6)]
+        for r in reqs:
+            s.submit(r)
+        while s.has_work:
+            s.step()
+        return [r.output for r in reqs], widths
+
+    got, widths = run(single=False)
+    want, _ = run(single=True)
+    assert got == want
+    # The full-width chunk advances really batched: a 2-row dispatch.
+    assert any(w[0] == 2 for w in widths)

@@ -753,6 +753,90 @@ class PagedScheduler:
             _insert_fragment(self.draft_cache.v, frag.v, slot),
         )
 
+    def _advance_chunking_batch(self):
+        """Advance every mid-admission prompt by one chunk this step,
+        grouped into ONE padded prefill_cont dispatch per chunk-width
+        bucket (mirrors _admit_batch_cont: each unbatched call pays the
+        full per-dispatch cost — ~190 ms of relay arg marshalling for
+        the ~370-leaf params+pool tree on the tunneled chip).  Rows that
+        complete their prompt are sorted to the FRONT of their group so
+        _activate_many can consume the leading logits rows; the rest
+        keep their chunking state.  Spec mode keeps the single-slot path
+        (the draft-cache mirror prefill is per-slot)."""
+        if self.spec:
+            for slot in range(self.B):
+                if self.chunking[slot] is not None:
+                    self._advance_chunking(slot)
+                    break
+            return
+        C = self.prefill_chunk
+        rows = []  # (slot, req, pos, n_new, Cb, completes)
+        for slot in range(self.B):
+            if self.chunking[slot] is None:
+                continue
+            req, pos = self.chunking[slot]
+            n_new = min(C, len(req.prompt) - pos)
+            if not self._ensure_pages(slot, pos + n_new):
+                # Transient shortage: keep the chunking state and retry
+                # next step while anything else in flight could free
+                # pages (same discipline as the single-slot path).
+                if self.n_active > 0 or self.n_chunking > 1 or rows:
+                    continue
+                self.chunking[slot] = None
+                self._release_slot_pages(slot)
+                req.finish_reason = "oom_pages"
+                req.done_at = time.perf_counter()
+                self.finished.append(req)
+                req.flush_text()
+                if req.on_done:
+                    req.on_done(req)
+                continue
+            # Last (short) chunk shrinks to a page multiple of the REAL
+            # data so no pad-only page is ever written (see
+            # _advance_chunking).
+            Cb = C if n_new == C else -(-n_new // self.ps) * self.ps
+            rows.append((slot, req, pos, n_new, Cb,
+                         pos + n_new >= len(req.prompt)))
+        rows.sort(key=lambda r: (r[4], not r[5]))
+        for _, grp in itertools.groupby(rows, key=lambda r: r[4]):
+            self._advance_chunk_group(list(grp))
+
+    def _advance_chunk_group(self, group: list):
+        """One padded prefill_cont dispatch advances a same-width group
+        of prompt chunks (different slots write disjoint pages; padding
+        rows carry zero n_new and all-trash tables)."""
+        Cb = group[0][4]
+        n = len(group)
+        Nb = 1 << (n - 1).bit_length()
+        need = max(-(-(pos + Cb) // self.ps)
+                   for _, _, pos, _, _, _ in group)
+        W = 1
+        while W < need:
+            W *= 2
+        W = min(W, self.max_pages)
+        toks = np.zeros((Nb, Cb), np.int32)
+        start = np.zeros((Nb,), np.int32)
+        n_new_a = np.zeros((Nb,), np.int32)
+        table = np.full((Nb, W), self.trash_page, np.int32)
+        for i, (slot, req, pos, n_new, _Cb, _done) in enumerate(group):
+            toks[i, :n_new] = req.prompt[pos : pos + n_new]
+            start[i] = pos
+            n_new_a[i] = n_new
+            table[i] = self.table[slot, :W]
+        self.cache, logits = self._prefill_cont(
+            self.params, self.cache, jnp.asarray(toks),
+            jnp.asarray(table), jnp.asarray(start), jnp.asarray(n_new_a),
+        )
+        completed = []
+        for slot, req, pos, n_new, _Cb, done in group:
+            if done:
+                self.chunking[slot] = None
+                completed.append((slot, req))
+            else:
+                self.chunking[slot] = (req, pos + n_new)
+        if completed:
+            self._activate_many(completed, Nb, logits)
+
     def _advance_chunking(self, slot: int):
         """Prefill the next chunk of a mid-admission prompt; activate the
         slot when the last chunk lands."""
@@ -913,12 +997,14 @@ class PagedScheduler:
                            key=lambda e: e[5])
             for _, grp in itertools.groupby(conts, key=lambda e: e[5]):
                 self._admit_batch_cont(list(grp))
-        # At most ONE prompt chunk per step: the whole point is bounding
-        # how long any single step can stall the live decode streams.
-        for slot in range(self.B):
-            if self.chunking[slot] is not None:
-                self._advance_chunking(slot)
-                break
+        # Advance every mid-admission prompt by one chunk, batched into
+        # one dispatch per chunk-width bucket.  Per-slot stall stays
+        # bounded by ONE chunk per step; batching the slots into a
+        # single padded call beats advancing them on separate steps on
+        # both axes (N x chunk device cost either way, but one dispatch
+        # overhead instead of N).
+        if self.n_chunking:
+            self._advance_chunking_batch()
         if self.n_active == 0:
             return
 
