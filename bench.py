@@ -177,8 +177,13 @@ def _wait_for_backend(total_s: float = 900.0, probe_timeout: float = 150.0):
     while True:
         attempt += 1
         try:
+            # A REAL computation, not just jax.devices(): the relay can
+            # enumerate the chip while compute dispatch is wedged (seen
+            # round 5 — device listed, then the first kernel hung 30 min).
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print(jax.jit(lambda x: x + 1)(jnp.ones(8)).sum())"],
                 timeout=probe_timeout, capture_output=True,
             )
             if r.returncode == 0:
