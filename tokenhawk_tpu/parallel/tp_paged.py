@@ -171,14 +171,16 @@ def make_tp_paged_decode_fn_dynamic(cfg: LlamaConfig, mesh: Mesh,
             step, (cache, last_tok, lengths, last_n, done, counters),
             None, length=chunk,
         )
-        return cache, toks.T, done, counters
+        # last_n rides out of the scan (replicated: sampling is identical
+        # per shard) so the scheduler skips a host-side ring rebuild.
+        return cache, toks.T, done, counters, last_n
 
     sp_spec = jax.tree_util.tree_map(lambda _: rep,
                                      _sp_structure())
     mapped = shard_map(
         local_fn, mesh,
         in_specs=(pspecs, cspecs, rep, rep, rep, rep, rep, sp_spec, rep),
-        out_specs=(cspecs, rep, rep, rep),
+        out_specs=(cspecs, rep, rep, rep, rep),
     )
 
     @partial(jax.jit, donate_argnums=(1,))

@@ -108,7 +108,7 @@ def make_paged_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig,
         (cache, tok, lengths, last_n, done), toks = jax.lax.scan(
             step, (cache, last_tok, lengths, last_n, done), keys
         )
-        return cache, toks.T, done
+        return cache, toks.T, done, last_n
 
     return decode
 
@@ -142,7 +142,10 @@ def make_paged_decode_fn_dynamic(cfg: LlamaConfig, chunk: int,
             step, (cache, last_tok, lengths, last_n, done, counters),
             None, length=chunk,
         )
-        return cache, toks.T, done, counters
+        # The scan already carries the ring; returning it saves the
+        # scheduler a host-side jnp rebuild (one extra device dispatch
+        # per decode chunk through the relay).
+        return cache, toks.T, done, counters, last_n
 
     return decode
 
@@ -1055,17 +1058,14 @@ class PagedScheduler:
         # prefilled (free slots already point at trash; a chunking
         # slot's row is live).
         table = self._masked_table()
-        self.cache, toks, self.done, self.counters = self._decode(
+        (self.cache, toks, self.done, self.counters,
+         self.last_n) = self._decode(
             self.params, self.cache, jnp.asarray(table),
             self.last_tok, jnp.asarray(self.lengths), self.last_n,
             self.done, self.sp, self.counters,
         )
         self.last_tok = toks[:, -1]
         toks_host = np.asarray(toks)
-        # keep last_n in sync on device side: recompute from emitted tokens
-        self.last_n = jnp.concatenate(
-            [self.last_n[:, self.decode_chunk:], toks], axis=1
-        ) if self.n_ring > self.decode_chunk else toks[:, -self.n_ring:]
         for slot in range(self.B):
             if self.slots[slot] is None:
                 continue
