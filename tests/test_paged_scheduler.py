@@ -465,3 +465,56 @@ def test_batched_chunk_advance_matches_sequential(params, monkeypatch):
     assert got == want
     # The full-width chunk advances really batched: a 2-row dispatch.
     assert any(w[0] == 2 for w in widths)
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_randomized_workload_matches_dense(params, seed):
+    """Fuzz the production composition: random prompt lengths (some
+    above prefill_chunk, some sharing page-aligned prefixes), staggered
+    arrivals, and a mid-flight cancel — batched admissions, batched
+    chunk advances, chunked prefill, and the prefix cache all engage in
+    one run, and every completed request must still match the dense
+    scheduler's greedy output exactly.  Ends with full page-pool
+    reclamation (no leak through any admission path)."""
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    rng = np.random.default_rng(100 + seed)
+    shared = [1] + rng.integers(3, 500, 31).tolist()  # two full pages
+    prompts = []
+    for i in range(8):
+        kind = rng.integers(0, 3)
+        if kind == 0:  # short unique
+            prompts.append([1] + rng.integers(3, 500, int(rng.integers(2, 12))).tolist())
+        elif kind == 1:  # long unique: chunk-prefills (> prefill_chunk)
+            prompts.append([1] + rng.integers(3, 500, int(rng.integers(20, 44))).tolist())
+        else:  # shared prefix: prefix-cache continuation admission
+            prompts.append(shared + rng.integers(3, 500, int(rng.integers(2, 10))).tolist())
+
+    want = _dense(params, prompts, 6)
+
+    s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=3,
+                       cache_dtype=jnp.float32, decode_chunk=4,
+                       page_size=16, n_pages=40, prefill_chunk=16,
+                       prefix_cache=True)
+    reqs = [Request(prompt=p, max_new_tokens=6) for p in prompts]
+    pending = list(reqs)
+    cancel_at = int(rng.integers(2, 6))
+    steps = 0
+    while s.has_work or pending:
+        if pending:  # staggered arrivals: 0-2 submissions per step
+            for _ in range(int(rng.integers(0, 3))):
+                if pending:
+                    s.submit(pending.pop(0))
+        steps += 1
+        if steps == cancel_at:
+            victim = next((r for r in reqs if r.finish_reason == ""), None)
+            if victim is not None:
+                s.cancel(victim)
+        s.step()
+    for r, w in zip(reqs, want):
+        if r.finish_reason == "cancelled":
+            assert r.output == w[: len(r.output)]  # clean prefix, no garbage
+        else:
+            assert r.output == w
+    # Every page either back in the pool or parked in the prefix cache
+    # at refcount 0 (only the trash page stays out).
+    assert s.alloc.n_free + len(set(s._pc.values())) == 40 - 1
