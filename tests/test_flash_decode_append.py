@@ -125,3 +125,39 @@ def test_model_forward_uses_append(rng, monkeypatch):
     for (kf, vf), (kr, vr) in zip(cache_fused, cache_ref):
         np.testing.assert_allclose(np.asarray(kf), np.asarray(kr), atol=0)
         np.testing.assert_allclose(np.asarray(vf), np.asarray(vr), atol=0)
+
+@pytest.mark.parametrize("B,S,Hkv,rep,Dh,offs", [
+    (1, 256, 2, 1, 128, [100]),            # single slot, partial block
+    (4, 256, 2, 2, 128, [0, 85, 128, 255]),  # empty, partial, exact, last
+    (8, 512, 2, 1, 128, [64 + 7 * i for i in range(8)]),  # serve-like
+])
+def test_walk_variant_matches_append(rng, B, S, Hkv, rep, Dh, offs):
+    """flash_decode_append_walk (multi-slot flattened walk, one grid
+    cell per head group) must reproduce the grid-per-slot kernel's
+    output and in-place cache append exactly."""
+    from tokenhawk_tpu.ops.pallas.flash_decode_dma import (
+        flash_decode_append_walk,
+    )
+
+    H = Hkv * rep
+    q = rng.standard_normal((B, Hkv, rep, Dh)).astype(np.float32)
+    k_cache = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
+    v_cache = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
+    k_new = rng.standard_normal((B, Hkv, Dh)).astype(np.float32)
+    v_new = rng.standard_normal((B, Hkv, Dh)).astype(np.float32)
+    lengths = np.asarray(offs, np.int32) + 1
+
+    want, kc, vc = flash_decode_append(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(k_cache), jnp.asarray(v_cache), jnp.asarray(lengths),
+        interpret=True,
+    )
+    got, kc2, vc2 = flash_decode_append_walk(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(k_cache), jnp.asarray(v_cache), jnp.asarray(lengths),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(kc2), np.asarray(kc), atol=0)
+    np.testing.assert_allclose(np.asarray(vc2), np.asarray(vc), atol=0)

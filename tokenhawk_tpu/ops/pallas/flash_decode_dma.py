@@ -730,6 +730,299 @@ def flash_decode_stats(
     )
 
 
+def _kernel_walk_append(
+    lengths_ref,  # SMEM [B]  (length INCLUDING the token being appended)
+    q_ref,  # VMEM [B, HB, rep, Dh]
+    kn_ref,  # VMEM [B, HB, Dh]
+    vn_ref,  # VMEM [B, HB, Dh]
+    k_hbm,  # ANY [B, Hkv, n_blocks, ps, Dh]
+    v_hbm,
+    o_ref,  # VMEM [B, HB, rep, Dh]
+    ko_hbm,  # ANY — aliases k_hbm
+    vo_hbm,  # ANY — aliases v_hbm
+    m_ref,  # VMEM [B, HB*rep, 128] f32
+    l_ref,
+    acc_ref,  # VMEM [B, HB, rep, Dh] f32
+    s_buf,  # VMEM [HB*rep, ps] f32
+    k_buf,  # VMEM [2, HB, ps, Dh]
+    v_buf,
+    ks_buf,  # VMEM [B, HB, 8, Dh]  per-slot tile-aligned RMW slabs
+    vs_buf,
+    k_sem,
+    v_sem,
+    kr_sem,  # DMA sems (B,) for the append slab reads
+    vr_sem,
+    kw_sem,
+    vw_sem,
+    *,
+    block_s: int,
+    head_block: int,
+    batch: int,
+):
+    """Multi-slot flattened walk: ONE grid cell per head group runs a
+    single uniform fori_loop over (slot, block) items, so the double
+    buffer stays primed ACROSS slot boundaries.  The grid-per-slot form
+    (_kernel_vec_append) exposes the first block's DMA latency once per
+    slot per layer — at B=8 short-context serve shapes that is most of
+    the attention cost (each slot only walks 1-2 live blocks, so there
+    is nothing within the slot to overlap the first fetch with).  Every
+    slot walks the same cdiv(max length, ps) items; blocks past a
+    slot's own length are DMA overfetch, masked in compute — slots in a
+    serve batch sit within a chunk of each other, so the waste is
+    bounded by one block per slot."""
+    hg = pl.program_id(0)
+    h0 = hg * head_block
+    rep = q_ref.shape[2]
+    Dh = q_ref.shape[-1]
+    S = k_hbm.shape[2] * block_s
+
+    def pos_of(b):
+        # Slot the new token lands in == old valid length (clamped).
+        return jnp.maximum(jnp.minimum(lengths_ref[b], S) - 1, 0)
+
+    max_old = pos_of(0)
+    for b in range(1, batch):
+        max_old = jnp.maximum(max_old, pos_of(b))
+    # Uniform per-slot walk length; at least one item per slot so the
+    # final-item merge/output always runs (all-masked when len_old==0).
+    nb = jnp.maximum(pl.cdiv(max_old, block_s), 1)
+
+    def walk_copies(b, blk, slot):
+        k = pltpu.make_async_copy(
+            k_hbm.at[b, pl.ds(h0, head_block), blk], k_buf.at[slot],
+            k_sem.at[slot],
+        )
+        v = pltpu.make_async_copy(
+            v_hbm.at[b, pl.ds(h0, head_block), blk], v_buf.at[slot],
+            v_sem.at[slot],
+        )
+        return k, v
+
+    def slab_reads(b):
+        blk_w = pos_of(b) // block_s
+        row8 = ((pos_of(b) % block_s) // 8) * 8
+        kr = pltpu.make_async_copy(
+            k_hbm.at[b, pl.ds(h0, head_block), blk_w, pl.ds(row8, 8)],
+            ks_buf.at[b], kr_sem.at[b],
+        )
+        vr = pltpu.make_async_copy(
+            v_hbm.at[b, pl.ds(h0, head_block), blk_w, pl.ds(row8, 8)],
+            vs_buf.at[b], vr_sem.at[b],
+        )
+        return kr, vr
+
+    def slab_writes(b):
+        blk_w = pos_of(b) // block_s
+        row8 = ((pos_of(b) % block_s) // 8) * 8
+        kw = pltpu.make_async_copy(
+            ks_buf.at[b],
+            ko_hbm.at[b, pl.ds(h0, head_block), blk_w, pl.ds(row8, 8)],
+            kw_sem.at[b],
+        )
+        vw = pltpu.make_async_copy(
+            vs_buf.at[b],
+            vo_hbm.at[b, pl.ds(h0, head_block), blk_w, pl.ds(row8, 8)],
+            vw_sem.at[b],
+        )
+        return kw, vw
+
+    # Prime: all append-slab reads (they overlap the whole walk) and the
+    # first walk block.
+    for b in range(batch):
+        kr, vr = slab_reads(b)
+        kr.start()
+        vr.start()
+    m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    ck0, cv0 = walk_copies(0, 0, 0)
+    ck0.start()
+    cv0.start()
+
+    total = batch * nb
+
+    def body(idx, _):
+        b = idx // nb
+        i = idx - b * nb
+        slot = idx % 2
+
+        @pl.when(idx + 1 < total)
+        def _():
+            nxt = idx + 1
+            nk, nv = walk_copies(nxt // nb, nxt - (nxt // nb) * nb,
+                                 nxt % 2)
+            nk.start()
+            nv.start()
+
+        ck, cv = walk_copies(b, i, slot)
+        ck.wait()
+
+        for h in range(head_block):
+            qh = q_ref[pl.ds(b, 1), h][0].astype(jnp.float32)  # [rep, Dh]
+            k = k_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
+            s_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
+                qh, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        len_old = pos_of(b)
+        kpos = i * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, s_buf.shape, 1
+        )
+        s = jnp.where(kpos < len_old, s_buf[...], _MASK)
+        m_prev = m_ref[pl.ds(b, 1)][0][:, 0:1]
+        l_prev = l_ref[pl.ds(b, 1)][0][:, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[pl.ds(b, 1)] = jnp.broadcast_to(
+            m_next, (1,) + m_ref.shape[1:])
+        l_ref[pl.ds(b, 1)] = jnp.broadcast_to(
+            l_next, (1,) + l_ref.shape[1:])
+        s_buf[...] = p
+
+        cv.wait()
+        acc = acc_ref[pl.ds(b, 1)][0]  # [HB, rep, Dh]
+        pvs = []
+        for h in range(head_block):
+            v = v_buf[slot, h].astype(jnp.float32)
+            p_h = s_buf[h * rep : (h + 1) * rep, :]
+            pvs.append(jnp.dot(p_h, v, preferred_element_type=jnp.float32))
+        pv = jnp.concatenate(pvs, axis=0).reshape(head_block, rep, Dh)
+        acc = acc * alpha.reshape(head_block, rep, 1) + pv
+        acc_ref[pl.ds(b, 1)] = acc[None]
+
+        @pl.when(i == nb - 1)
+        def _():
+            # This slot's walk is done: merge the just-appended token
+            # (one extra online-softmax column) and emit its output.
+            hb = head_block
+            qf = q_ref[pl.ds(b, 1)][0].astype(jnp.float32)  # [hb, rep, Dh]
+            knf = kn_ref[pl.ds(b, 1)][0].astype(jnp.float32)[:, None, :]
+            vnf = vn_ref[pl.ds(b, 1)][0].astype(jnp.float32)[:, None, :]
+            s_new = jnp.sum(qf * knf, axis=-1).reshape(hb * rep, 1)
+            m_p = m_ref[pl.ds(b, 1)][0][:, 0:1]
+            l_p = l_ref[pl.ds(b, 1)][0][:, 0:1]
+            m_n = jnp.maximum(m_p, s_new)
+            al = jnp.exp(m_p - m_n)
+            p_new = jnp.exp(s_new - m_n)
+            l = al * l_p + p_new
+            acc_b = acc_ref[pl.ds(b, 1)][0]
+            acc_b = acc_b * al.reshape(hb, rep, 1) + (
+                p_new.reshape(hb, rep, 1) * vnf
+            )
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l).reshape(hb, rep, 1)
+            o_ref[pl.ds(b, 1)] = (acc_b * l_inv).astype(o_ref.dtype)[None]
+
+            kr, vr = slab_reads(b)
+            kr.wait()
+            vr.wait()
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (hb, 8, Dh), 1)
+            at_row = row_ids == (pos_of(b) % 8)
+            knr = kn_ref[pl.ds(b, 1)][0]
+            vnr = vn_ref[pl.ds(b, 1)][0]
+            ks_buf[pl.ds(b, 1)] = jnp.where(
+                at_row, knr.astype(ks_buf.dtype)[:, None, :],
+                ks_buf[pl.ds(b, 1)][0])[None]
+            vs_buf[pl.ds(b, 1)] = jnp.where(
+                at_row, vnr.astype(vs_buf.dtype)[:, None, :],
+                vs_buf[pl.ds(b, 1)][0])[None]
+            kw, vw = slab_writes(b)
+            kw.start()
+            vw.start()
+            kw.wait()
+            vw.wait()
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "head_block", "interpret"),
+                   donate_argnums=(3, 4))
+def flash_decode_append_walk(
+    q: jax.Array,  # [B, Hkv, rep, Dh]  (pre-scaled by 1/sqrt(Dh))
+    k_new: jax.Array,  # [B, Hkv, Dh]  cache dtype, RoPE'd
+    v_new: jax.Array,  # [B, Hkv, Dh]
+    k_cache: jax.Array,  # [B, Hkv, S, Dh]  donated (updated in place)
+    v_cache: jax.Array,
+    lengths: jax.Array,  # [B] int32: valid tokens INCLUDING the new one
+    *,
+    block_s: int | None = None,
+    head_block: int = 32,
+    interpret: bool = False,
+):
+    """flash_decode_append with the multi-slot flattened walk
+    (_kernel_walk_append); same signature and results."""
+    B, Hkv, rep, Dh = q.shape
+    S = k_cache.shape[2]
+    if block_s is None:
+        env = _os2.environ.get("THAWK_DECODE_BS")
+        block_s = int(env) if env else (128 if S <= 1024 else 256)
+    bs = min(block_s, S)
+    while S % bs:
+        bs //= 2
+    n_blocks = S // bs
+    hb = _pick_hb(head_block, Hkv, rep, bs, Dh, k_cache.dtype.itemsize)
+
+    kv_view = (B, Hkv, n_blocks, bs, Dh)
+    grid = (Hkv // hb,)
+    kernel = functools.partial(_kernel_walk_append, block_s=bs,
+                               head_block=hb, batch=B)
+    out, kc, vc = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((B, hb, rep, Dh), lambda h, *_: (0, h, 0, 0)),
+                pl.BlockSpec((B, hb, Dh), lambda h, *_: (0, h, 0)),
+                pl.BlockSpec((B, hb, Dh), lambda h, *_: (0, h, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((B, hb, rep, Dh), lambda h, *_: (0, h, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((B, hb * rep, 128), jnp.float32),
+                pltpu.VMEM((B, hb * rep, 128), jnp.float32),
+                pltpu.VMEM((B, hb, rep, Dh), jnp.float32),
+                pltpu.VMEM((hb * rep, bs), jnp.float32),
+                pltpu.VMEM((2, hb, bs, Dh), k_cache.dtype),
+                pltpu.VMEM((2, hb, bs, Dh), v_cache.dtype),
+                pltpu.VMEM((B, hb, 8, Dh), k_cache.dtype),
+                pltpu.VMEM((B, hb, 8, Dh), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((B,)),
+                pltpu.SemaphoreType.DMA((B,)),
+                pltpu.SemaphoreType.DMA((B,)),
+                pltpu.SemaphoreType.DMA((B,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(kv_view, k_cache.dtype),
+            jax.ShapeDtypeStruct(kv_view, v_cache.dtype),
+        ],
+        input_output_aliases={4: 1, 5: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        lengths.astype(jnp.int32), q,
+        k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
+        k_cache.reshape(kv_view), v_cache.reshape(kv_view),
+    )
+    return out, kc.reshape(k_cache.shape), vc.reshape(v_cache.shape)
+
+
 @functools.partial(jax.jit, static_argnames=("block_s", "head_block", "interpret"),
                    donate_argnums=(3, 4))
 def flash_decode_append(
@@ -751,7 +1044,17 @@ def flash_decode_append(
     out attends over all `lengths` tokens.  Replaces the per-layer
     update_kv_cache dus chain + flash_decode_dma pair with one kernel
     (cache buffers alias in place via input_output_aliases).
+
+    THAWK_DECODE_WALK=1 selects the multi-slot flattened-walk variant
+    (_kernel_walk_append): one grid cell per head group keeps the DMA
+    double buffer primed across slot boundaries instead of exposing the
+    first block's fetch latency once per slot.
     """
+    if _os2.environ.get("THAWK_DECODE_WALK", "0") == "1":
+        return flash_decode_append_walk(
+            q, k_new, v_new, k_cache, v_cache, lengths,
+            block_s=block_s, head_block=head_block, interpret=interpret,
+        )
     B, Hkv, rep, Dh = q.shape
     S = k_cache.shape[2]
     if block_s is None:
