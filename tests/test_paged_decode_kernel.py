@@ -117,3 +117,40 @@ def test_paged_append_scales_matches_dus():
     for b in range(B):
         want[:, int(page[b]), int(slot[b])] = np.asarray(new[b])
     np.testing.assert_array_equal(np.asarray(out), want)
+
+@pytest.mark.parametrize("rep_heads", [(4, 1), (2, 2)])
+def test_paged_walk_kernel_matches_grid(rng, rep_heads):
+    """paged_flash_decode_walk (multi-slot flattened walk) must equal
+    the grid-per-slot kernel on ragged lengths, including an empty-ish
+    slot (1 token) and a multi-page one."""
+    from tokenhawk_tpu.ops.pallas.paged_decode import paged_flash_decode_walk
+
+    Hkv, rep = rep_heads
+    cfg = LlamaConfig.tiny(n_layer=1, n_head=4, n_kv_head=Hkv)
+    Dh = cfg.head_dim
+    B = 4
+    n_toks = [PS + 40, 70, 1, 2 * PS]
+
+    cache = PagedKVCache.create(cfg, n_pages=10, page_size=PS,
+                                dtype=jnp.float32)
+    table = jnp.asarray(
+        [[5, 2, 0], [1, 0, 0], [3, 0, 0], [4, 6, 0]], jnp.int32)
+    lengths = jnp.zeros((B,), jnp.int32)
+    for i in range(max(n_toks)):
+        k = jnp.asarray(rng.standard_normal((B, 1, Hkv, Dh)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, 1, Hkv, Dh)), jnp.float32)
+        cache = append_kv(cache, k, v, table, lengths, jnp.int32(0))
+        lengths = lengths + jnp.asarray([i < n for n in n_toks])
+
+    H = cfg.n_head
+    q = jnp.asarray(rng.standard_normal((B, 1, H, Dh)), jnp.float32)
+    qg = (q[:, 0] / np.sqrt(Dh)).reshape(B, Hkv, rep, Dh)
+    want = np.asarray(paged_flash_decode(
+        qg, cache.k_pages[0], cache.v_pages[0], table, lengths,
+        interpret=True,
+    ))
+    got = np.asarray(paged_flash_decode_walk(
+        qg, cache.k_pages[0], cache.v_pages[0], table, lengths,
+        interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)

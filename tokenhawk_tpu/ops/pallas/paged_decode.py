@@ -492,3 +492,186 @@ def paged_flash_decode(
         interpret=interpret,
     )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), q,
       k_pages, v_pages)
+
+def _kernel_walk(
+    lengths_ref,  # SMEM [B]
+    tables_ref,  # SMEM [B, max_pages]
+    q_ref,  # VMEM [B, HB, rep, Dh]
+    k_hbm,  # ANY  [Hkv, n_pages, ps, Dh]
+    v_hbm,
+    o_ref,  # VMEM [B, HB, rep, Dh]
+    m_ref,  # VMEM [B, HB*rep, 128] f32
+    l_ref,
+    acc_ref,  # VMEM [B, HB, rep, Dh] f32
+    s_buf,  # VMEM [HB*rep, ps] f32
+    k_buf,  # VMEM [2, HB, ps, Dh]
+    v_buf,
+    k_sem,
+    v_sem,
+    *,
+    page_size: int,
+    head_block: int,
+    batch: int,
+):
+    """Multi-slot flattened walk (see flash_decode_dma._kernel_walk_append
+    for the rationale): one grid cell per head group runs a single
+    uniform fori_loop over (slot, page) items so the page-DMA double
+    buffer stays primed across slot boundaries — the grid-per-slot form
+    exposes the first page's fetch latency once per slot per layer,
+    which dominates serve-batch decode at 1-2 live pages per slot.
+    Every slot walks cdiv(max length, ps) items; a slot's items beyond
+    its own table are clamped to its page 0 (a same-pool read whose
+    scores mask out)."""
+    hg = pl.program_id(0)
+    h0 = hg * head_block
+    rep = q_ref.shape[2]
+    Dh = q_ref.shape[-1]
+
+    max_len = lengths_ref[0]
+    for b in range(1, batch):
+        max_len = jnp.maximum(max_len, lengths_ref[b])
+    nb = jnp.maximum(pl.cdiv(max_len, page_size), 1)
+
+    def walk_copies(b, blk, slot):
+        # Clamp dead items to the slot's first table entry: always a
+        # pool-resident page (free slots' tables point at the trash
+        # page), and the compute mask drops its contribution.
+        n_b = pl.cdiv(lengths_ref[b], page_size)
+        page = tables_ref[b, jnp.where(blk < n_b, blk, 0)]
+        k = pltpu.make_async_copy(
+            k_hbm.at[pl.ds(h0, head_block), page], k_buf.at[slot],
+            k_sem.at[slot],
+        )
+        v = pltpu.make_async_copy(
+            v_hbm.at[pl.ds(h0, head_block), page], v_buf.at[slot],
+            v_sem.at[slot],
+        )
+        return k, v
+
+    m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    ck0, cv0 = walk_copies(0, 0, 0)
+    ck0.start()
+    cv0.start()
+
+    total = batch * nb
+
+    def body(idx, _):
+        b = idx // nb
+        i = idx - b * nb
+        slot = idx % 2
+
+        @pl.when(idx + 1 < total)
+        def _():
+            nxt = idx + 1
+            nk, nv = walk_copies(nxt // nb, nxt - (nxt // nb) * nb,
+                                 nxt % 2)
+            nk.start()
+            nv.start()
+
+        ck, cv = walk_copies(b, i, slot)
+        ck.wait()
+
+        for h in range(head_block):
+            qh = q_ref[pl.ds(b, 1), h][0].astype(jnp.float32)  # [rep, Dh]
+            k = k_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
+            s_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
+                qh, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        length = lengths_ref[b]
+        kpos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, s_buf.shape, 1
+        )
+        s = jnp.where(kpos < length, s_buf[...], _MASK)
+        m_prev = m_ref[pl.ds(b, 1)][0][:, 0:1]
+        l_prev = l_ref[pl.ds(b, 1)][0][:, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[pl.ds(b, 1)] = jnp.broadcast_to(
+            m_next, (1,) + m_ref.shape[1:])
+        l_ref[pl.ds(b, 1)] = jnp.broadcast_to(
+            l_next, (1,) + l_ref.shape[1:])
+        s_buf[...] = p
+
+        cv.wait()
+        acc = acc_ref[pl.ds(b, 1)][0]  # [HB, rep, Dh]
+        pvs = []
+        for h in range(head_block):
+            v = v_buf[slot, h].astype(jnp.float32)
+            p_h = s_buf[h * rep : (h + 1) * rep, :]
+            pvs.append(jnp.dot(p_h, v, preferred_element_type=jnp.float32))
+        pv = jnp.concatenate(pvs, axis=0).reshape(head_block, rep, Dh)
+        acc = acc * alpha.reshape(head_block, rep, 1) + pv
+        acc_ref[pl.ds(b, 1)] = acc[None]
+
+        @pl.when(i == nb - 1)
+        def _():
+            l = l_ref[pl.ds(b, 1)][0][:, 0:1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            acc_b = acc_ref[pl.ds(b, 1)][0]
+            o_ref[pl.ds(b, 1)] = (
+                acc_b * l_inv.reshape(head_block, rep, 1)
+            ).astype(o_ref.dtype)[None]
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("head_block", "interpret"))
+def paged_flash_decode_walk(
+    q: jax.Array,  # [B, Hkv, rep, Dh]
+    k_pages: jax.Array,  # [Hkv, n_pages, ps, Dh]
+    v_pages: jax.Array,
+    page_table: jax.Array,  # [B, max_pages] int32
+    lengths: jax.Array,  # [B] int32
+    *,
+    head_block: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """paged_flash_decode with the multi-slot flattened walk."""
+    from tokenhawk_tpu.ops.pallas.flash_decode_dma import _pick_hb
+
+    B, Hkv, rep, Dh = q.shape
+    ps = k_pages.shape[2]
+    hb = _pick_hb(head_block, Hkv, rep, ps, Dh, k_pages.dtype.itemsize)
+
+    grid = (Hkv // hb,)
+    kernel = functools.partial(_kernel_walk, page_size=ps, head_block=hb,
+                               batch=B)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # lengths, page_table
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((B, hb, rep, Dh), lambda h, *_: (0, h, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (B, hb, rep, Dh), lambda h, *_: (0, h, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((B, hb * rep, 128), jnp.float32),
+                pltpu.VMEM((B, hb * rep, 128), jnp.float32),
+                pltpu.VMEM((B, hb, rep, Dh), jnp.float32),
+                pltpu.VMEM((hb * rep, ps), jnp.float32),
+                pltpu.VMEM((2, hb, ps, Dh), k_pages.dtype),
+                pltpu.VMEM((2, hb, ps, Dh), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), q,
+      k_pages, v_pages)

@@ -230,11 +230,19 @@ def attend_paged_layer(
 
     mode = pallas_mode()
     if mode == "compiled" and Dh % 128 == 0 and k_pages_l.shape[2] % 128 == 0:
-        from tokenhawk_tpu.ops.pallas.paged_decode import paged_flash_decode
+        import os as _os
 
+        from tokenhawk_tpu.ops.pallas.paged_decode import (
+            paged_flash_decode,
+            paged_flash_decode_walk,
+        )
+
+        fn = (paged_flash_decode_walk
+              if _os.environ.get("THAWK_DECODE_WALK", "0") == "1"
+              else paged_flash_decode)
         qg = (q[:, 0] * scale).reshape(B, Hkv, rep, Dh)
-        out = paged_flash_decode(qg, k_pages_l, v_pages_l, page_table,
-                                 lengths.astype(jnp.int32))
+        out = fn(qg, k_pages_l, v_pages_l, page_table,
+                 lengths.astype(jnp.int32))
         return out.reshape(B, 1, H, Dh).astype(q.dtype)
 
     # XLA gather fallback
