@@ -270,3 +270,37 @@ def test_busy_session_does_not_starve_queue(params):
     # ...and everyone eventually completes.
     for r in (t2, t3, fresh):
         assert r.finish_reason in ("eos", "length")
+
+def test_dense_batched_admission_matches_sequential(params):
+    """Same-step multi-request admissions prefill as ONE padded dispatch
+    (_admit_batch) with a fused state scatter; outputs must be identical
+    to admitting the same requests one step apart, and a spy must see
+    the padded multi-row prefill actually happen."""
+    prompts = [[1, 5, 9, 13], [1, 30, 60, 90, 120], [1, 4, 4, 8]]
+
+    def run(stagger):
+        s = Scheduler(CFG, params, sampling=GREEDY, max_batch=4,
+                      cache_dtype=jnp.float32, decode_chunk=4)
+        seen = []
+        orig = s._prefill
+
+        def spy(p, frag, toks, lengths, offsets):
+            seen.append(tuple(toks.shape))
+            return orig(p, frag, toks, lengths, offsets)
+
+        s._prefill = spy
+        reqs = [Request(prompt=p, max_new_tokens=6,
+                        sampling=SamplingConfig(temperature=0.8, top_k=7,
+                                                seed=3) if i == 1 else None)
+                for i, p in enumerate(prompts)]
+        for r in reqs:
+            s.submit(r)
+            if stagger:
+                s.step()
+        s.run()
+        return [r.output for r in reqs], seen
+
+    got, widths = run(stagger=False)
+    want, _ = run(stagger=True)
+    assert got == want
+    assert widths and widths[0][0] == 4  # 3 admissions pad to 4 rows

@@ -155,6 +155,59 @@ def _insert_fragment_unrolled(big, frag, slot):
     return tuple(out)
 
 
+def _multi_insert(b, f, slots):
+    """Scatter fragment rows f [Nb, Hkv, Tb, ...] into b [B, Hkv, S, ...]
+    at (slot, token 0); out-of-range slot indices (padding rows) drop."""
+    idx = (slots, slice(None), slice(0, f.shape[2]))
+    idx += (slice(None),) * (b.ndim - 3)
+    return b.at[idx].set(f.astype(b.dtype), mode="drop")
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _insert_fragments_unrolled(big, frag, slots):
+    """Multi-slot generalization of _insert_fragment_unrolled: one
+    scatter per cache array writes every newly-admitted slot's stripe."""
+    out = []
+    for big_l, frag_l in zip(big, frag):
+        out.append(tuple(
+            _multi_insert(b, f, slots) for b, f in zip(big_l, frag_l)
+        ))
+    return tuple(out)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _insert_fragments(big: jax.Array, frag: jax.Array, slots) -> jax.Array:
+    """Stacked caches: frag [L, Nb, Hkv, Tb, Dh] -> big [L, B, Hkv, S, Dh]
+    at (slot, token 0) per row; padding rows drop."""
+    return big.at[:, slots, :, : frag.shape[3], :].set(
+        frag.astype(big.dtype), mode="drop")
+
+
+@partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
+def _admit_state_dense_many(logits, sp, counters, last_tok, offsets, last_n,
+                            done, slots, rings, offs, slot_sp):
+    """Fused multi-admission state update for the dense scheduler (the
+    analogue of paged _admit_state_paged_many): one dispatch samples
+    every newly-admitted slot's first token from the batched prefill
+    logits [Nb, V] and scatters all per-slot device state.  Padding rows
+    carry an out-of-range slot index and drop at the scatter."""
+    from tokenhawk_tpu.sampling import sample_dynamic
+
+    n = logits.shape[0]
+    first = sample_dynamic(logits, slot_sp, jnp.zeros((n,), jnp.int32),
+                           rings)
+    sp = jax.tree_util.tree_map(
+        lambda a, v: a.at[slots].set(v, mode="drop"), sp, slot_sp)
+    counters = counters.at[slots].set(1, mode="drop")
+    last_tok = last_tok.at[slots].set(first, mode="drop")
+    offsets = offsets.at[slots].set(offs, mode="drop")
+    last_n = last_n.at[slots].set(
+        jnp.concatenate([rings[:, 1:], first[:, None]], axis=1),
+        mode="drop")
+    done = done.at[slots].set(False, mode="drop")
+    return sp, counters, last_tok, offsets, last_n, done, first
+
+
 @jax.jit
 def _extract_stripe(big: jax.Array, slot) -> jax.Array:
     """big [L, B, Hkv, S, Dh] -> slot stripe [L, 1, Hkv, S, Dh]."""
@@ -422,6 +475,77 @@ class Scheduler:
 
         self._finish_admit(slot, req, logits, base=0, tail=[])
 
+    def _admit_batch(self, group: list):
+        """Admit a same-bucket group of plain requests with ONE padded
+        prefill dispatch + ONE fused state dispatch (mirrors the paged
+        scheduler's _admit_batch; row count pads to a power of two so
+        at most log2(B)+1 variants compile per token bucket).  Padding
+        rows carry zero lengths; their fragment rows scatter-drop via an
+        out-of-range slot index."""
+        cfg = self.cfg
+        Tb = group[0][2]
+        n = len(group)
+        Nb = 1 << (n - 1).bit_length()
+        if self._unrolled:
+            from tokenhawk_tpu.models.llama import make_unrolled_cache
+
+            frag = make_unrolled_cache(cfg, Nb, Tb, self.cache_dtype)
+        else:
+            frag = KVCache.create(cfg, Nb, Tb, self.cache_dtype)
+        toks = np.zeros((Nb, Tb), np.int32)
+        lengths = np.zeros((Nb,), np.int32)
+        slots = np.full((Nb,), self.B, np.int32)
+        rings = np.full((Nb, self.n_ring), -1, np.int32)
+        scfgs = []
+        for i, (slot, req, _Tb) in enumerate(group):
+            prompt = req.prompt
+            toks[i, : len(prompt)] = prompt
+            lengths[i] = len(prompt)
+            slots[i] = slot
+            m = min(self.n_ring, len(prompt))
+            if m:
+                rings[i, self.n_ring - m:] = prompt[-m:]
+            scfgs.append(req.sampling or self.sampling)
+        frag, logits = self._prefill(
+            self.params, frag, jnp.asarray(toks), jnp.asarray(lengths),
+            jnp.zeros((Nb,), jnp.int32),
+        )
+        slots_dev = jnp.asarray(slots)
+        if self._unrolled:
+            self.cache = _insert_fragments_unrolled(self.cache, frag,
+                                                    slots_dev)
+        else:
+            self.cache = KVCache(
+                _insert_fragments(self.cache.k, frag.k, slots_dev),
+                _insert_fragments(self.cache.v, frag.v, slots_dev),
+            )
+        from tokenhawk_tpu.sampling import SamplingParams
+
+        vals = [SamplingParams.slot_values(c) for c in scfgs]
+        vals += [vals[-1]] * (Nb - n)  # pad rows: any params, dropped
+        t, k, p, r, s = zip(*vals)
+        slot_sp = SamplingParams(
+            temperature=jnp.asarray(t, jnp.float32),
+            top_k=jnp.asarray(k, jnp.int32),
+            top_p=jnp.asarray(p, jnp.float32),
+            repeat_penalty=jnp.asarray(r, jnp.float32),
+            seed=jnp.asarray(s, jnp.int32),
+        )
+        (self.sp, self.counters, self.last_tok, self.offsets, self.last_n,
+         self.done, first) = _admit_state_dense_many(
+            logits, self.sp, self.counters, self.last_tok, self.offsets,
+            self.last_n, self.done, slots_dev, jnp.asarray(rings),
+            jnp.asarray(lengths), slot_sp,
+        )
+        first_host = np.asarray(first)
+        now = time.perf_counter()
+        for i, (slot, req, _Tb) in enumerate(group):
+            req.n_past0 = 0
+            self.slots[slot] = req
+            self.pinned.pop(slot, None)
+            req.first_token_at = now
+            self._deliver(slot, int(first_host[i]))
+
     def _continue_one(self, slot: int, req: Request, sess) -> bool:
         """Continue a session: prefill ONLY the new tokens (plus any
         pending unwritten reply tail) into the pinned slot's stripe at
@@ -657,10 +781,13 @@ class Scheduler:
         self.sessions.clear()
         self.pinned.clear()
 
-    def _free_slot(self) -> Optional[int]:
-        """An idle unpinned slot, else evict the LRU pinned session."""
+    def _free_slot(self, exclude=()) -> Optional[int]:
+        """An idle unpinned slot, else evict the LRU pinned session.
+        `exclude`: slots already claimed by a deferred (batched)
+        admission this step — occupied, but not yet in self.slots."""
         for slot in range(self.B):
-            if self.slots[slot] is None and slot not in self.pinned:
+            if (self.slots[slot] is None and slot not in self.pinned
+                    and slot not in exclude):
                 return slot
         lru = None
         for slot, sid in self.pinned.items():
@@ -684,22 +811,40 @@ class Scheduler:
         # session continuation behind fresh requests) must not starve
         # unrelated work behind it.  Skipped requests keep their order.
         deferred = []
+        batch: list = []  # deferred plain admissions (slot, req, Tb)
+        claimed: set = set()
+        # Plain admissions batch into ONE padded prefill + ONE fused
+        # state dispatch per token bucket (same rationale as the paged
+        # scheduler's _admit_batch: each separate prefill call pays the
+        # full per-dispatch cost).  Sessions and speculative admissions
+        # keep the per-request path (they carry extra per-slot work).
+        can_batch = self._dynamic and not self.spec
         while self.pending:
             req = self.pending.popleft()
             sess = self.sessions.get(req.session) if req.session else None
             if sess is not None:
-                if self.slots[sess.slot] is not None:
+                if (self.slots[sess.slot] is not None
+                        or sess.slot in claimed):
                     deferred.append(req)  # session busy; don't block others
                     continue
                 self._continue_one(sess.slot, req, sess)
                 continue
-            slot = self._free_slot()
+            slot = self._free_slot(exclude=claimed)
             if slot is None:
                 deferred.append(req)
                 continue  # later session continuations may still admit
-            self._admit_one(slot, req)
+            if can_batch:
+                claimed.add(slot)
+                batch.append((slot, req, _bucket(len(req.prompt),
+                                                 self.buckets)))
+            else:
+                self._admit_one(slot, req)
         for req in reversed(deferred):
             self.pending.appendleft(req)
+        if batch:
+            batch.sort(key=lambda e: e[2])
+            for _, grp in itertools.groupby(batch, key=lambda e: e[2]):
+                self._admit_batch(list(grp))
         if self.n_active == 0:
             return
 
