@@ -188,7 +188,7 @@ def _q8_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, fuse_norm=False,
         w = _apply_scales(w, s)
         _qdot(x[:, j : j + sub], w, acc_ref)
 
-    j_n = pl.program_id(1)
+    j_n = pl.program_id(0)
 
     @pl.when(k == n_k_tiles - 1)
     def _():
@@ -300,7 +300,7 @@ def _q4i4_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, fuse_norm=False,
         w = _apply_scales(w, s)
         _qdot(x[:, j : j + sub], w, acc_ref)
 
-    j_n = pl.program_id(1)
+    j_n = pl.program_id(0)
 
     @pl.when(k == n_k_tiles - 1)
     def _():
@@ -331,7 +331,7 @@ def _qk_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, group, has_mins,
     (group 16).  The code path is the q4_0_i4 kernel plus one VPU add
     per element for the bias."""
     k = pl.program_id(2)
-    j_n = pl.program_id(1)
+    j_n = pl.program_id(0)
     rest = list(rest)
     m_ref = rest.pop(0) if has_mins else None
     g_ref = rest.pop(0) if fuse_norm else None
@@ -425,21 +425,21 @@ def qk_matmul(
 
         x = rms_norm(x, norm_gain, eps)
 
-    grid = (B // bb, N // bn, n_k_tiles)
+    grid = (N // bn, B // bb, n_k_tiles)
     kernel = functools.partial(_qk_kernel, n_k_tiles=n_k_tiles, group=group,
                                has_mins=mins is not None, fuse_norm=fuse,
                                eps=eps)
     in_specs = [
-        pl.BlockSpec((bb, bk), lambda i, j, k: (i, k)),
-        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
-        pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((bb, bk), lambda j, i, k: (i, k)),
+        pl.BlockSpec((bk, bn), lambda j, i, k: (k, j)),
+        pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)),
     ]
     operands = [x, qs, scales]
     if mins is not None:
-        in_specs.append(pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)))
+        in_specs.append(pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)))
         operands.append(mins)
     if fuse:
-        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, k: (0, k)))
+        in_specs.append(pl.BlockSpec((1, bk), lambda j, i, k: (0, k)))
         operands.append(norm_gain.reshape(1, K))
     nbytes_codes = qs.size // (2 if qs.dtype in (jnp.int4, jnp.uint4) else 1)
     nbytes_side = scales.size * scales.dtype.itemsize
@@ -454,7 +454,7 @@ def qk_matmul(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, bn), lambda i, j, k: (i, j)),
+        out_specs=pl.BlockSpec((bb, bn), lambda j, i, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -594,27 +594,27 @@ def qk_sb_matmul(
 
         x = rms_norm(x, norm_gain, eps)
 
-    grid = (B // bb, N // bn, n_k_tiles)
+    grid = (N // bn, B // bb, n_k_tiles)
     kernel = functools.partial(_qk_sb_kernel, n_k_tiles=n_k_tiles,
                                fuse_norm=fuse, eps=eps)
     in_specs = [
-        pl.BlockSpec((bb, bk), lambda i, j, k: (i, k)),
-        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
-        pl.BlockSpec((sb, bn), lambda i, j, k: (k, j)),  # d
-        pl.BlockSpec((sb, bn), lambda i, j, k: (k, j)),  # dmin
-        pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),  # sc rows
+        pl.BlockSpec((bb, bk), lambda j, i, k: (i, k)),
+        pl.BlockSpec((bk, bn), lambda j, i, k: (k, j)),
+        pl.BlockSpec((sb, bn), lambda j, i, k: (k, j)),  # d
+        pl.BlockSpec((sb, bn), lambda j, i, k: (k, j)),  # dmin
+        pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)),  # sc rows
         pl.BlockSpec((sg, bn),
-                     lambda i, j, k, _n=n_k_tiles: (k + _n, j)),  # mn rows
+                     lambda j, i, k, _n=n_k_tiles: (k + _n, j)),  # mn rows
     ]
     operands = [x, qs, d, dmin, scmn, scmn]
     if fuse:
-        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, k: (0, k)))
+        in_specs.append(pl.BlockSpec((1, bk), lambda j, i, k: (0, k)))
         operands.append(norm_gain.reshape(1, K))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, bn), lambda i, j, k: (i, j)),
+        out_specs=pl.BlockSpec((bb, bn), lambda j, i, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -691,28 +691,35 @@ def q8_matmul(
 
         x = rms_norm(x, norm_gain, eps)
 
-    grid = (B // bb, N // bn, n_k_tiles)
+    # N tiles OUTER, activation-row tiles inner: consecutive grid cells
+    # then share the weight block (its index map is constant in i), so
+    # Mosaic fetches each weight tile ONCE per call instead of B//bb
+    # times — the old row-outer order re-streamed the ENTIRE weight
+    # matrix B//bb times (4x at a 512-token prefill, ~15 GB of redundant
+    # HBM traffic per call).  The re-read side is now the x tiles, which
+    # are ~1000x smaller.  Decode (B <= bb) is order-identical.
+    grid = (N // bn, B // bb, n_k_tiles)
     kernel = functools.partial(_q8_kernel, n_k_tiles=n_k_tiles,
                                fuse_norm=fuse, eps=eps, rope=rope_meta)
     in_specs = [
-        pl.BlockSpec((bb, bk), lambda i, j, k: (i, k)),
-        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
-        pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((bb, bk), lambda j, i, k: (i, k)),
+        pl.BlockSpec((bk, bn), lambda j, i, k: (k, j)),
+        pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)),
     ]
     operands = [x, qs, scales]
     if fuse:
-        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, k: (0, k)))
+        in_specs.append(pl.BlockSpec((1, bk), lambda j, i, k: (0, k)))
         operands.append(norm_gain.reshape(1, K))
     if rope_meta:
         dh = rope_meta[1]
-        in_specs.append(pl.BlockSpec((bb, dh), lambda i, j, k: (i, 0)))
-        in_specs.append(pl.BlockSpec((bb, dh), lambda i, j, k: (i, 0)))
+        in_specs.append(pl.BlockSpec((bb, dh), lambda j, i, k: (i, 0)))
+        in_specs.append(pl.BlockSpec((bb, dh), lambda j, i, k: (i, 0)))
         operands.extend([rope_cos, rope_sin])
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, bn), lambda i, j, k: (i, j)),
+        out_specs=pl.BlockSpec((bb, bn), lambda j, i, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -755,29 +762,29 @@ def q4_matmul(
 
         x = rms_norm(x, norm_gain, eps)
 
-    grid = (B // bb, N // bn, n_k_tiles)
+    grid = (N // bn, B // bb, n_k_tiles)
     kernel = functools.partial(_q4_kernel, n_k_tiles=n_k_tiles,
                                biasdot=Q4_BIASDOT, fuse_norm=fuse, eps=eps)
     in_specs = [
         # x low half rows [k*bkp, k*bkp+bkp)
-        pl.BlockSpec((bb, bkp), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bb, bkp), lambda j, i, k: (i, k)),
         # x high half rows [K//2 + k*bkp, ...)
-        pl.BlockSpec((bb, bkp), lambda i, j, k, _n=n_k_tiles: (i, k + _n)),
-        pl.BlockSpec((bkp, bn), lambda i, j, k: (k, j)),
-        pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
-        pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((bb, bkp), lambda j, i, k, _n=n_k_tiles: (i, k + _n)),
+        pl.BlockSpec((bkp, bn), lambda j, i, k: (k, j)),
+        pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)),
+        pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)),
     ]
     operands = [x, x, qs_packed, scales_lo, scales_hi]
     if fuse:
         g2 = norm_gain.reshape(2, KP)  # row 0 = low half, row 1 = high
-        in_specs.append(pl.BlockSpec((1, bkp), lambda i, j, k: (0, k)))
-        in_specs.append(pl.BlockSpec((1, bkp), lambda i, j, k: (1, k)))
+        in_specs.append(pl.BlockSpec((1, bkp), lambda j, i, k: (0, k)))
+        in_specs.append(pl.BlockSpec((1, bkp), lambda j, i, k: (1, k)))
         operands.extend([g2, g2])
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, bn), lambda i, j, k: (i, j)),
+        out_specs=pl.BlockSpec((bb, bn), lambda j, i, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -823,28 +830,28 @@ def q4_matmul_i4(
 
         x = rms_norm(x, norm_gain, eps)
 
-    grid = (B // bb, N // bn, n_k_tiles)
+    grid = (N // bn, B // bb, n_k_tiles)
     kernel = functools.partial(_q4i4_kernel, n_k_tiles=n_k_tiles,
                                fuse_norm=fuse, eps=eps, rope=rope_meta)
     in_specs = [
-        pl.BlockSpec((bb, bk), lambda i, j, k: (i, k)),
-        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
-        pl.BlockSpec((sg, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((bb, bk), lambda j, i, k: (i, k)),
+        pl.BlockSpec((bk, bn), lambda j, i, k: (k, j)),
+        pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)),
     ]
     operands = [x, qs, scales]
     if fuse:
-        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, k: (0, k)))
+        in_specs.append(pl.BlockSpec((1, bk), lambda j, i, k: (0, k)))
         operands.append(norm_gain.reshape(1, K))
     if rope_meta:
         dh = rope_meta[1]
-        in_specs.append(pl.BlockSpec((bb, dh), lambda i, j, k: (i, 0)))
-        in_specs.append(pl.BlockSpec((bb, dh), lambda i, j, k: (i, 0)))
+        in_specs.append(pl.BlockSpec((bb, dh), lambda j, i, k: (i, 0)))
+        in_specs.append(pl.BlockSpec((bb, dh), lambda j, i, k: (i, 0)))
         operands.extend([rope_cos, rope_sin])
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, bn), lambda i, j, k: (i, j)),
+        out_specs=pl.BlockSpec((bb, bn), lambda j, i, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
