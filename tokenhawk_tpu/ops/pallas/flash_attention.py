@@ -113,6 +113,17 @@ def flash_attention(
 ) -> jax.Array:
     B, Hkv, rep, T, Dh = q.shape
     S = k_cache.shape[2]
+    # Tile-size A/B knobs (prefill attention is per-cell-overhead bound,
+    # not MXU bound — ~128 cells/layer at the 512-token default tiles):
+    # bigger tiles mean fewer cells but lose the diagonal-block skip.
+    import os as _os
+
+    env_bt = _os.environ.get("THAWK_PREFILL_BT")
+    env_bs = _os.environ.get("THAWK_PREFILL_BS")
+    if env_bt:
+        block_t = int(env_bt)
+    if env_bs:
+        block_s = int(env_bs)
     bt = min(block_t, T)
     while T % bt:
         bt //= 2
