@@ -32,3 +32,7 @@ run --quant q4_0 --mode serve --requests 24 --batch 8 --ctx 1024 \
 run --model 13b --quant q4_0 --tokens 192
 run --model 13b --quant q4_0 --mode serve --requests 16 --batch 8 \
     --ctx 512 --prompt-tokens 128 --tokens 64
+# 13B serve at ctx 1024 fits ONLY with int8 pages (bf16 pool 13.8 GB +
+# 7.3 GB weights OOMs the 16 GB chip; int8 halves the pool).
+run --model 13b --quant q4_0 --mode serve --requests 16 --batch 8 \
+    --ctx 1024 --prompt-tokens 128 --tokens 64 --kv int8
