@@ -175,6 +175,7 @@ def _kernel_vec(
     *,
     block_s: int,
     head_block: int,
+    vpu: bool = False,
 ):
     """Head-vectorized variant: the QK^T and PV dots stay per-head (each
     head contracts its own K/V), but ALL softmax bookkeeping (mask, max,
@@ -222,13 +223,22 @@ def _kernel_vec(
         ck, cv = copies(i, slot)
         ck.wait()
 
-        for h in range(head_block):
-            q = q_ref[0, h].astype(jnp.float32)  # [rep, Dh]
-            k = k_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
-            s_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        if vpu:
+            # rep==1: the per-head QK "matmuls" are [1, Dh] GEMVs — HB
+            # single-row MXU issues per block whose fixed cost dominates
+            # short walks.  One broadcast-multiply + lane reduction on
+            # the VPU computes every head's scores at once.
+            kf = k_buf[slot].astype(jnp.float32)  # [HB, ps, Dh]
+            qa = q_ref[0, :, 0].astype(jnp.float32)  # [HB, Dh]
+            s_buf[...] = jnp.sum(qa[:, None, :] * kf, axis=-1)
+        else:
+            for h in range(head_block):
+                q = q_ref[0, h].astype(jnp.float32)  # [rep, Dh]
+                k = k_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
+                s_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
         kpos = i * block_s + jax.lax.broadcasted_iota(
             jnp.int32, s_buf.shape, 1
@@ -246,11 +256,18 @@ def _kernel_vec(
         s_buf[...] = p
 
         cv.wait()
-        for h in range(head_block):
-            v = v_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
-            p_h = s_buf[h * rep : (h + 1) * rep, :]
-            pv = jnp.dot(p_h, v, preferred_element_type=jnp.float32)
-            acc_ref[h] = acc_ref[h] * alpha[h * rep : (h + 1) * rep] + pv
+        if vpu:
+            vf = v_buf[slot].astype(jnp.float32)  # [HB, ps, Dh]
+            pv = jnp.sum(s_buf[...][:, :, None] * vf, axis=1)  # [HB, Dh]
+            acc_ref[...] = (acc_ref[...] * alpha[:, None, :]
+                            + pv[:, None, :])
+        else:
+            for h in range(head_block):
+                v = v_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
+                p_h = s_buf[h * rep : (h + 1) * rep, :]
+                pv = jnp.dot(p_h, v, preferred_element_type=jnp.float32)
+                acc_ref[h] = (acc_ref[h]
+                              * alpha[h * rep : (h + 1) * rep] + pv)
 
     @pl.when(i == n_blocks - 1)
     def _():
@@ -384,6 +401,7 @@ def _kernel_vec_append(
     *,
     block_s: int,
     head_block: int,
+    vpu: bool = False,
 ):
     """_kernel_vec fused with the KV-cache append.
 
@@ -479,13 +497,20 @@ def _kernel_vec_append(
         ck, cv = copies(i, slot)
         ck.wait()
 
-        for h in range(head_block):
-            q = q_ref[0, h].astype(jnp.float32)  # [rep, Dh]
-            k = k_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
-            s_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        if vpu:
+            # See _kernel_vec: all-heads scores as one VPU
+            # broadcast-multiply + lane reduction (rep==1).
+            kf = k_buf[slot].astype(jnp.float32)  # [HB, ps, Dh]
+            qa = q_ref[0, :, 0].astype(jnp.float32)  # [HB, Dh]
+            s_buf[...] = jnp.sum(qa[:, None, :] * kf, axis=-1)
+        else:
+            for h in range(head_block):
+                q = q_ref[0, h].astype(jnp.float32)  # [rep, Dh]
+                k = k_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
+                s_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
         kpos = i * block_s + jax.lax.broadcasted_iota(
             jnp.int32, s_buf.shape, 1
@@ -503,11 +528,18 @@ def _kernel_vec_append(
         s_buf[...] = p
 
         cv.wait()
-        for h in range(head_block):
-            v = v_buf[slot, h].astype(jnp.float32)
-            p_h = s_buf[h * rep : (h + 1) * rep, :]
-            pv = jnp.dot(p_h, v, preferred_element_type=jnp.float32)
-            acc_ref[h] = acc_ref[h] * alpha[h * rep : (h + 1) * rep] + pv
+        if vpu:
+            vf = v_buf[slot].astype(jnp.float32)  # [HB, ps, Dh]
+            pv = jnp.sum(s_buf[...][:, :, None] * vf, axis=1)  # [HB, Dh]
+            acc_ref[...] = (acc_ref[...] * alpha[:, None, :]
+                            + pv[:, None, :])
+        else:
+            for h in range(head_block):
+                v = v_buf[slot, h].astype(jnp.float32)
+                p_h = s_buf[h * rep : (h + 1) * rep, :]
+                pv = jnp.dot(p_h, v, preferred_element_type=jnp.float32)
+                acc_ref[h] = (acc_ref[h]
+                              * alpha[h * rep : (h + 1) * rep] + pv)
 
     @pl.when(i == jnp.maximum(n_blocks, 1) - 1)
     def _():
@@ -758,6 +790,7 @@ def _kernel_walk_append(
     block_s: int,
     head_block: int,
     batch: int,
+    vpu: bool = False,
 ):
     """Multi-slot flattened walk: ONE grid cell per head group runs a
     single uniform fori_loop over (slot, block) items, so the double
@@ -857,13 +890,18 @@ def _kernel_walk_append(
         ck, cv = walk_copies(b, i, slot)
         ck.wait()
 
-        for h in range(head_block):
-            qh = q_ref[pl.ds(b, 1), h][0].astype(jnp.float32)  # [rep, Dh]
-            k = k_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
-            s_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
-                qh, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        if vpu:
+            kf = k_buf[slot].astype(jnp.float32)  # [HB, ps, Dh]
+            qa = q_ref[pl.ds(b, 1)][0][:, 0].astype(jnp.float32)  # [HB, Dh]
+            s_buf[...] = jnp.sum(qa[:, None, :] * kf, axis=-1)
+        else:
+            for h in range(head_block):
+                qh = q_ref[pl.ds(b, 1), h][0].astype(jnp.float32)
+                k = k_buf[slot, h].astype(jnp.float32)  # [ps, Dh]
+                s_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
+                    qh, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
         len_old = pos_of(b)
         kpos = i * block_s + jax.lax.broadcasted_iota(
@@ -885,12 +923,18 @@ def _kernel_walk_append(
 
         cv.wait()
         acc = acc_ref[pl.ds(b, 1)][0]  # [HB, rep, Dh]
-        pvs = []
-        for h in range(head_block):
-            v = v_buf[slot, h].astype(jnp.float32)
-            p_h = s_buf[h * rep : (h + 1) * rep, :]
-            pvs.append(jnp.dot(p_h, v, preferred_element_type=jnp.float32))
-        pv = jnp.concatenate(pvs, axis=0).reshape(head_block, rep, Dh)
+        if vpu:
+            vf = v_buf[slot].astype(jnp.float32)  # [HB, ps, Dh]
+            pv = jnp.sum(s_buf[...][:, :, None] * vf, axis=1)  # [HB, Dh]
+            pv = pv.reshape(head_block, rep, Dh)
+        else:
+            pvs = []
+            for h in range(head_block):
+                v = v_buf[slot, h].astype(jnp.float32)
+                p_h = s_buf[h * rep : (h + 1) * rep, :]
+                pvs.append(jnp.dot(p_h, v,
+                                   preferred_element_type=jnp.float32))
+            pv = jnp.concatenate(pvs, axis=0).reshape(head_block, rep, Dh)
         acc = acc * alpha.reshape(head_block, rep, 1) + pv
         acc_ref[pl.ds(b, 1)] = acc[None]
 
@@ -968,8 +1012,9 @@ def flash_decode_append_walk(
 
     kv_view = (B, Hkv, n_blocks, bs, Dh)
     grid = (Hkv // hb,)
-    kernel = functools.partial(_kernel_walk_append, block_s=bs,
-                               head_block=hb, batch=B)
+    kernel = functools.partial(
+        _kernel_walk_append, block_s=bs, head_block=hb, batch=B,
+        vpu=_os2.environ.get("THAWK_ATTN_VPU", "0") == "1" and rep == 1)
     out, kc, vc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1073,7 +1118,9 @@ def flash_decode_append(
 
     kv_view = (B, Hkv, n_blocks, bs, Dh)
     grid = (B, Hkv // hb, n_blocks)
-    kernel = functools.partial(_kernel_vec_append, block_s=bs, head_block=hb)
+    kernel = functools.partial(
+        _kernel_vec_append, block_s=bs, head_block=hb,
+        vpu=_os2.environ.get("THAWK_ATTN_VPU", "0") == "1" and rep == 1)
     out, kc, vc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1140,6 +1187,10 @@ def flash_decode_append(
 import os as _os
 
 DECODE_VEC = _os.environ.get("THAWK_DECODE_VEC", "1") == "1"
+# VPU-scores variant (rep==1 only): compute all heads' QK scores and PV
+# outputs as broadcast-multiply + reductions instead of per-head
+# single-row MXU dots (2*HB GEMV issues per block).  A/B knob.
+_ATTN_VPU = _os.environ.get("THAWK_ATTN_VPU", "0") == "1"
 # Negative result (BENCH_NOTES round 2): the in-kernel dynamic block
 # loop measured NEUTRAL vs the grid-per-block form (9.5 vs 9.4 us/layer
 # at 64 live, S=2048) — Mosaic's predicated-off grid cells are ~free, and
@@ -1232,7 +1283,9 @@ def flash_decode_dma(
     kv_view = (B, Hkv, n_blocks, bs, Dh)
     grid = (B, Hkv // hb, n_blocks)
     if DECODE_VEC:
-        kernel = functools.partial(_kernel_vec, block_s=bs, head_block=hb)
+        kernel = functools.partial(
+            _kernel_vec, block_s=bs, head_block=hb,
+            vpu=_ATTN_VPU and rep == 1)
         ml_shape = (hb * rep, 128)
         extra = [pltpu.VMEM((hb * rep, bs), jnp.float32)]
     else:
