@@ -68,6 +68,14 @@ def main() -> int:
             return paged_flash_decode_int8(q, k_pages, ks, v_pages, vs,
                                            table, lengths,
                                            head_block=head_block)
+    elif args.variant in ("append", "append_walk"):
+        from tokenhawk_tpu.ops.pallas.flash_decode_dma import (
+            flash_decode_append,
+            flash_decode_append_walk,
+        )
+
+        fn = (flash_decode_append_walk if args.variant == "append_walk"
+              else flash_decode_append)
     else:
         raise SystemExit(f"unknown variant {args.variant}")
 
@@ -115,6 +123,29 @@ def main() -> int:
     print(f"live KV: {live/1e6:.0f} MB per pass", file=sys.stderr)
 
     def make_fn(n):
+        if args.variant in ("append", "append_walk"):
+            # Fused append+attend mutates the caches: carry them through
+            # the scan so the in-place aliasing is real (captured arrays
+            # would be copy-per-step and bench the copies, not the
+            # kernel).  k_new/v_new reuse a q slice (bytes are free).
+            @jax.jit
+            def run(q, caches, lengths):
+                def body(carry, _):
+                    q, caches = carry
+                    new = []
+                    for kc, vc in caches:
+                        o, kc, vc = fn(q, q[:, :, 0], q[:, :, 0] * 0.5,
+                                       kc, vc, lengths,
+                                       block_s=args.bs, head_block=args.hb)
+                        q = o.astype(q.dtype) * 1e-3 + q * 1e-3
+                        new.append((kc, vc))
+                    return (q, tuple(new)), ()
+
+                (q, _), _ = jax.lax.scan(body, (q, tuple(tuple(c) for c in caches)), None, length=n)
+                return q
+
+            return run
+
         @jax.jit
         def run(q, caches, lengths):
             def body(q, _):

@@ -976,11 +976,18 @@ def _kernel_walk_append(
             kw, vw = slab_writes(b)
             kw.start()
             vw.start()
-            kw.wait()
-            vw.wait()
         return 0
 
     jax.lax.fori_loop(0, total, body, 0)
+    # Drain the append write-backs only once, after the whole walk:
+    # each slot's write was started at its last item, targets a region
+    # no other slot reads, and its source slab buffer is never touched
+    # again — waiting per slot inside the loop exposed the full write
+    # latency batch times per layer.
+    for b in range(batch):
+        kw, vw = slab_writes(b)
+        kw.wait()
+        vw.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "head_block", "interpret"),
