@@ -60,6 +60,30 @@ DOT_F32 = _os.environ.get("THAWK_DOT_F32", "auto")
 # "0" = per-element VPU add inside the dequant.
 KQ_BIASDOT = _os.environ.get("THAWK_KQ_BIASDOT", "1") == "1"
 
+# Grid-order A/B switch: "n" (default) puts N tiles OUTER so the weight
+# block's index is constant across consecutive cells and each weight
+# tile is fetched once per call; "rows" restores the pre-round-5
+# rows-outer order (weights re-streamed once per 128-row activation
+# tile — 4x at a 512-token prefill).  Decode (a single row tile) lowers
+# identically either way.
+_ROWS_OUTER = _os.environ.get("THAWK_QMM_ORDER", "n") == "rows"
+
+
+def _mk_grid(N, bn, B, bb, n_k_tiles):
+    if _ROWS_OUTER:
+        return (B // bb, N // bn, n_k_tiles)
+    return (N // bn, B // bb, n_k_tiles)
+
+
+def _rt(a, b):
+    """Row-tile coordinate from the first two grid args."""
+    return a if _ROWS_OUTER else b
+
+
+def _nt(a, b):
+    """N-tile coordinate from the first two grid args."""
+    return b if _ROWS_OUTER else a
+
 
 def _apply_scales(w, s, group=GROUP):
     """w [bk, bn] * s [bk//group, bn] broadcast over each group."""
@@ -188,7 +212,7 @@ def _q8_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, fuse_norm=False,
         w = _apply_scales(w, s)
         _qdot(x[:, j : j + sub], w, acc_ref)
 
-    j_n = pl.program_id(0)
+    j_n = pl.program_id(1 if _ROWS_OUTER else 0)
 
     @pl.when(k == n_k_tiles - 1)
     def _():
@@ -300,7 +324,7 @@ def _q4i4_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, fuse_norm=False,
         w = _apply_scales(w, s)
         _qdot(x[:, j : j + sub], w, acc_ref)
 
-    j_n = pl.program_id(0)
+    j_n = pl.program_id(1 if _ROWS_OUTER else 0)
 
     @pl.when(k == n_k_tiles - 1)
     def _():
@@ -331,7 +355,7 @@ def _qk_kernel(x_ref, qs_ref, s_ref, *rest, n_k_tiles, group, has_mins,
     (group 16).  The code path is the q4_0_i4 kernel plus one VPU add
     per element for the bias."""
     k = pl.program_id(2)
-    j_n = pl.program_id(0)
+    j_n = pl.program_id(1 if _ROWS_OUTER else 0)
     rest = list(rest)
     m_ref = rest.pop(0) if has_mins else None
     g_ref = rest.pop(0) if fuse_norm else None
@@ -425,21 +449,21 @@ def qk_matmul(
 
         x = rms_norm(x, norm_gain, eps)
 
-    grid = (N // bn, B // bb, n_k_tiles)
+    grid = _mk_grid(N, bn, B, bb, n_k_tiles)
     kernel = functools.partial(_qk_kernel, n_k_tiles=n_k_tiles, group=group,
                                has_mins=mins is not None, fuse_norm=fuse,
                                eps=eps)
     in_specs = [
-        pl.BlockSpec((bb, bk), lambda j, i, k: (i, k)),
-        pl.BlockSpec((bk, bn), lambda j, i, k: (k, j)),
-        pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)),
+        pl.BlockSpec((bb, bk), lambda a, b, k: (_rt(a, b), k)),
+        pl.BlockSpec((bk, bn), lambda a, b, k: (k, _nt(a, b))),
+        pl.BlockSpec((sg, bn), lambda a, b, k: (k, _nt(a, b))),
     ]
     operands = [x, qs, scales]
     if mins is not None:
-        in_specs.append(pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)))
+        in_specs.append(pl.BlockSpec((sg, bn), lambda a, b, k: (k, _nt(a, b))))
         operands.append(mins)
     if fuse:
-        in_specs.append(pl.BlockSpec((1, bk), lambda j, i, k: (0, k)))
+        in_specs.append(pl.BlockSpec((1, bk), lambda a, b, k: (0, k)))
         operands.append(norm_gain.reshape(1, K))
     nbytes_codes = qs.size // (2 if qs.dtype in (jnp.int4, jnp.uint4) else 1)
     nbytes_side = scales.size * scales.dtype.itemsize
@@ -454,7 +478,7 @@ def qk_matmul(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, bn), lambda j, i, k: (i, j)),
+        out_specs=pl.BlockSpec((bb, bn), lambda a, b, k: (_rt(a, b), _nt(a, b))),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -594,27 +618,27 @@ def qk_sb_matmul(
 
         x = rms_norm(x, norm_gain, eps)
 
-    grid = (N // bn, B // bb, n_k_tiles)
+    grid = _mk_grid(N, bn, B, bb, n_k_tiles)
     kernel = functools.partial(_qk_sb_kernel, n_k_tiles=n_k_tiles,
                                fuse_norm=fuse, eps=eps)
     in_specs = [
-        pl.BlockSpec((bb, bk), lambda j, i, k: (i, k)),
-        pl.BlockSpec((bk, bn), lambda j, i, k: (k, j)),
-        pl.BlockSpec((sb, bn), lambda j, i, k: (k, j)),  # d
-        pl.BlockSpec((sb, bn), lambda j, i, k: (k, j)),  # dmin
-        pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)),  # sc rows
+        pl.BlockSpec((bb, bk), lambda a, b, k: (_rt(a, b), k)),
+        pl.BlockSpec((bk, bn), lambda a, b, k: (k, _nt(a, b))),
+        pl.BlockSpec((sb, bn), lambda a, b, k: (k, _nt(a, b))),  # d
+        pl.BlockSpec((sb, bn), lambda a, b, k: (k, _nt(a, b))),  # dmin
+        pl.BlockSpec((sg, bn), lambda a, b, k: (k, _nt(a, b))),  # sc rows
         pl.BlockSpec((sg, bn),
-                     lambda j, i, k, _n=n_k_tiles: (k + _n, j)),  # mn rows
+                     lambda a, b, k, _n=n_k_tiles: (k + _n, _nt(a, b))),  # mn rows
     ]
     operands = [x, qs, d, dmin, scmn, scmn]
     if fuse:
-        in_specs.append(pl.BlockSpec((1, bk), lambda j, i, k: (0, k)))
+        in_specs.append(pl.BlockSpec((1, bk), lambda a, b, k: (0, k)))
         operands.append(norm_gain.reshape(1, K))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, bn), lambda j, i, k: (i, j)),
+        out_specs=pl.BlockSpec((bb, bn), lambda a, b, k: (_rt(a, b), _nt(a, b))),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -698,28 +722,28 @@ def q8_matmul(
     # matrix B//bb times (4x at a 512-token prefill, ~15 GB of redundant
     # HBM traffic per call).  The re-read side is now the x tiles, which
     # are ~1000x smaller.  Decode (B <= bb) is order-identical.
-    grid = (N // bn, B // bb, n_k_tiles)
+    grid = _mk_grid(N, bn, B, bb, n_k_tiles)
     kernel = functools.partial(_q8_kernel, n_k_tiles=n_k_tiles,
                                fuse_norm=fuse, eps=eps, rope=rope_meta)
     in_specs = [
-        pl.BlockSpec((bb, bk), lambda j, i, k: (i, k)),
-        pl.BlockSpec((bk, bn), lambda j, i, k: (k, j)),
-        pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)),
+        pl.BlockSpec((bb, bk), lambda a, b, k: (_rt(a, b), k)),
+        pl.BlockSpec((bk, bn), lambda a, b, k: (k, _nt(a, b))),
+        pl.BlockSpec((sg, bn), lambda a, b, k: (k, _nt(a, b))),
     ]
     operands = [x, qs, scales]
     if fuse:
-        in_specs.append(pl.BlockSpec((1, bk), lambda j, i, k: (0, k)))
+        in_specs.append(pl.BlockSpec((1, bk), lambda a, b, k: (0, k)))
         operands.append(norm_gain.reshape(1, K))
     if rope_meta:
         dh = rope_meta[1]
-        in_specs.append(pl.BlockSpec((bb, dh), lambda j, i, k: (i, 0)))
-        in_specs.append(pl.BlockSpec((bb, dh), lambda j, i, k: (i, 0)))
+        in_specs.append(pl.BlockSpec((bb, dh), lambda a, b, k: (_rt(a, b), 0)))
+        in_specs.append(pl.BlockSpec((bb, dh), lambda a, b, k: (_rt(a, b), 0)))
         operands.extend([rope_cos, rope_sin])
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, bn), lambda j, i, k: (i, j)),
+        out_specs=pl.BlockSpec((bb, bn), lambda a, b, k: (_rt(a, b), _nt(a, b))),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -762,29 +786,29 @@ def q4_matmul(
 
         x = rms_norm(x, norm_gain, eps)
 
-    grid = (N // bn, B // bb, n_k_tiles)
+    grid = _mk_grid(N, bn, B, bb, n_k_tiles)
     kernel = functools.partial(_q4_kernel, n_k_tiles=n_k_tiles,
                                biasdot=Q4_BIASDOT, fuse_norm=fuse, eps=eps)
     in_specs = [
         # x low half rows [k*bkp, k*bkp+bkp)
-        pl.BlockSpec((bb, bkp), lambda j, i, k: (i, k)),
+        pl.BlockSpec((bb, bkp), lambda a, b, k: (_rt(a, b), k)),
         # x high half rows [K//2 + k*bkp, ...)
-        pl.BlockSpec((bb, bkp), lambda j, i, k, _n=n_k_tiles: (i, k + _n)),
-        pl.BlockSpec((bkp, bn), lambda j, i, k: (k, j)),
-        pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)),
-        pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)),
+        pl.BlockSpec((bb, bkp), lambda a, b, k, _n=n_k_tiles: (_rt(a, b), k + _n)),
+        pl.BlockSpec((bkp, bn), lambda a, b, k: (k, _nt(a, b))),
+        pl.BlockSpec((sg, bn), lambda a, b, k: (k, _nt(a, b))),
+        pl.BlockSpec((sg, bn), lambda a, b, k: (k, _nt(a, b))),
     ]
     operands = [x, x, qs_packed, scales_lo, scales_hi]
     if fuse:
         g2 = norm_gain.reshape(2, KP)  # row 0 = low half, row 1 = high
-        in_specs.append(pl.BlockSpec((1, bkp), lambda j, i, k: (0, k)))
-        in_specs.append(pl.BlockSpec((1, bkp), lambda j, i, k: (1, k)))
+        in_specs.append(pl.BlockSpec((1, bkp), lambda a, b, k: (0, k)))
+        in_specs.append(pl.BlockSpec((1, bkp), lambda a, b, k: (1, k)))
         operands.extend([g2, g2])
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, bn), lambda j, i, k: (i, j)),
+        out_specs=pl.BlockSpec((bb, bn), lambda a, b, k: (_rt(a, b), _nt(a, b))),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -830,28 +854,28 @@ def q4_matmul_i4(
 
         x = rms_norm(x, norm_gain, eps)
 
-    grid = (N // bn, B // bb, n_k_tiles)
+    grid = _mk_grid(N, bn, B, bb, n_k_tiles)
     kernel = functools.partial(_q4i4_kernel, n_k_tiles=n_k_tiles,
                                fuse_norm=fuse, eps=eps, rope=rope_meta)
     in_specs = [
-        pl.BlockSpec((bb, bk), lambda j, i, k: (i, k)),
-        pl.BlockSpec((bk, bn), lambda j, i, k: (k, j)),
-        pl.BlockSpec((sg, bn), lambda j, i, k: (k, j)),
+        pl.BlockSpec((bb, bk), lambda a, b, k: (_rt(a, b), k)),
+        pl.BlockSpec((bk, bn), lambda a, b, k: (k, _nt(a, b))),
+        pl.BlockSpec((sg, bn), lambda a, b, k: (k, _nt(a, b))),
     ]
     operands = [x, qs, scales]
     if fuse:
-        in_specs.append(pl.BlockSpec((1, bk), lambda j, i, k: (0, k)))
+        in_specs.append(pl.BlockSpec((1, bk), lambda a, b, k: (0, k)))
         operands.append(norm_gain.reshape(1, K))
     if rope_meta:
         dh = rope_meta[1]
-        in_specs.append(pl.BlockSpec((bb, dh), lambda j, i, k: (i, 0)))
-        in_specs.append(pl.BlockSpec((bb, dh), lambda j, i, k: (i, 0)))
+        in_specs.append(pl.BlockSpec((bb, dh), lambda a, b, k: (_rt(a, b), 0)))
+        in_specs.append(pl.BlockSpec((bb, dh), lambda a, b, k: (_rt(a, b), 0)))
         operands.extend([rope_cos, rope_sin])
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, bn), lambda j, i, k: (i, j)),
+        out_specs=pl.BlockSpec((bb, bn), lambda a, b, k: (_rt(a, b), _nt(a, b))),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((bb, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
