@@ -1102,7 +1102,7 @@ def flash_decode_append(
     double buffer primed across slot boundaries instead of exposing the
     first block's fetch latency once per slot.
     """
-    if _os2.environ.get("THAWK_DECODE_WALK", "0") == "1":
+    if _os2.environ.get("THAWK_DECODE_WALK", "1") == "1":
         return flash_decode_append_walk(
             q, k_new, v_new, k_cache, v_cache, lengths,
             block_s=block_s, head_block=head_block, interpret=interpret,

@@ -238,7 +238,7 @@ def attend_paged_layer(
         )
 
         fn = (paged_flash_decode_walk
-              if _os.environ.get("THAWK_DECODE_WALK", "0") == "1"
+              if _os.environ.get("THAWK_DECODE_WALK", "1") == "1"
               else paged_flash_decode)
         qg = (q[:, 0] * scale).reshape(B, Hkv, rep, Dh)
         out = fn(qg, k_pages_l, v_pages_l, page_table,
