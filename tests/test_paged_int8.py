@@ -103,3 +103,29 @@ def test_paged_scheduler_int8_generates(rng):
         assert n_match >= min(len(g), len(w)) // 2, (g, w)
     # pages recycled on completion
     assert s.alloc.n_free == s.alloc.n_pages - 1
+
+@pytest.mark.parametrize("rep_heads", [(4, 1), (2, 2)])
+def test_paged_int8_walk_matches_grid(rng, rep_heads):
+    """paged_flash_decode_int8_walk must match the grid kernel EXACTLY
+    (same quantized arithmetic, restructured walk), on ragged lengths
+    incl. a one-token slot."""
+    from tokenhawk_tpu.ops.pallas.paged_decode_int8 import (
+        paged_flash_decode_int8_walk,
+    )
+
+    Hkv, rep = rep_heads
+    cfg = LlamaConfig.tiny(n_layer=1, n_head=4, n_kv_head=Hkv)
+    Dh = cfg.head_dim
+    B = 3
+    table = jnp.asarray([[5, 2], [1, 3], [4, 0]], jnp.int32)
+    (k_l, ks_l, v_l, vs_l), lengths = _fill_cache(
+        rng, cfg, Hkv, Dh, B, [PS + 40, 70, 1], table)
+
+    H = cfg.n_head
+    q = jnp.asarray(rng.standard_normal((B, 1, H, Dh)), jnp.float32)
+    qg = (q[:, 0] / np.sqrt(Dh)).reshape(B, Hkv, rep, Dh)
+    want = np.asarray(paged_flash_decode_int8(
+        qg, k_l, ks_l, v_l, vs_l, table, lengths, interpret=True))
+    got = np.asarray(paged_flash_decode_int8_walk(
+        qg, k_l, ks_l, v_l, vs_l, table, lengths, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)

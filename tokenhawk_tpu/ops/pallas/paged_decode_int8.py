@@ -242,3 +242,230 @@ def paged_flash_decode_int8(
         interpret=interpret,
     )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), q,
       k_pages, ks_pages.reshape(sc_view), v_pages, vs_pages.reshape(sc_view))
+
+def _kernel_walk(
+    lengths_ref,  # SMEM [B]
+    tables_ref,  # SMEM [B, max_pages]
+    q_ref,  # VMEM [B, HB, rep, Dh]
+    k_hbm,  # ANY int8 [Hkv, n_pages, ps, Dh]
+    ks_hbm,  # ANY f32 [Hkv, n_pages, 1, ps]
+    v_hbm,
+    vs_hbm,
+    o_ref,  # VMEM [B, HB, rep, Dh]
+    m_ref,  # VMEM [B, HB*rep, 128] f32
+    l_ref,
+    acc_ref,  # VMEM [B, HB*rep, Dh] f32
+    s_buf,  # VMEM [HB*rep, ps] f32
+    qi_ref,  # VMEM [B, HB, rep, Dh] int8
+    qs_ref,  # VMEM [B, HB*rep, 128] f32
+    pv_buf,  # VMEM [HB*rep, Dh] int32
+    k_buf,  # VMEM [2, HB, ps, Dh] int8
+    v_buf,
+    ks_buf,  # VMEM [2, HB, 1, ps] f32
+    vs_buf,
+    k_sem,
+    ks_sem,
+    v_sem,
+    vs_sem,
+    *,
+    page_size: int,
+    head_block: int,
+    batch: int,
+):
+    """Multi-slot flattened walk for the int8 paged kernel (see
+    paged_decode._kernel_walk): one cell per head group, one uniform
+    fori_loop over (slot, page) items, per-slot softmax state and
+    per-slot query quantization precomputed before the loop."""
+    hg = pl.program_id(0)
+    h0 = hg * head_block
+    rep = q_ref.shape[2]
+    Dh = q_ref.shape[-1]
+    hs = pl.ds(h0, head_block)
+
+    max_len = lengths_ref[0]
+    for b in range(1, batch):
+        max_len = jnp.maximum(max_len, lengths_ref[b])
+    nb = jnp.maximum(pl.cdiv(max_len, page_size), 1)
+
+    def walk_copies(b, blk, slot):
+        n_b = pl.cdiv(lengths_ref[b], page_size)
+        page = tables_ref[b, jnp.where(blk < n_b, blk, 0)]
+        mk = pltpu.make_async_copy
+        return (
+            mk(k_hbm.at[hs, page], k_buf.at[slot], k_sem.at[slot]),
+            mk(ks_hbm.at[hs, page], ks_buf.at[slot], ks_sem.at[slot]),
+            mk(v_hbm.at[hs, page], v_buf.at[slot], v_sem.at[slot]),
+            mk(vs_hbm.at[hs, page], vs_buf.at[slot], vs_sem.at[slot]),
+        )
+
+    m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    # Per-slot symmetric int8 query quantization, all slots up front.
+    qf = q_ref[...].astype(jnp.float32)  # [B, HB, rep, Dh]
+    qmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+    qinv = jnp.where(qmax > 0.0, 127.0 / jnp.where(qmax > 0.0, qmax, 1.0),
+                     0.0)
+    qi_ref[...] = jnp.round(qf * qinv).astype(jnp.int8)
+    qs_ref[...] = jnp.broadcast_to(
+        (qmax * (1.0 / 127.0)).reshape(batch, head_block * rep, 1),
+        qs_ref.shape,
+    )
+    for c in walk_copies(0, 0, 0):
+        c.start()
+
+    total = batch * nb
+
+    def body(idx, _):
+        b = idx // nb
+        i = idx - b * nb
+        slot = idx % 2
+
+        @pl.when(idx + 1 < total)
+        def _():
+            nxt = idx + 1
+            for c in walk_copies(nxt // nb, nxt - (nxt // nb) * nb,
+                                 nxt % 2):
+                c.start()
+
+        ck, cks, cv, cvs = walk_copies(b, i, slot)
+        ck.wait()
+        cks.wait()
+
+        for h in range(head_block):
+            qih = qi_ref[pl.ds(b, 1), h][0]  # [rep, Dh] int8
+            s_i32 = jax.lax.dot_general(
+                qih, k_buf[slot, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s_buf[h * rep : (h + 1) * rep, :] = s_i32.astype(jnp.float32)
+
+        def per_row(x):  # [HB, ps] -> [HB*rep, ps]
+            if rep == 1:
+                return x
+            return jnp.broadcast_to(
+                x[:, None, :], (head_block, rep, x.shape[-1])
+            ).reshape(head_block * rep, x.shape[-1])
+
+        length = lengths_ref[b]
+        ks_row = per_row(ks_buf[slot, :, 0, :].astype(jnp.float32))
+        kpos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, s_buf.shape, 1
+        )
+        qs_b = qs_ref[pl.ds(b, 1)][0][:, 0:1]
+        s = s_buf[...] * qs_b * ks_row
+        s = jnp.where(kpos < length, s, _MASK)
+        m_prev = m_ref[pl.ds(b, 1)][0][:, 0:1]
+        l_prev = l_ref[pl.ds(b, 1)][0][:, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[pl.ds(b, 1)] = jnp.broadcast_to(
+            m_next, (1,) + m_ref.shape[1:])
+        l_ref[pl.ds(b, 1)] = jnp.broadcast_to(
+            l_next, (1,) + l_ref.shape[1:])
+
+        cvs.wait()
+        vs_row = per_row(vs_buf[slot, :, 0, :].astype(jnp.float32))
+        pw = p * vs_row
+        pmax = jnp.max(pw, axis=1, keepdims=True)
+        pinv = jnp.where(
+            pmax > 0.0, 127.0 / jnp.where(pmax > 0.0, pmax, 1.0), 0.0
+        )
+        pq = jnp.round(pw * pinv).astype(jnp.int8)
+
+        cv.wait()
+        for h in range(head_block):
+            pv_buf[h * rep : (h + 1) * rep, :] = jax.lax.dot_general(
+                pq[h * rep : (h + 1) * rep, :], v_buf[slot, h],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        acc = acc_ref[pl.ds(b, 1)][0]
+        acc = acc * alpha + (
+            pv_buf[...].astype(jnp.float32) * (pmax * (1.0 / 127.0))
+        )
+        acc_ref[pl.ds(b, 1)] = acc[None]
+
+        @pl.when(i == nb - 1)
+        def _():
+            l = l_ref[pl.ds(b, 1)][0][:, 0:1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            acc_b = acc_ref[pl.ds(b, 1)][0]
+            o_ref[pl.ds(b, 1)] = (
+                (acc_b * l_inv)
+                .reshape(1, head_block, rep, Dh)
+                .astype(o_ref.dtype)
+            )
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("head_block", "interpret"))
+def paged_flash_decode_int8_walk(
+    q: jax.Array,  # [B, Hkv, rep, Dh]
+    k_pages: jax.Array,  # int8 [Hkv, n_pages, ps, Dh]
+    ks_pages: jax.Array,  # f32 [Hkv, n_pages, ps]
+    v_pages: jax.Array,
+    vs_pages: jax.Array,
+    page_table: jax.Array,  # [B, max_pages] int32
+    lengths: jax.Array,  # [B] int32
+    *,
+    head_block: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """paged_flash_decode_int8 with the multi-slot flattened walk."""
+    from tokenhawk_tpu.ops.pallas.flash_decode_dma import _pick_hb
+
+    B, Hkv, rep, Dh = q.shape
+    n_pages, ps = k_pages.shape[1], k_pages.shape[2]
+    sc_view = (Hkv, n_pages, 1, ps)
+    hb = _pick_hb(head_block, Hkv, rep, ps, Dh, k_pages.dtype.itemsize)
+
+    grid = (Hkv // hb,)
+    kernel = functools.partial(_kernel_walk, page_size=ps, head_block=hb,
+                               batch=B)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((B, hb, rep, Dh), lambda h, *_: (0, h, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (B, hb, rep, Dh), lambda h, *_: (0, h, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((B, hb * rep, 128), jnp.float32),
+                pltpu.VMEM((B, hb * rep, 128), jnp.float32),
+                pltpu.VMEM((B, hb * rep, Dh), jnp.float32),
+                pltpu.VMEM((hb * rep, ps), jnp.float32),
+                pltpu.VMEM((B, hb, rep, Dh), jnp.int8),
+                pltpu.VMEM((B, hb * rep, 128), jnp.float32),
+                pltpu.VMEM((hb * rep, Dh), jnp.int32),
+                pltpu.VMEM((2, hb, ps, Dh), k_pages.dtype),
+                pltpu.VMEM((2, hb, ps, Dh), v_pages.dtype),
+                pltpu.VMEM((2, hb, 1, ps), ks_pages.dtype),
+                pltpu.VMEM((2, hb, 1, ps), vs_pages.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), q,
+      k_pages, ks_pages.reshape(sc_view), v_pages,
+      vs_pages.reshape(sc_view))

@@ -455,12 +455,18 @@ def attend_paged_layer_int8(
 
     mode = pallas_mode()
     if mode == "compiled" and Dh % 128 == 0 and k_pages_l.shape[2] % 128 == 0:
+        import os as _os
+
         from tokenhawk_tpu.ops.pallas.paged_decode_int8 import (
             paged_flash_decode_int8,
+            paged_flash_decode_int8_walk,
         )
 
+        fn = (paged_flash_decode_int8_walk
+              if _os.environ.get("THAWK_DECODE_WALK", "1") == "1"
+              else paged_flash_decode_int8)
         qg = (q[:, 0] * scale).reshape(B, Hkv, rep, Dh)
-        out = paged_flash_decode_int8(
+        out = fn(
             qg, k_pages_l, ks_pages_l, v_pages_l, vs_pages_l, page_table,
             lengths.astype(jnp.int32))
         return out.reshape(B, 1, H, Dh).astype(q.dtype)
