@@ -518,3 +518,86 @@ def test_randomized_workload_matches_dense(params, seed):
     # Every page either back in the pool or parked in the prefix cache
     # at refcount 0 (only the trash page stays out).
     assert s.alloc.n_free + len(set(s._pc.values())) == 40 - 1
+
+def test_same_step_cold_prefix_shares_pages(params):
+    """Same-step requests with an identical UNCACHED prefix: the first
+    becomes the prefix leader (admitted solo, pages registered), the
+    rest admit as batched continuations reusing the leader's pages —
+    not N private prefills of the same prefix."""
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    shared = [1] + list(range(3, 3 + 31))  # two full 16-token pages
+
+    s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=4,
+                       cache_dtype=jnp.float32, decode_chunk=4,
+                       page_size=16, n_pages=40, prefix_cache=True)
+    prompts = [shared + [200 + i, 99] for i in range(4)]
+    reqs = [Request(prompt=p, max_new_tokens=5) for p in prompts]
+    for r in reqs:
+        s.submit(r)
+    s.step()
+    # followers hit the leader's two prefix pages (3 followers x 2)
+    assert s.prefix_hits == 6
+    while s.has_work:
+        s.step()
+    want = _dense(params, prompts[:2], 5) + _dense(params, prompts[2:], 5)
+    assert [r.output for r in reqs] == want
+
+
+def test_all_chunking_starved_fails_one_not_livelocks(params):
+    """Two chunking slots, pool too small for either to finish, nothing
+    active: the scheduler must fail ONE (oom_pages) so the other can
+    finish — not spin forever in mutual waiting."""
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    rng = np.random.default_rng(77)
+    long_a = [1] + rng.integers(3, 500, 44).tolist()  # needs 3 pages
+    long_b = [1] + rng.integers(3, 500, 44).tolist()
+    # 1 trash + 4 usable pages: both claim 1-2 pages for chunk 1, then
+    # neither can grow to 3.
+    s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=2,
+                       cache_dtype=jnp.float32, decode_chunk=4,
+                       page_size=16, n_pages=5, prefill_chunk=16)
+    ra = Request(prompt=long_a, max_new_tokens=4)
+    rb = Request(prompt=long_b, max_new_tokens=4)
+    s.submit(ra)
+    s.submit(rb)
+    for _ in range(200):
+        if not s.has_work:
+            break
+        s.step()
+    assert not s.has_work, "scheduler livelocked"
+    reasons = sorted([ra.finish_reason, rb.finish_reason])
+    assert "oom_pages" in reasons
+    assert any(r in ("eos", "length") for r in reasons)
+
+
+def test_chunk_advance_single_slot_while_decoding(params):
+    """With live decode streams, chunk advances keep the one-chunk-per-
+    step stall bound (no multi-row chunk dispatch while n_active > 0)."""
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    rng = np.random.default_rng(78)
+    s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=3,
+                       cache_dtype=jnp.float32, decode_chunk=2,
+                       page_size=16, n_pages=40, prefill_chunk=16)
+    widths = []
+    orig = s._prefill_cont
+
+    def spy(p, cache, toks, table, start, n_new):
+        widths.append(tuple(toks.shape))
+        return orig(p, cache, toks, table, start, n_new)
+
+    s._prefill_cont = spy
+    short = Request(prompt=[1, 5, 9], max_new_tokens=24)
+    s.submit(short)
+    s.step()  # short is live and decoding
+    la = Request(prompt=[1] + rng.integers(3, 500, 40).tolist(),
+                 max_new_tokens=3)
+    lb = Request(prompt=[1] + rng.integers(3, 500, 40).tolist(),
+                 max_new_tokens=3)
+    s.submit(la)
+    s.submit(lb)
+    while s.has_work:
+        s.step()
+    assert widths and all(w[0] == 1 for w in widths)

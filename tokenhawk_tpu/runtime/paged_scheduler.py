@@ -33,7 +33,6 @@ from tokenhawk_tpu.models.llama import (
 from tokenhawk_tpu.runtime.engine import _bucket
 from tokenhawk_tpu.runtime.paged import PageAllocator, PagedKVCache
 from tokenhawk_tpu.runtime.scheduler import Request
-from tokenhawk_tpu.sampling import sample
 from tokenhawk_tpu.sampling import is_eos as _is_eos
 from tokenhawk_tpu.sampling import normalize_eos
 from tokenhawk_tpu.tokenizer import EOS_ID
@@ -81,36 +80,6 @@ def _admit_state_paged_many(logits, sp, counters, last_tok, last_n, done,
         mode="drop")
     done = done.at[slots].set(False, mode="drop")
     return sp, counters, last_tok, last_n, done, first
-
-
-def make_paged_decode_fn(cfg: LlamaConfig, sampling: SamplingConfig,
-                         chunk: int, eos_id=EOS_ID):
-    eos0, eos_ids = normalize_eos(eos_id)
-
-    @partial(jax.jit, donate_argnums=(1,))
-    def decode(params, cache, table, last_tok, lengths, last_n, done, key):
-        def step(carry, k):
-            cache, tok, lens, last_n, done = carry
-            h, cache = forward_paged_decode(
-                cfg, params, tok[:, None], cache, table, lens
-            )
-            logits = logits_from_hidden(cfg, params, h[:, 0])
-            nxt = sample(logits, k, sampling, last_n)
-            nxt = jnp.where(done, jnp.int32(eos0), nxt)
-            # Freeze lengths for done/idle slots (see engine.make_decode_fn):
-            # an unbounded length walks the page walk past the slot's pages.
-            lens = lens + jnp.where(done, 0, 1)
-            done = done | _is_eos(nxt, eos_ids)
-            last_n = jnp.concatenate([last_n[:, 1:], nxt[:, None]], axis=1)
-            return (cache, nxt, lens, last_n, done), nxt
-
-        keys = jax.random.split(key, chunk)
-        (cache, tok, lengths, last_n, done), toks = jax.lax.scan(
-            step, (cache, last_tok, lengths, last_n, done), keys
-        )
-        return cache, toks.T, done, last_n
-
-    return decode
 
 
 def make_paged_decode_fn_dynamic(cfg: LlamaConfig, chunk: int,
@@ -620,8 +589,23 @@ class PagedScheduler:
         if not self._ensure_pages(slot, Tb):
             return False  # not enough pages right now
         if batch is not None and not self.spec:
-            batch.append(("plain", slot, req, Tb))
-            return True
+            # Cold shared prefix: if this prompt's first full page is
+            # not yet cached, admit it IMMEDIATELY (unbatched) so its
+            # pages register before the rest of the step's admissions
+            # run _reuse_prefix — same-step followers sharing the
+            # prefix then admit as batched continuations instead of
+            # each prefilling a private copy.  (Deferring everyone to
+            # the flush would also be a write/read race: a follower's
+            # continuation row would attend over prefix pages the
+            # leader's row is still writing in the same dispatch.)
+            cold_leader = (
+                self.prefix_cache_enabled
+                and (len(prompt) - 1) // self.ps >= 1
+                and self._prefix_keys(prompt, 1)[0] not in self._pc
+            )
+            if not cold_leader:
+                batch.append(("plain", slot, req, Tb))
+                return True
 
         toks = np.zeros((1, Tb), np.int32)
         toks[0, : len(prompt)] = prompt
@@ -664,37 +648,46 @@ class PagedScheduler:
         self._activate_many([(slot, req) for _, slot, req, _Tb in group],
                             Nb, logits)
 
-    def _admit_batch_cont(self, group: list):
-        """Batched prefix-cache continuation admissions: one padded
-        prefill_cont dispatch covers every same-bucket suffix (each
-        unbatched call pays ~190 ms of relay arg marshalling for the
-        ~370-leaf params+pool tree — it dominated pc-serve).  Rows carry
-        their own page-aligned `start`; the table width pads to the
-        group's power-of-two page-count bucket (same bucketing as
-        _table_slice, so batched and single calls share compilations
-        when shapes agree)."""
-        Cb = group[0][5]
-        n = len(group)
+    def _prefill_cont_group(self, rows, Cb: int):
+        """ONE padded prefill_cont dispatch over same-width continuation
+        rows (slot, tokens, start) — the shared engine under batched
+        prefix-cache admissions AND batched chunk advances (each
+        unbatched call pays the full per-dispatch cost, ~190 ms of relay
+        arg marshalling for the ~370-leaf params+pool tree).  The row
+        count pads to a power of two and the table width to the group's
+        power-of-two page-count bucket (same bucketing as _table_slice,
+        so batched and single calls share compilations when shapes
+        agree); padding rows carry zero n_new and all-trash tables.
+        Returns (Nb, logits [Nb, V]) with the live rows leading."""
+        n = len(rows)
         Nb = 1 << (n - 1).bit_length()
-        need = max(-(-(reused + Cb) // self.ps)
-                   for _, _, _, reused, _, _ in group)
+        need = max(-(-(start + Cb) // self.ps) for _, _, start in rows)
         W = 1
         while W < need:
             W *= 2
         W = min(W, self.max_pages)
         toks = np.zeros((Nb, Cb), np.int32)
-        start = np.zeros((Nb,), np.int32)
+        starts = np.zeros((Nb,), np.int32)
         n_new = np.zeros((Nb,), np.int32)
         table = np.full((Nb, W), self.trash_page, np.int32)
-        for i, (_, slot, req, reused, remaining, _Cb) in enumerate(group):
-            toks[i, :remaining] = req.prompt[reused:]
-            start[i] = reused
-            n_new[i] = remaining
+        for i, (slot, row_toks, start) in enumerate(rows):
+            toks[i, : len(row_toks)] = row_toks
+            starts[i] = start
+            n_new[i] = len(row_toks)
             table[i] = self.table[slot, :W]
         self.cache, logits = self._prefill_cont(
             self.params, self.cache, jnp.asarray(toks),
-            jnp.asarray(table), jnp.asarray(start), jnp.asarray(n_new),
+            jnp.asarray(table), jnp.asarray(starts), jnp.asarray(n_new),
         )
+        return Nb, logits
+
+    def _admit_batch_cont(self, group: list):
+        """Batched prefix-cache continuation admissions: one padded
+        prefill_cont dispatch covers every same-bucket suffix."""
+        Cb = group[0][5]
+        Nb, logits = self._prefill_cont_group(
+            [(slot, req.prompt[reused:], reused)
+             for _, slot, req, reused, _rem, _Cb in group], Cb)
         self._activate_many(
             [(slot, req) for _, slot, req, _r, _m, _c in group], Nb, logits)
 
@@ -715,16 +708,7 @@ class PagedScheduler:
             scfgs.append(req.sampling or self.sampling)
         from tokenhawk_tpu.sampling import SamplingParams
 
-        vals = [SamplingParams.slot_values(c) for c in scfgs]
-        vals += [vals[-1]] * (Nb - n)  # pad rows: any params, dropped
-        t, k, p, r, s = zip(*vals)
-        slot_sp = SamplingParams(
-            temperature=jnp.asarray(t, jnp.float32),
-            top_k=jnp.asarray(k, jnp.int32),
-            top_p=jnp.asarray(p, jnp.float32),
-            repeat_penalty=jnp.asarray(r, jnp.float32),
-            seed=jnp.asarray(s, jnp.int32),
-        )
+        slot_sp = SamplingParams.from_configs(scfgs, Nb)
         (self.sp, self.counters, self.last_tok, self.last_n, self.done,
          first) = _admit_state_paged_many(
             logits, self.sp, self.counters, self.last_tok, self.last_n,
@@ -800,36 +784,42 @@ class PagedScheduler:
             Cb = C if n_new == C else -(-n_new // self.ps) * self.ps
             rows.append((slot, req, pos, n_new, Cb,
                          pos + n_new >= len(req.prompt)))
+        if not rows:
+            # Every chunking slot is page-starved and nothing active can
+            # ever free pages: deterministically stuck (each slot alone
+            # sees "other chunking slots in flight" and waits for the
+            # others — mutual waiting, not progress).  Fail ONE slot to
+            # release its pages; the rest proceed next step.
+            if self.n_active == 0 and self.n_chunking > 1:
+                slot = next(s for s in range(self.B)
+                            if self.chunking[s] is not None)
+                req, _pos = self.chunking[slot]
+                self.chunking[slot] = None
+                self._release_slot_pages(slot)
+                req.finish_reason = "oom_pages"
+                req.done_at = time.perf_counter()
+                self.finished.append(req)
+                req.flush_text()
+                if req.on_done:
+                    req.on_done(req)
+            return
+        if self.n_active > 0:
+            # Live decode streams present: keep the one-chunk-per-step
+            # stall bound (the whole point of chunked admission).  The
+            # full multi-slot batch only runs when nothing is decoding,
+            # where per-step latency has no audience.
+            rows = rows[:1]
         rows.sort(key=lambda r: (r[4], not r[5]))
         for _, grp in itertools.groupby(rows, key=lambda r: r[4]):
             self._advance_chunk_group(list(grp))
 
     def _advance_chunk_group(self, group: list):
         """One padded prefill_cont dispatch advances a same-width group
-        of prompt chunks (different slots write disjoint pages; padding
-        rows carry zero n_new and all-trash tables)."""
+        of prompt chunks (different slots write disjoint pages)."""
         Cb = group[0][4]
-        n = len(group)
-        Nb = 1 << (n - 1).bit_length()
-        need = max(-(-(pos + Cb) // self.ps)
-                   for _, _, pos, _, _, _ in group)
-        W = 1
-        while W < need:
-            W *= 2
-        W = min(W, self.max_pages)
-        toks = np.zeros((Nb, Cb), np.int32)
-        start = np.zeros((Nb,), np.int32)
-        n_new_a = np.zeros((Nb,), np.int32)
-        table = np.full((Nb, W), self.trash_page, np.int32)
-        for i, (slot, req, pos, n_new, _Cb, _done) in enumerate(group):
-            toks[i, :n_new] = req.prompt[pos : pos + n_new]
-            start[i] = pos
-            n_new_a[i] = n_new
-            table[i] = self.table[slot, :W]
-        self.cache, logits = self._prefill_cont(
-            self.params, self.cache, jnp.asarray(toks),
-            jnp.asarray(table), jnp.asarray(start), jnp.asarray(n_new_a),
-        )
+        Nb, logits = self._prefill_cont_group(
+            [(slot, req.prompt[pos : pos + n_new], pos)
+             for slot, req, pos, n_new, _Cb, _done in group], Cb)
         completed = []
         for slot, req, pos, n_new, _Cb, done in group:
             if done:

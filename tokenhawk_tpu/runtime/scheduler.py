@@ -521,16 +521,7 @@ class Scheduler:
             )
         from tokenhawk_tpu.sampling import SamplingParams
 
-        vals = [SamplingParams.slot_values(c) for c in scfgs]
-        vals += [vals[-1]] * (Nb - n)  # pad rows: any params, dropped
-        t, k, p, r, s = zip(*vals)
-        slot_sp = SamplingParams(
-            temperature=jnp.asarray(t, jnp.float32),
-            top_k=jnp.asarray(k, jnp.int32),
-            top_p=jnp.asarray(p, jnp.float32),
-            repeat_penalty=jnp.asarray(r, jnp.float32),
-            seed=jnp.asarray(s, jnp.int32),
-        )
+        slot_sp = SamplingParams.from_configs(scfgs, Nb)
         (self.sp, self.counters, self.last_tok, self.offsets, self.last_n,
          self.done, first) = _admit_state_dense_many(
             logits, self.sp, self.counters, self.last_tok, self.offsets,

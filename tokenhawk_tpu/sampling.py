@@ -160,6 +160,22 @@ class SamplingParams:
         t = 0.0 if cfg.greedy else cfg.temperature
         return (t, cfg.top_k, cfg.top_p, cfg.repeat_penalty, cfg.seed)
 
+    @staticmethod
+    def from_configs(cfgs, pad_to: int) -> "SamplingParams":
+        """Padded per-row params for a batched admission group (both
+        schedulers): rows beyond len(cfgs) repeat the last config — they
+        correspond to padding rows whose state scatter drops."""
+        vals = [SamplingParams.slot_values(c) for c in cfgs]
+        vals += [vals[-1]] * (pad_to - len(vals))
+        t, k, p, r, s = zip(*vals)
+        return SamplingParams(
+            temperature=jnp.asarray(t, jnp.float32),
+            top_k=jnp.asarray(k, jnp.int32),
+            top_p=jnp.asarray(p, jnp.float32),
+            repeat_penalty=jnp.asarray(r, jnp.float32),
+            seed=jnp.asarray(s, jnp.int32),
+        )
+
     def set_slot(self, slot, values) -> "SamplingParams":
         t, k, p, r, s = values
         return SamplingParams(
