@@ -535,6 +535,19 @@ def main(argv=None) -> int:
             first = jnp.argmax(lg, -1).astype(jnp.int32)
             np.asarray(first)
             samples.append(time.perf_counter() - t0)
+        if args.trace:
+            # Device-side attribution: wall TTFT through the tunneled
+            # relay carries 50-300 ms of per-dispatch jitter; the trace
+            # is the only honest read of the prefill kernels themselves.
+            from tokenhawk_tpu.utils.profiling import trace as _trace
+
+            with _trace(args.trace):
+                c2 = new_cache()
+                c2, lg = prefill(params, c2, prompt, lengths, offsets0)
+                np.asarray(jnp.argmax(lg, -1).astype(jnp.int32))
+            print(f"ttft trace written to {args.trace} (summarize: "
+                  f"python experiments/trace_summarize.py {args.trace} 1)",
+                  file=sys.stderr)
         samples = sorted(samples)[1:-1]  # trim extremes
         p50 = samples[len(samples) // 2] * 1e3
         print(f"TTFT samples (ms): {[f'{s*1e3:.1f}' for s in samples]}",
