@@ -176,6 +176,7 @@ def _kernel_vec(
     block_s: int,
     head_block: int,
     vpu: bool = False,
+    pack: bool = False,
 ):
     """Head-vectorized variant: the QK^T and PV dots stay per-head (each
     head contracts its own K/V), but ALL softmax bookkeeping (mask, max,
@@ -223,6 +224,42 @@ def _kernel_vec(
         ck, cv = copies(i, slot)
         ck.wait()
 
+        if pack:
+            # Head-packed (rep==1): ONE MXU dot computes every head's
+            # scores against every head's keys ([HB, Dh] x [HB*ps, Dh]T
+            # -> [HB, HB*ps]); the off-diagonal (wrong-head) columns are
+            # masked to -inf and die in the exp, so the probability
+            # matrix is block-diagonal and PV is a second single dot.
+            # 32x MXU waste, but the MXU was idle — this trades it for
+            # 2 issues instead of 2*HB single-row GEMVs per block.
+            kf = k_buf[slot].astype(jnp.float32)  # [HB, ps, Dh]
+            k_flat = kf.reshape(head_block * block_s, kf.shape[-1])
+            qa = q_ref[0, :, 0].astype(jnp.float32)  # [HB, Dh]
+            full = jax.lax.dot_general(
+                qa, k_flat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [HB, HB*ps]
+            col = jax.lax.broadcasted_iota(jnp.int32, full.shape, 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, full.shape, 0)
+            own = (col // block_s) == row
+            kpos_f = i * block_s + (col % block_s)
+            s = jnp.where(own & (kpos_f < length), full, _MASK)
+            m_prev = m_ref[:, 0:1]
+            l_prev = l_ref[:, 0:1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)  # off-diagonal -> exp(_MASK-m) == 0
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+            cv.wait()
+            vf = v_buf[slot].astype(jnp.float32)
+            v_flat = vf.reshape(head_block * block_s, vf.shape[-1])
+            pv = jnp.dot(p, v_flat, preferred_element_type=jnp.float32)
+            acc_ref[...] = acc_ref[...] * alpha[:, None, :] + pv[:, None, :]
+            return  # this block fully handled
         if vpu:
             # rep==1: the per-head QK "matmuls" are [1, Dh] GEMVs — HB
             # single-row MXU issues per block whose fixed cost dominates
@@ -1197,7 +1234,13 @@ DECODE_VEC = _os.environ.get("THAWK_DECODE_VEC", "1") == "1"
 # VPU-scores variant (rep==1 only): compute all heads' QK scores and PV
 # outputs as broadcast-multiply + reductions instead of per-head
 # single-row MXU dots (2*HB GEMV issues per block).  A/B knob.
+# NEGATIVE result on v5e (BENCH_NOTES round 5): 46.5 vs 32.7 us/layer
+# at B=8 — the VPU reduction traffic costs more than the GEMV issues.
 _ATTN_VPU = _os.environ.get("THAWK_ATTN_VPU", "0") == "1"
+# Head-packed variant (rep==1 only): one block-diagonal-masked MXU dot
+# for all heads' scores and one for PV, instead of 2*HB GEMVs.  A/B
+# knob (32x MXU waste traded for 2 issues per block).
+_ATTN_PACK = _os.environ.get("THAWK_ATTN_PACK", "0") == "1"
 # Negative result (BENCH_NOTES round 2): the in-kernel dynamic block
 # loop measured NEUTRAL vs the grid-per-block form (9.5 vs 9.4 us/layer
 # at 64 live, S=2048) — Mosaic's predicated-off grid cells are ~free, and
@@ -1292,7 +1335,8 @@ def flash_decode_dma(
     if DECODE_VEC:
         kernel = functools.partial(
             _kernel_vec, block_s=bs, head_block=hb,
-            vpu=_ATTN_VPU and rep == 1)
+            vpu=_ATTN_VPU and rep == 1,
+            pack=_ATTN_PACK and rep == 1)
         ml_shape = (hb * rep, 128)
         extra = [pltpu.VMEM((hb * rep, bs), jnp.float32)]
     else:
