@@ -828,6 +828,7 @@ def _kernel_walk_append(
     head_block: int,
     batch: int,
     vpu: bool = False,
+    pack: bool = False,
 ):
     """Multi-slot flattened walk: ONE grid cell per head group runs a
     single uniform fori_loop over (slot, block) items, so the double
@@ -927,7 +928,45 @@ def _kernel_walk_append(
         ck, cv = walk_copies(b, i, slot)
         ck.wait()
 
-        if vpu:
+        if pack:
+            # Head-packed scores (see _kernel_vec): one block-diagonal-
+            # masked MXU dot for all heads, PV as a second single dot
+            # over the (block-diagonal) probability matrix.  Measured
+            # -14% on the walk at B=1 short ctx, wash when DMA-bound.
+            kf = k_buf[slot].astype(jnp.float32)  # [HB, ps, Dh]
+            k_flat = kf.reshape(head_block * block_s, kf.shape[-1])
+            qa = q_ref[pl.ds(b, 1)][0][:, 0].astype(jnp.float32)
+            full = jax.lax.dot_general(
+                qa, k_flat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [HB, HB*ps]
+            colp = jax.lax.broadcasted_iota(jnp.int32, full.shape, 1)
+            rowp = jax.lax.broadcasted_iota(jnp.int32, full.shape, 0)
+            own = (colp // block_s) == rowp
+            kpos_f = i * block_s + (colp % block_s)
+            len_old_p = pos_of(b)
+            s = jnp.where(own & (kpos_f < len_old_p), full, _MASK)
+            m_prev = m_ref[pl.ds(b, 1)][0][:, 0:1]
+            l_prev = l_ref[pl.ds(b, 1)][0][:, 0:1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)  # off-diagonal -> 0
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[pl.ds(b, 1)] = jnp.broadcast_to(
+                m_next, (1,) + m_ref.shape[1:])
+            l_ref[pl.ds(b, 1)] = jnp.broadcast_to(
+                l_next, (1,) + l_ref.shape[1:])
+
+            cv.wait()
+            vf = v_buf[slot].astype(jnp.float32)
+            v_flat = vf.reshape(head_block * block_s, vf.shape[-1])
+            pv = jnp.dot(p, v_flat, preferred_element_type=jnp.float32)
+            acc = acc_ref[pl.ds(b, 1)][0]
+            acc = (acc * alpha.reshape(head_block, rep, 1)
+                   + pv.reshape(head_block, rep, vf.shape[-1]))
+            acc_ref[pl.ds(b, 1)] = acc[None]
+        elif vpu:
             kf = k_buf[slot].astype(jnp.float32)  # [HB, ps, Dh]
             qa = q_ref[pl.ds(b, 1)][0][:, 0].astype(jnp.float32)  # [HB, Dh]
             s_buf[...] = jnp.sum(qa[:, None, :] * kf, axis=-1)
@@ -940,40 +979,42 @@ def _kernel_walk_append(
                     preferred_element_type=jnp.float32,
                 )
 
-        len_old = pos_of(b)
-        kpos = i * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, s_buf.shape, 1
-        )
-        s = jnp.where(kpos < len_old, s_buf[...], _MASK)
-        m_prev = m_ref[pl.ds(b, 1)][0][:, 0:1]
-        l_prev = l_ref[pl.ds(b, 1)][0][:, 0:1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[pl.ds(b, 1)] = jnp.broadcast_to(
-            m_next, (1,) + m_ref.shape[1:])
-        l_ref[pl.ds(b, 1)] = jnp.broadcast_to(
-            l_next, (1,) + l_ref.shape[1:])
-        s_buf[...] = p
+        if not pack:
+            len_old = pos_of(b)
+            kpos = i * block_s + jax.lax.broadcasted_iota(
+                jnp.int32, s_buf.shape, 1
+            )
+            s = jnp.where(kpos < len_old, s_buf[...], _MASK)
+            m_prev = m_ref[pl.ds(b, 1)][0][:, 0:1]
+            l_prev = l_ref[pl.ds(b, 1)][0][:, 0:1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[pl.ds(b, 1)] = jnp.broadcast_to(
+                m_next, (1,) + m_ref.shape[1:])
+            l_ref[pl.ds(b, 1)] = jnp.broadcast_to(
+                l_next, (1,) + l_ref.shape[1:])
+            s_buf[...] = p
 
-        cv.wait()
-        acc = acc_ref[pl.ds(b, 1)][0]  # [HB, rep, Dh]
-        if vpu:
-            vf = v_buf[slot].astype(jnp.float32)  # [HB, ps, Dh]
-            pv = jnp.sum(s_buf[...][:, :, None] * vf, axis=1)  # [HB, Dh]
-            pv = pv.reshape(head_block, rep, Dh)
-        else:
-            pvs = []
-            for h in range(head_block):
-                v = v_buf[slot, h].astype(jnp.float32)
-                p_h = s_buf[h * rep : (h + 1) * rep, :]
-                pvs.append(jnp.dot(p_h, v,
-                                   preferred_element_type=jnp.float32))
-            pv = jnp.concatenate(pvs, axis=0).reshape(head_block, rep, Dh)
-        acc = acc * alpha.reshape(head_block, rep, 1) + pv
-        acc_ref[pl.ds(b, 1)] = acc[None]
+            cv.wait()
+            acc = acc_ref[pl.ds(b, 1)][0]  # [HB, rep, Dh]
+            if vpu:
+                vf = v_buf[slot].astype(jnp.float32)  # [HB, ps, Dh]
+                pv = jnp.sum(s_buf[...][:, :, None] * vf, axis=1)  # [HB, Dh]
+                pv = pv.reshape(head_block, rep, Dh)
+            else:
+                pvs = []
+                for h in range(head_block):
+                    v = v_buf[slot, h].astype(jnp.float32)
+                    p_h = s_buf[h * rep : (h + 1) * rep, :]
+                    pvs.append(jnp.dot(p_h, v,
+                                       preferred_element_type=jnp.float32))
+                pv = jnp.concatenate(pvs, axis=0).reshape(head_block, rep, Dh)
+            acc = acc * alpha.reshape(head_block, rep, 1) + pv
+            acc_ref[pl.ds(b, 1)] = acc[None]
+
 
         @pl.when(i == nb - 1)
         def _():
@@ -1058,7 +1099,8 @@ def flash_decode_append_walk(
     grid = (Hkv // hb,)
     kernel = functools.partial(
         _kernel_walk_append, block_s=bs, head_block=hb, batch=B,
-        vpu=_os2.environ.get("THAWK_ATTN_VPU", "0") == "1" and rep == 1)
+        vpu=_os2.environ.get("THAWK_ATTN_VPU", "0") == "1" and rep == 1,
+        pack=_os2.environ.get("THAWK_ATTN_PACK", "0") == "1" and rep == 1)
     out, kc, vc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
