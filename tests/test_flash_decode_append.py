@@ -161,3 +161,34 @@ def test_walk_variant_matches_append(rng, B, S, Hkv, rep, Dh, offs):
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(kc2), np.asarray(kc), atol=0)
     np.testing.assert_allclose(np.asarray(vc2), np.asarray(vc), atol=0)
+
+def test_walk_variant_70b_gqa_shape(rng):
+    """70B-topology GQA (Hkv=8, rep=8): the walk kernel's MXU path
+    (rep>1 disables the rep==1-only variants) must match the grid
+    kernel on the config-5 head geometry."""
+    from tokenhawk_tpu.ops.pallas.flash_decode_dma import (
+        flash_decode_append_walk,
+    )
+
+    B, S, Hkv, rep, Dh = 2, 256, 8, 8, 128
+    q = rng.standard_normal((B, Hkv, rep, Dh)).astype(np.float32)
+    k_cache = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
+    v_cache = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
+    k_new = rng.standard_normal((B, Hkv, Dh)).astype(np.float32)
+    v_new = rng.standard_normal((B, Hkv, Dh)).astype(np.float32)
+    lengths = np.asarray([129, 40], np.int32)
+
+    want, kc, vc = flash_decode_append(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(k_cache), jnp.asarray(v_cache), jnp.asarray(lengths),
+        interpret=True,
+    )
+    got, kc2, vc2 = flash_decode_append_walk(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(k_cache), jnp.asarray(v_cache), jnp.asarray(lengths),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(kc2), np.asarray(kc), atol=0)
+    np.testing.assert_allclose(np.asarray(vc2), np.asarray(vc), atol=0)
