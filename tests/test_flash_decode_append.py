@@ -192,3 +192,44 @@ def test_walk_variant_70b_gqa_shape(rng):
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(kc2), np.asarray(kc), atol=0)
     np.testing.assert_allclose(np.asarray(vc2), np.asarray(vc), atol=0)
+
+@pytest.mark.parametrize("knob", ["THAWK_ATTN_PACK", "THAWK_ATTN_VPU"])
+def test_walk_env_variants_match_baseline(rng, monkeypatch, knob):
+    """The env-gated attention variants (head-packed MXU dots /
+    VPU-scores) must reproduce the per-head-GEMV baseline within the
+    kernel parity tolerance.  Guards the pack-precision defect (default
+    MXU precision truncates the f32 operands to bf16: ~2.8e-3 error,
+    100x over tolerance, caught on chip)."""
+    import jax as _jax
+
+    B, S, Hkv, rep, Dh = 2, 256, 4, 1, 128
+    q = rng.standard_normal((B, Hkv, rep, Dh)).astype(np.float32)
+    k_cache = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
+    v_cache = rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32)
+    k_new = rng.standard_normal((B, Hkv, Dh)).astype(np.float32)
+    v_new = rng.standard_normal((B, Hkv, Dh)).astype(np.float32)
+    lengths = np.asarray([100, 255], np.int32)
+
+    def run():
+        # The wrappers read the env at trace time; a cached trace from
+        # another test would silently ignore the knob.
+        _jax.clear_caches()
+        from tokenhawk_tpu.ops.pallas.flash_decode_dma import (
+            flash_decode_append_walk,
+        )
+
+        out, kc, vc = flash_decode_append_walk(
+            jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+            jnp.asarray(k_cache), jnp.asarray(v_cache),
+            jnp.asarray(lengths), interpret=True,
+        )
+        return np.asarray(out), np.asarray(kc), np.asarray(vc)
+
+    monkeypatch.delenv(knob, raising=False)
+    want, kc1, vc1 = run()
+    monkeypatch.setenv(knob, "1")
+    got, kc2, vc2 = run()
+    _jax.clear_caches()  # do not leak the knob'd trace to later tests
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(kc2, kc1, atol=0)
+    np.testing.assert_allclose(vc2, vc1, atol=0)

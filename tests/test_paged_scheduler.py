@@ -601,3 +601,58 @@ def test_chunk_advance_single_slot_while_decoding(params):
     while s.has_work:
         s.step()
     assert widths and all(w[0] == 1 for w in widths)
+
+def test_unique_cold_prefixes_still_batch(params):
+    """Distinct cold prompts under prefix_cache must still admit as ONE
+    padded batch — only a prefix SHARED by same-step requests earns a
+    solo leader admission (going solo for every multi-page cold prompt
+    would re-serialize the batched admission path)."""
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    rng = np.random.default_rng(41)
+    s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=4,
+                       cache_dtype=jnp.float32, decode_chunk=4,
+                       page_size=16, n_pages=40, prefix_cache=True)
+    widths = []
+    orig = s._prefill
+
+    def spy(p, cache, toks, lengths, table):
+        widths.append(tuple(toks.shape))
+        return orig(p, cache, toks, lengths, table)
+
+    s._prefill = spy
+    # four DISTINCT multi-page prompts (cold, unshared)
+    prompts = [[1 + i] + rng.integers(3, 500, 30).tolist()
+               for i in range(4)]
+    reqs = [Request(prompt=p, max_new_tokens=4) for p in prompts]
+    for r in reqs:
+        s.submit(r)
+    while s.has_work:
+        s.step()
+    assert widths and widths[0][0] == 4  # one padded 4-row dispatch
+
+
+def test_livelock_escape_prefers_infeasible_victim(params):
+    """When all chunking slots are starved, the one with the LARGEST
+    page need (the infeasible one) is sacrificed, not the satisfiable
+    one."""
+    from tokenhawk_tpu.runtime.scheduler import Request
+
+    rng = np.random.default_rng(42)
+    feasible = [1] + rng.integers(3, 500, 44).tolist()   # 45 tok: 3 pages
+    infeasible = [1] + rng.integers(3, 500, 120).tolist()  # 8 pages > pool
+    s = PagedScheduler(CFG, params, sampling=GREEDY, max_batch=2,
+                       cache_dtype=jnp.float32, decode_chunk=4,
+                       page_size=16, n_pages=5, prefill_chunk=16,
+                       max_seq=256)
+    rf = Request(prompt=feasible, max_new_tokens=4)
+    ri = Request(prompt=infeasible, max_new_tokens=4)
+    s.submit(rf)
+    s.submit(ri)
+    for _ in range(300):
+        if not s.has_work:
+            break
+        s.step()
+    assert not s.has_work
+    assert ri.finish_reason == "oom_pages"
+    assert rf.finish_reason in ("eos", "length")

@@ -355,6 +355,9 @@ class PagedScheduler:
         self.page_key: dict = {}
         self.slot_shared: List[set] = [set() for _ in range(self.B)]
         self.prefix_hits = 0  # pages reused across requests (stats)
+        # First-page keys shared by >=2 pending requests this step (see
+        # the cold-leader rule in _admit_one); refreshed by step().
+        self._hot_prefixes: set = set()
 
         n_ring = max(sampling.repeat_last_n, 1)
         self.n_ring = n_ring
@@ -589,19 +592,24 @@ class PagedScheduler:
         if not self._ensure_pages(slot, Tb):
             return False  # not enough pages right now
         if batch is not None and not self.spec:
-            # Cold shared prefix: if this prompt's first full page is
-            # not yet cached, admit it IMMEDIATELY (unbatched) so its
-            # pages register before the rest of the step's admissions
-            # run _reuse_prefix — same-step followers sharing the
-            # prefix then admit as batched continuations instead of
+            # Cold SHARED prefix: if another same-step pending request
+            # shares this prompt's (uncached) first page, admit this one
+            # IMMEDIATELY (unbatched) so its pages register before the
+            # rest of the step's admissions run _reuse_prefix — the
+            # followers then admit as batched continuations instead of
             # each prefilling a private copy.  (Deferring everyone to
             # the flush would also be a write/read race: a follower's
             # continuation row would attend over prefix pages the
             # leader's row is still writing in the same dispatch.)
+            # Requests with UNIQUE cold prefixes stay batched — going
+            # solo for every multi-page cold prompt would re-serialize
+            # the plain-admission path entirely.  (Reaching here with a
+            # multi-page prompt implies its first-page key is NOT in
+            # _pc: _reuse_prefix returned 0.)
             cold_leader = (
                 self.prefix_cache_enabled
                 and (len(prompt) - 1) // self.ps >= 1
-                and self._prefix_keys(prompt, 1)[0] not in self._pc
+                and self._prefix_keys(prompt, 1)[0] in self._hot_prefixes
             )
             if not cold_leader:
                 batch.append(("plain", slot, req, Tb))
@@ -761,6 +769,11 @@ class PagedScheduler:
         for slot in range(self.B):
             if self.chunking[slot] is None:
                 continue
+            if rows and self.n_active > 0:
+                # One chunk per step while streams are live (see below);
+                # do not _ensure_pages for slots that will not advance —
+                # they would hoard unwritten pages under pool pressure.
+                break
             req, pos = self.chunking[slot]
             n_new = min(C, len(req.prompt) - pos)
             if not self._ensure_pages(slot, pos + n_new):
@@ -788,11 +801,17 @@ class PagedScheduler:
             # Every chunking slot is page-starved and nothing active can
             # ever free pages: deterministically stuck (each slot alone
             # sees "other chunking slots in flight" and waits for the
-            # others — mutual waiting, not progress).  Fail ONE slot to
-            # release its pages; the rest proceed next step.
+            # others — mutual waiting, not progress).  Fail the slot
+            # with the LARGEST total page need — the most likely to be
+            # infeasible for this pool — so a satisfiable request is
+            # never sacrificed ahead of an unsatisfiable one.
             if self.n_active == 0 and self.n_chunking > 1:
-                slot = next(s for s in range(self.B)
-                            if self.chunking[s] is not None)
+                slot = max(
+                    (s for s in range(self.B)
+                     if self.chunking[s] is not None),
+                    key=lambda s: -(-len(self.chunking[s][0].prompt)
+                                    // self.ps),
+                )
                 req, _pos = self.chunking[slot]
                 self.chunking[slot] = None
                 self._release_slot_pages(slot)
@@ -803,12 +822,11 @@ class PagedScheduler:
                 if req.on_done:
                     req.on_done(req)
             return
-        if self.n_active > 0:
-            # Live decode streams present: keep the one-chunk-per-step
-            # stall bound (the whole point of chunked admission).  The
-            # full multi-slot batch only runs when nothing is decoding,
-            # where per-step latency has no audience.
-            rows = rows[:1]
+        # Live decode streams present: the scan above stopped after one
+        # row, keeping the one-chunk-per-step stall bound (the whole
+        # point of chunked admission).  The full multi-slot batch only
+        # runs when nothing is decoding, where per-step latency has no
+        # audience.
         rows.sort(key=lambda r: (r[4], not r[5]))
         for _, grp in itertools.groupby(rows, key=lambda r: r[4]):
             self._advance_chunk_group(list(grp))
@@ -958,6 +976,18 @@ class PagedScheduler:
         return table
 
     def step(self):
+        if self.prefix_cache_enabled and len(self.pending) > 1:
+            # First-page keys appearing in >=2 pending prompts: these
+            # get a solo "leader" admission so followers reuse their
+            # pages (see _admit_one).
+            counts: dict = {}
+            for req in self.pending:
+                if (len(req.prompt) - 1) // self.ps >= 1:
+                    k = self._prefix_keys(req.prompt, 1)[0]
+                    counts[k] = counts.get(k, 0) + 1
+            self._hot_prefixes = {k for k, c in counts.items() if c >= 2}
+        else:
+            self._hot_prefixes = set()
         batch: list = []  # deferred plain admissions (slot, req, Tb)
         for slot in range(self.B):
             if (self.slots[slot] is None and self.chunking[slot] is None
