@@ -26,6 +26,10 @@ run --quant q4_0 --mode serve --requests 24 --batch 8 --ctx 1024 \
     --prompt-tokens 128 --tokens 64
 run --quant q4_0 --mode serve --requests 24 --batch 8 --ctx 1024 \
     --prompt-tokens 384 --tokens 64 --prefix-cache
+# Long-context serving with int8 pages: double the pool depth at the
+# same HBM (the kv-int8 decode config's serving counterpart).
+run --quant q4_0 --mode serve --requests 24 --batch 8 --ctx 2048 \
+    --prompt-tokens 128 --tokens 64 --kv int8
 # BASELINE config 4: 13B q4_0 on one chip (~7.3 GB weights).  Serve
 # uses ctx 512: 13B KV is 0.82 MB/token, so a full-occupancy 1024-ctx
 # pool (13.8 GB) plus weights would OOM the 16 GB chip.
