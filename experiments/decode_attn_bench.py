@@ -34,6 +34,8 @@ def main() -> int:
     p.add_argument("--hb", type=int, default=32, help="kernel head_block")
     p.add_argument("--iters", type=int, default=64)
     p.add_argument("--trials", type=int, default=5)
+    p.add_argument("--layout", choices=["head", "contig"], default="head",
+                   help="page-pool layout for the paged* variants")
     args = p.parse_args()
 
     os.makedirs("/root/.cache/jax_comp", exist_ok=True)
@@ -51,23 +53,35 @@ def main() -> int:
         from tokenhawk_tpu.ops.pallas.flash_decode import flash_decode as fn
     elif args.variant == "int8":
         from tokenhawk_tpu.ops.pallas.flash_decode_int8 import flash_decode_int8 as fn
-    elif args.variant == "paged":
-        from tokenhawk_tpu.ops.pallas.paged_decode import paged_flash_decode
+    elif args.variant in ("paged", "paged_walk"):
+        from tokenhawk_tpu.ops.pallas.paged_decode import (
+            paged_flash_decode,
+            paged_flash_decode_walk,
+        )
+
+        _pfn = (paged_flash_decode_walk if args.variant == "paged_walk"
+                else paged_flash_decode)
 
         def fn(q, k_pages, v_pages, table, lengths, block_s=None,
                head_block=32):
-            return paged_flash_decode(q, k_pages, v_pages, table, lengths,
-                                      head_block=head_block)
-    elif args.variant == "paged_int8":
+            return _pfn(q, k_pages, v_pages, table, lengths,
+                        head_block=head_block,
+                        contig=(args.layout == "contig"))
+    elif args.variant in ("paged_int8", "paged_int8_walk"):
         from tokenhawk_tpu.ops.pallas.paged_decode_int8 import (
             paged_flash_decode_int8,
+            paged_flash_decode_int8_walk,
         )
+
+        _pfn8 = (paged_flash_decode_int8_walk
+                 if args.variant == "paged_int8_walk"
+                 else paged_flash_decode_int8)
 
         def fn(q, k_pages, ks, v_pages, vs, table, lengths, block_s=None,
                head_block=32):
-            return paged_flash_decode_int8(q, k_pages, ks, v_pages, vs,
-                                           table, lengths,
-                                           head_block=head_block)
+            return _pfn8(q, k_pages, ks, v_pages, vs, table, lengths,
+                         head_block=head_block,
+                         contig=(args.layout == "contig"))
     elif args.variant in ("append", "append_walk"):
         from tokenhawk_tpu.ops.pallas.flash_decode_dma import (
             flash_decode_append,
@@ -81,20 +95,26 @@ def main() -> int:
 
     caches = []
     for i in range(args.layers):
-        if args.variant == "paged":
+        if args.variant in ("paged", "paged_walk"):
             ps = 128
             n_pages = max(1, -(-S // ps))
-            k = jnp.full((H, n_pages, ps, D), 0.01 * (i + 1), jnp.bfloat16)
-            v = jnp.full((H, n_pages, ps, D), 0.02 * (i + 1), jnp.bfloat16)
+            pshape = ((n_pages, H, ps, D) if args.layout == "contig"
+                      else (H, n_pages, ps, D))
+            k = jnp.full(pshape, 0.01 * (i + 1), jnp.bfloat16)
+            v = jnp.full(pshape, 0.02 * (i + 1), jnp.bfloat16)
             table = jnp.tile(jnp.arange(n_pages, dtype=jnp.int32), (B, 1))
             caches.append((k, v, table))
-        elif args.variant == "paged_int8":
+        elif args.variant in ("paged_int8", "paged_int8_walk"):
             ps = 128
             n_pages = max(1, -(-S // ps))
-            k = jnp.full((H, n_pages, ps, D), i % 7 - 3, jnp.int8)
-            v = jnp.full((H, n_pages, ps, D), i % 5 - 2, jnp.int8)
-            ks = jnp.full((H, n_pages, ps), 0.01, jnp.float32)
-            vs = jnp.full((H, n_pages, ps), 0.02, jnp.float32)
+            pshape = ((n_pages, H, ps, D) if args.layout == "contig"
+                      else (H, n_pages, ps, D))
+            sshape = ((n_pages, H, ps) if args.layout == "contig"
+                      else (H, n_pages, ps))
+            k = jnp.full(pshape, i % 7 - 3, jnp.int8)
+            v = jnp.full(pshape, i % 5 - 2, jnp.int8)
+            ks = jnp.full(sshape, 0.01, jnp.float32)
+            vs = jnp.full(sshape, 0.02, jnp.float32)
             table = jnp.tile(jnp.arange(n_pages, dtype=jnp.int32), (B, 1))
             caches.append((k, ks, v, vs, table))
         elif args.variant == "int8":
@@ -114,7 +134,7 @@ def main() -> int:
         live = (2 * B * H * min(args.length, S) * D  # int8 payload
                 + 2 * B * H * S * 2  # scales (full-S pipelined)
                 ) * args.layers
-    elif args.variant == "paged_int8":
+    elif args.variant in ("paged_int8", "paged_int8_walk"):
         live = (2 * B * H * min(args.length, S) * D  # int8 payload
                 + 2 * B * H * min(args.length, S) * 4  # f32 scale rows
                 ) * args.layers

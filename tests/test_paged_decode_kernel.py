@@ -37,9 +37,12 @@ def test_paged_kernel_matches_gather_reference(rng, rep_heads):
     q = jnp.asarray(rng.standard_normal((B, 1, H, Dh)), jnp.float32)
     want = np.asarray(paged_attend_decode(cache, q, table, lengths, jnp.int32(0)))
 
+    from tokenhawk_tpu.runtime.paged import _contig
+
     qg = (q[:, 0] / np.sqrt(Dh)).reshape(B, Hkv, rep, Dh)
     got = np.asarray(paged_flash_decode(
-        qg, cache.k_pages[0], cache.v_pages[0], table, lengths, interpret=True
+        qg, cache.k_pages[0], cache.v_pages[0], table, lengths,
+        contig=_contig(), interpret=True
     )).reshape(B, 1, H, Dh)
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
 
@@ -142,15 +145,17 @@ def test_paged_walk_kernel_matches_grid(rng, rep_heads):
         cache = append_kv(cache, k, v, table, lengths, jnp.int32(0))
         lengths = lengths + jnp.asarray([i < n for n in n_toks])
 
+    from tokenhawk_tpu.runtime.paged import _contig
+
     H = cfg.n_head
     q = jnp.asarray(rng.standard_normal((B, 1, H, Dh)), jnp.float32)
     qg = (q[:, 0] / np.sqrt(Dh)).reshape(B, Hkv, rep, Dh)
     want = np.asarray(paged_flash_decode(
         qg, cache.k_pages[0], cache.v_pages[0], table, lengths,
-        interpret=True,
+        contig=_contig(), interpret=True,
     ))
     got = np.asarray(paged_flash_decode_walk(
         qg, cache.k_pages[0], cache.v_pages[0], table, lengths,
-        interpret=True,
+        contig=_contig(), interpret=True,
     ))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)

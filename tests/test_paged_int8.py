@@ -51,9 +51,12 @@ def test_paged_int8_kernel_matches_fallback(rng, rep_heads):
     want = np.asarray(attend_paged_layer_int8(
         q, k_l, ks_l, v_l, vs_l, table, lengths))
 
+    from tokenhawk_tpu.runtime.paged import _contig
+
     qg = (q[:, 0] / np.sqrt(Dh)).reshape(B, Hkv, rep, Dh)
     got = np.asarray(paged_flash_decode_int8(
-        qg, k_l, ks_l, v_l, vs_l, table, lengths, interpret=True
+        qg, k_l, ks_l, v_l, vs_l, table, lengths, contig=_contig(),
+        interpret=True
     )).reshape(B, 1, H, Dh)
     # Kernel additionally quantizes q and the probability rows (int8
     # attention, ~0.4% each — see ops/pallas/flash_decode_int8.py).
@@ -73,9 +76,14 @@ def test_paginate_fragment_int8_roundtrip(rng):
     k_l, ks_l = paginate_fragment_layer_int8(
         cache.k_pages[0], cache.ks_pages[0], frag, table)
 
+    from tokenhawk_tpu.runtime.paged import (
+        gather_pool_payload,
+        gather_pool_scales,
+    )
+
     got = np.asarray(dequantize_kv(
-        k_l[:, table[0]].reshape(Hkv, 2 * PS, Dh)[:, :T],
-        ks_l[:, table[0]].reshape(Hkv, 2 * PS)[:, :T]))
+        gather_pool_payload(k_l, table)[0].reshape(Hkv, 2 * PS, Dh)[:, :T],
+        gather_pool_scales(ks_l, table)[0].reshape(Hkv, 2 * PS)[:, :T]))
     q8, sc = quantize_kv_block(frag)
     want = np.asarray(dequantize_kv(q8, sc))[0]
     np.testing.assert_allclose(got, want, atol=1e-6)
@@ -123,9 +131,13 @@ def test_paged_int8_walk_matches_grid(rng, rep_heads):
 
     H = cfg.n_head
     q = jnp.asarray(rng.standard_normal((B, 1, H, Dh)), jnp.float32)
+    from tokenhawk_tpu.runtime.paged import _contig
+
     qg = (q[:, 0] / np.sqrt(Dh)).reshape(B, Hkv, rep, Dh)
     want = np.asarray(paged_flash_decode_int8(
-        qg, k_l, ks_l, v_l, vs_l, table, lengths, interpret=True))
+        qg, k_l, ks_l, v_l, vs_l, table, lengths, contig=_contig(),
+        interpret=True))
     got = np.asarray(paged_flash_decode_int8_walk(
-        qg, k_l, ks_l, v_l, vs_l, table, lengths, interpret=True))
+        qg, k_l, ks_l, v_l, vs_l, table, lengths, contig=_contig(),
+        interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)

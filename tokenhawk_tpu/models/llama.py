@@ -880,16 +880,22 @@ def forward_paged_prefill_cont(
                 from tokenhawk_tpu.ops.pallas.paged_decode import (
                     gather_pages_dense_int8,
                 )
+                from tokenhawk_tpu.runtime.paged import _contig
 
                 kq, ksq, vq, vsq = gather_pages_dense_int8(
-                    k_l, ks_l, v_l, vs_l, page_table,
+                    k_l, ks_l, v_l, vs_l, page_table, contig=_contig(),
                     interpret=(_mode == "interpret"))
                 kg = (kq.astype(x.dtype) * ksq[..., None].astype(x.dtype))
                 vg = (vq.astype(x.dtype) * vsq[..., None].astype(x.dtype))
             else:
+                from tokenhawk_tpu.runtime.paged import (
+                    gather_pool_payload,
+                    gather_pool_scales,
+                )
+
                 def dq(pages, spages):
-                    g = jnp.swapaxes(pages[:, page_table], 0, 1)
-                    sg = jnp.swapaxes(spages[:, page_table], 0, 1)
+                    g = gather_pool_payload(pages, page_table)
+                    sg = gather_pool_scales(spages, page_table)
                     g = g.astype(x.dtype) * sg[..., None].astype(x.dtype)
                     return g.reshape(B, Hkv, mp * ps, Dh)
 
@@ -911,14 +917,17 @@ def forward_paged_prefill_cont(
                 from tokenhawk_tpu.ops.pallas.paged_decode import (
                     gather_pages_dense,
                 )
+                from tokenhawk_tpu.runtime.paged import _contig
 
                 kg, vg = gather_pages_dense(
-                    k_l, v_l, page_table,
+                    k_l, v_l, page_table, contig=_contig(),
                     interpret=(_mode == "interpret"))
             else:
-                kg = jnp.swapaxes(k_l[:, page_table], 0, 1).reshape(
+                from tokenhawk_tpu.runtime.paged import gather_pool_payload
+
+                kg = gather_pool_payload(k_l, page_table).reshape(
                     B, Hkv, mp * ps, Dh)
-                vg = jnp.swapaxes(v_l[:, page_table], 0, 1).reshape(
+                vg = gather_pool_payload(v_l, page_table).reshape(
                     B, Hkv, mp * ps, Dh)
         ctx = attend_cache(q, kg, vg, positions)
         return _wo_ffn_block(cfg, x, ctx.reshape(B, C, H * Dh), lp,
@@ -1002,9 +1011,11 @@ def forward_paged_verify(
                                      positions[:, jj])
             v_l = append_token_layer(v_l, v[:, jj], page_table,
                                      positions[:, jj])
-        kg = jnp.swapaxes(k_l[:, page_table], 0, 1).reshape(
+        from tokenhawk_tpu.runtime.paged import gather_pool_payload
+
+        kg = gather_pool_payload(k_l, page_table).reshape(
             B, Hkv, mp * ps, Dh)
-        vg = jnp.swapaxes(v_l[:, page_table], 0, 1).reshape(
+        vg = gather_pool_payload(v_l, page_table).reshape(
             B, Hkv, mp * ps, Dh)
         ctx = attend_cache(q, kg, vg, positions)
         return _wo_ffn_block(cfg, x, ctx.reshape(B, T, H * Dh), lp,

@@ -47,13 +47,15 @@ def _kernel_vec(
     *,
     page_size: int,
     head_block: int,
+    contig: bool = False,
 ):
     """Head-blocked + head-vectorized variant (the same two fixes that
     took the dense DMA kernel from 261 to >700 GB/s, BENCH_NOTES round
     2): each cell gathers a [head_block, ps, Dh] slab of every page —
     the page index is shared across heads, so the slab is one strided
     DMA — and all softmax bookkeeping runs once on an [HB*rep, ps] tile
-    instead of per-head slivers."""
+    instead of per-head slivers.  Under the contig pool layout
+    ([n_pages, Hkv, ps, Dh]) the same slab is ONE contiguous run."""
     b = pl.program_id(0)
     hg = pl.program_id(1)
     i = pl.program_id(2)
@@ -64,14 +66,14 @@ def _kernel_vec(
 
     def copies(blk, slot):
         page = tables_ref[b, blk]
-        k = pltpu.make_async_copy(
-            k_hbm.at[pl.ds(h0, head_block), page], k_buf.at[slot],
-            k_sem.at[slot],
-        )
-        v = pltpu.make_async_copy(
-            v_hbm.at[pl.ds(h0, head_block), page], v_buf.at[slot],
-            v_sem.at[slot],
-        )
+        if contig:
+            k_slab = k_hbm.at[page, pl.ds(h0, head_block)]
+            v_slab = v_hbm.at[page, pl.ds(h0, head_block)]
+        else:
+            k_slab = k_hbm.at[pl.ds(h0, head_block), page]
+            v_slab = v_hbm.at[pl.ds(h0, head_block), page]
+        k = pltpu.make_async_copy(k_slab, k_buf.at[slot], k_sem.at[slot])
+        v = pltpu.make_async_copy(v_slab, v_buf.at[slot], v_sem.at[slot])
         return k, v
 
     @pl.when(i < n_blocks)
@@ -143,14 +145,21 @@ def _append_kernel(
     out_ref,  # ANY — the same buffer
     slab,  # VMEM [Hkv, 8, Dh]
     sem,
+    *,
+    contig: bool = False,
 ):
     b = pl.program_id(0)
     page = page_ref[b]
     slot = slot_ref[b]
     slab0 = pl.multiple_of((slot // 8) * 8, 8)
     r = slot - slab0
-    rd = pltpu.make_async_copy(
-        out_ref.at[:, page, pl.ds(slab0, 8)], slab, sem)
+
+    def pool_slab():
+        if contig:
+            return out_ref.at[page, :, pl.ds(slab0, 8)]
+        return out_ref.at[:, page, pl.ds(slab0, 8)]
+
+    rd = pltpu.make_async_copy(pool_slab(), slab, sem)
     rd.start()
     rd.wait()
     # Insert the row via a masked select (a dynamic single-row store
@@ -158,19 +167,19 @@ def _append_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
     newv = jnp.swapaxes(new_ref[...], 0, 1)  # [Hkv, 1, Dh]
     slab[...] = jnp.where(rows == r, newv, slab[...])
-    wr = pltpu.make_async_copy(
-        slab, out_ref.at[:, page, pl.ds(slab0, 8)], sem)
+    wr = pltpu.make_async_copy(slab, pool_slab(), sem)
     wr.start()
     wr.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("contig", "interpret"))
 def paged_append_rows(
-    pages: jax.Array,  # [Hkv, n_pages, ps, Dh]
+    pages: jax.Array,  # [Hkv, n_pages, ps, Dh] | contig [n_pages, Hkv, ps, Dh]
     new: jax.Array,  # [B, Hkv, Dh]
     page: jax.Array,  # [B] int32 physical page ids
     slot: jax.Array,  # [B] int32 rows within the page
     *,
+    contig: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Append one token row per sequence into its page, IN PLACE.
@@ -188,10 +197,13 @@ def paged_append_rows(
     shared page (done slots parked on the trash page) do not race.
     """
     B = new.shape[0]
-    Hkv, _, ps, Dh = pages.shape
+    if contig:
+        _, Hkv, ps, Dh = pages.shape
+    else:
+        Hkv, _, ps, Dh = pages.shape
     grid = (B,)
     return pl.pallas_call(
-        _append_kernel,
+        functools.partial(_append_kernel, contig=contig),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # page, slot
             grid=grid,
@@ -225,11 +237,19 @@ def _append_scales_kernel(
     out_ref,  # ANY — the same buffer
     row,  # VMEM [Hkv, ps]
     sem,
+    *,
+    contig: bool = False,
 ):
     b = pl.program_id(0)
     page = page_ref[b]
     slot = slot_ref[b]
-    rd = pltpu.make_async_copy(out_ref.at[:, page], row, sem)
+
+    def pool_row():
+        if contig:
+            return out_ref.at[page]
+        return out_ref.at[:, page]
+
+    rd = pltpu.make_async_copy(pool_row(), row, sem)
     rd.start()
     rd.wait()
     # Select row b of the scales via a masked reduction (a (1, Hkv)
@@ -240,27 +260,31 @@ def _append_scales_kernel(
     cols = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
     row[...] = jnp.where(cols == slot, vals[:, None].astype(row.dtype),
                          row[...])
-    wr = pltpu.make_async_copy(row, out_ref.at[:, page], sem)
+    wr = pltpu.make_async_copy(row, pool_row(), sem)
     wr.start()
     wr.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("contig", "interpret"))
 def paged_append_scales(
-    spages: jax.Array,  # [Hkv, n_pages, ps] per-token scales
+    spages: jax.Array,  # [Hkv, n_pages, ps] | contig [n_pages, Hkv, ps]
     new: jax.Array,  # [B, Hkv]
     page: jax.Array,  # [B] int32
     slot: jax.Array,  # [B] int32
     *,
+    contig: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """paged_append_rows's twin for int8 scale pages: one scale column
     per sequence lands via a whole page-row RMW ([Hkv, ps] is the
     smallest lane-aligned slice of the token-innermost scale layout)."""
     B = new.shape[0]
-    Hkv, _, ps = spages.shape
+    if contig:
+        _, Hkv, ps = spages.shape
+    else:
+        Hkv, _, ps = spages.shape
     return pl.pallas_call(
-        _append_scales_kernel,
+        functools.partial(_append_scales_kernel, contig=contig),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B,),
@@ -290,7 +314,7 @@ _GATHER_DEPTH = 4  # page DMAs in flight (HBM->HBM copies are
 
 
 def _gather_kernel(tables_ref, k_src, v_src, k_out, v_out, k_sem, v_sem,
-                   *, page_size: int):
+                   *, page_size: int, contig: bool = False):
     b = pl.program_id(0)
     i = pl.program_id(1)
     nmp = pl.num_programs(1)
@@ -303,11 +327,11 @@ def _gather_kernel(tables_ref, k_src, v_src, k_out, v_out, k_sem, v_sem,
         page = tables_ref[bb, ii]
         slot = lin_idx % _GATHER_DEPTH
         dst = pl.ds(ii * page_size, page_size)
+        ks = k_src.at[page] if contig else k_src.at[:, page]
+        vs = v_src.at[page] if contig else v_src.at[:, page]
         return (
-            pltpu.make_async_copy(k_src.at[:, page], k_out.at[bb, :, dst],
-                                  k_sem.at[slot]),
-            pltpu.make_async_copy(v_src.at[:, page], v_out.at[bb, :, dst],
-                                  v_sem.at[slot]),
+            pltpu.make_async_copy(ks, k_out.at[bb, :, dst], k_sem.at[slot]),
+            pltpu.make_async_copy(vs, v_out.at[bb, :, dst], v_sem.at[slot]),
         )
 
     # Keep _GATHER_DEPTH cells in flight: start this cell's copies, wait
@@ -333,12 +357,13 @@ def _gather_kernel(tables_ref, k_src, v_src, k_out, v_out, k_sem, v_sem,
                 tv.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("contig", "interpret"))
 def gather_pages_dense(
-    k_pages: jax.Array,  # [Hkv, n_pages, ps, Dh]
+    k_pages: jax.Array,  # [Hkv, n_pages, ps, Dh] | contig [n_pages, Hkv, ps, Dh]
     v_pages: jax.Array,
     page_table: jax.Array,  # [B, max_pages] int32
     *,
+    contig: bool = False,
     interpret: bool = False,
 ):
     """Materialize each sequence's page-table extent as dense
@@ -351,10 +376,13 @@ def gather_pages_dense(
     per (sequence, block): no compute, no VMEM staging.
     """
     B, mp = page_table.shape
-    Hkv, _, ps, Dh = k_pages.shape
+    if contig:
+        _, Hkv, ps, Dh = k_pages.shape
+    else:
+        Hkv, _, ps, Dh = k_pages.shape
     out_shape = jax.ShapeDtypeStruct((B, Hkv, mp * ps, Dh), k_pages.dtype)
     return pl.pallas_call(
-        functools.partial(_gather_kernel, page_size=ps),
+        functools.partial(_gather_kernel, page_size=ps, contig=contig),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, mp),
@@ -379,26 +407,24 @@ def gather_pages_dense(
 
 def _gather_kernel_int8(tables_ref, k_src, ks_src, v_src, vs_src,
                         k_out, ks_out, v_out, vs_out,
-                        k_sem, ks_sem, v_sem, vs_sem, *, page_size: int):
+                        k_sem, ks_sem, v_sem, vs_sem, *, page_size: int,
+                        contig: bool = False):
     b = pl.program_id(0)
     i = pl.program_id(1)
     page = tables_ref[b, i]
     slot = i % 2
+
+    def src(ref):
+        return ref.at[page] if contig else ref.at[:, page]
+
+    dst = pl.ds(i * page_size, page_size)
     cps = [
-        pltpu.make_async_copy(
-            k_src.at[:, page], k_out.at[b, :, pl.ds(i * page_size, page_size)],
-            k_sem.at[slot]),
-        pltpu.make_async_copy(
-            ks_src.at[:, page],
-            ks_out.at[b, :, pl.ds(i * page_size, page_size)],
-            ks_sem.at[slot]),
-        pltpu.make_async_copy(
-            v_src.at[:, page], v_out.at[b, :, pl.ds(i * page_size, page_size)],
-            v_sem.at[slot]),
-        pltpu.make_async_copy(
-            vs_src.at[:, page],
-            vs_out.at[b, :, pl.ds(i * page_size, page_size)],
-            vs_sem.at[slot]),
+        pltpu.make_async_copy(src(k_src), k_out.at[b, :, dst], k_sem.at[slot]),
+        pltpu.make_async_copy(src(ks_src), ks_out.at[b, :, dst],
+                              ks_sem.at[slot]),
+        pltpu.make_async_copy(src(v_src), v_out.at[b, :, dst], v_sem.at[slot]),
+        pltpu.make_async_copy(src(vs_src), vs_out.at[b, :, dst],
+                              vs_sem.at[slot]),
     ]
     for c in cps:
         c.start()
@@ -406,25 +432,29 @@ def _gather_kernel_int8(tables_ref, k_src, ks_src, v_src, vs_src,
         c.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("contig", "interpret"))
 def gather_pages_dense_int8(
-    k_pages: jax.Array,  # int8 [Hkv, n_pages, ps, Dh]
-    ks_pages: jax.Array,  # f32 [Hkv, n_pages, ps]
+    k_pages: jax.Array,  # int8 [Hkv, n_pages, ps, Dh] | contig page-major
+    ks_pages: jax.Array,  # f32 [Hkv, n_pages, ps] | contig [n_pages, Hkv, ps]
     v_pages: jax.Array,
     vs_pages: jax.Array,
     page_table: jax.Array,  # [B, max_pages] int32
     *,
+    contig: bool = False,
     interpret: bool = False,
 ):
     """gather_pages_dense for int8 pools: payloads + per-token scale
     pages DMA'd per (sequence, block) into dense [B, Hkv, mp*ps, Dh] /
     [B, Hkv, mp*ps] extents."""
     B, mp = page_table.shape
-    Hkv, _, ps, Dh = k_pages.shape
+    if contig:
+        _, Hkv, ps, Dh = k_pages.shape
+    else:
+        Hkv, _, ps, Dh = k_pages.shape
     pshape = jax.ShapeDtypeStruct((B, Hkv, mp * ps, Dh), k_pages.dtype)
     sshape = jax.ShapeDtypeStruct((B, Hkv, mp * ps), ks_pages.dtype)
     return pl.pallas_call(
-        functools.partial(_gather_kernel_int8, page_size=ps),
+        functools.partial(_gather_kernel_int8, page_size=ps, contig=contig),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, mp),
@@ -441,15 +471,17 @@ def gather_pages_dense_int8(
     )(page_table.astype(jnp.int32), k_pages, ks_pages, v_pages, vs_pages)
 
 
-@functools.partial(jax.jit, static_argnames=("head_block", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("head_block", "contig", "interpret"))
 def paged_flash_decode(
     q: jax.Array,  # [B, Hkv, rep, Dh]
-    k_pages: jax.Array,  # [Hkv, n_pages, ps, Dh]
+    k_pages: jax.Array,  # [Hkv, n_pages, ps, Dh] | contig [n_pages, Hkv, ps, Dh]
     v_pages: jax.Array,
     page_table: jax.Array,  # [B, max_pages] int32
     lengths: jax.Array,  # [B] int32
     *,
     head_block: int = 32,
+    contig: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     from tokenhawk_tpu.ops.pallas.flash_decode_dma import _pick_hb
@@ -460,7 +492,8 @@ def paged_flash_decode(
     hb = _pick_hb(head_block, Hkv, rep, ps, Dh, k_pages.dtype.itemsize)
 
     grid = (B, Hkv // hb, max_pages)
-    kernel = functools.partial(_kernel_vec, page_size=ps, head_block=hb)
+    kernel = functools.partial(_kernel_vec, page_size=ps, head_block=hb,
+                               contig=contig)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -512,6 +545,7 @@ def _kernel_walk(
     page_size: int,
     head_block: int,
     batch: int,
+    contig: bool = False,
 ):
     """Multi-slot flattened walk (see flash_decode_dma._kernel_walk_append
     for the rationale): one grid cell per head group runs a single
@@ -538,14 +572,14 @@ def _kernel_walk(
         # page), and the compute mask drops its contribution.
         n_b = pl.cdiv(lengths_ref[b], page_size)
         page = tables_ref[b, jnp.where(blk < n_b, blk, 0)]
-        k = pltpu.make_async_copy(
-            k_hbm.at[pl.ds(h0, head_block), page], k_buf.at[slot],
-            k_sem.at[slot],
-        )
-        v = pltpu.make_async_copy(
-            v_hbm.at[pl.ds(h0, head_block), page], v_buf.at[slot],
-            v_sem.at[slot],
-        )
+        if contig:
+            k_slab = k_hbm.at[page, pl.ds(h0, head_block)]
+            v_slab = v_hbm.at[page, pl.ds(h0, head_block)]
+        else:
+            k_slab = k_hbm.at[pl.ds(h0, head_block), page]
+            v_slab = v_hbm.at[pl.ds(h0, head_block), page]
+        k = pltpu.make_async_copy(k_slab, k_buf.at[slot], k_sem.at[slot])
+        v = pltpu.make_async_copy(v_slab, v_buf.at[slot], v_sem.at[slot])
         return k, v
 
     m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
@@ -623,15 +657,17 @@ def _kernel_walk(
     jax.lax.fori_loop(0, total, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("head_block", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("head_block", "contig", "interpret"))
 def paged_flash_decode_walk(
     q: jax.Array,  # [B, Hkv, rep, Dh]
-    k_pages: jax.Array,  # [Hkv, n_pages, ps, Dh]
+    k_pages: jax.Array,  # [Hkv, n_pages, ps, Dh] | contig [n_pages, Hkv, ps, Dh]
     v_pages: jax.Array,
     page_table: jax.Array,  # [B, max_pages] int32
     lengths: jax.Array,  # [B] int32
     *,
     head_block: int = 32,
+    contig: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """paged_flash_decode with the multi-slot flattened walk."""
@@ -643,7 +679,7 @@ def paged_flash_decode_walk(
 
     grid = (Hkv // hb,)
     kernel = functools.partial(_kernel_walk, page_size=ps, head_block=hb,
-                               batch=B)
+                               batch=B, contig=contig)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -63,12 +63,15 @@ def _kernel_vec(
     *,
     page_size: int,
     head_block: int,
+    contig: bool = False,
 ):
     """Head-blocked + head-vectorized int8 paged decode (the same two
     fixes that took the bf16 paged kernel 110 -> 724 GB/s: the page
     index is shared across heads so each page's payload+scales land in
     four strided DMAs per slab instead of per-head slivers, and all
-    softmax/scale-fold bookkeeping runs once on [HB*rep, ps] tiles)."""
+    softmax/scale-fold bookkeeping runs once on [HB*rep, ps] tiles).
+    Under the contig pool layout the payload slab is one contiguous
+    run."""
     b = pl.program_id(0)
     hg = pl.program_id(1)
     i = pl.program_id(2)
@@ -81,11 +84,15 @@ def _kernel_vec(
     def copies(blk, slot):
         page = tables_ref[b, blk]
         mk = pltpu.make_async_copy
+
+        def src(ref):
+            return ref.at[page, hs] if contig else ref.at[hs, page]
+
         return (
-            mk(k_hbm.at[hs, page], k_buf.at[slot], k_sem.at[slot]),
-            mk(ks_hbm.at[hs, page], ks_buf.at[slot], ks_sem.at[slot]),
-            mk(v_hbm.at[hs, page], v_buf.at[slot], v_sem.at[slot]),
-            mk(vs_hbm.at[hs, page], vs_buf.at[slot], vs_sem.at[slot]),
+            mk(src(k_hbm), k_buf.at[slot], k_sem.at[slot]),
+            mk(src(ks_hbm), ks_buf.at[slot], ks_sem.at[slot]),
+            mk(src(v_hbm), v_buf.at[slot], v_sem.at[slot]),
+            mk(src(vs_hbm), vs_buf.at[slot], vs_sem.at[slot]),
         )
 
     @pl.when(i < n_blocks)
@@ -179,29 +186,33 @@ def _kernel_vec(
         )
 
 
-@functools.partial(jax.jit, static_argnames=("head_block", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("head_block", "contig", "interpret"))
 def paged_flash_decode_int8(
     q: jax.Array,  # [B, Hkv, rep, Dh]
-    k_pages: jax.Array,  # int8 [Hkv, n_pages, ps, Dh]
-    ks_pages: jax.Array,  # f32 [Hkv, n_pages, ps]
+    k_pages: jax.Array,  # int8 [Hkv, n_pages, ps, Dh] | contig page-major
+    ks_pages: jax.Array,  # f32 [Hkv, n_pages, ps] | contig [n_pages, Hkv, ps]
     v_pages: jax.Array,
     vs_pages: jax.Array,
     page_table: jax.Array,  # [B, max_pages] int32
     lengths: jax.Array,  # [B] int32
     *,
     head_block: int = 32,
+    contig: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     from tokenhawk_tpu.ops.pallas.flash_decode_dma import _pick_hb
 
     B, Hkv, rep, Dh = q.shape
-    n_pages, ps = k_pages.shape[1], k_pages.shape[2]
+    n_pages = k_pages.shape[0] if contig else k_pages.shape[1]
+    ps = k_pages.shape[2]
     max_pages = page_table.shape[1]
-    sc_view = (Hkv, n_pages, 1, ps)
+    sc_view = ((n_pages, Hkv, 1, ps) if contig else (Hkv, n_pages, 1, ps))
     hb = _pick_hb(head_block, Hkv, rep, ps, Dh, k_pages.dtype.itemsize)
 
     grid = (B, Hkv // hb, max_pages)
-    kernel = functools.partial(_kernel_vec, page_size=ps, head_block=hb)
+    kernel = functools.partial(_kernel_vec, page_size=ps, head_block=hb,
+                               contig=contig)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -271,6 +282,7 @@ def _kernel_walk(
     page_size: int,
     head_block: int,
     batch: int,
+    contig: bool = False,
 ):
     """Multi-slot flattened walk for the int8 paged kernel (see
     paged_decode._kernel_walk): one cell per head group, one uniform
@@ -291,11 +303,15 @@ def _kernel_walk(
         n_b = pl.cdiv(lengths_ref[b], page_size)
         page = tables_ref[b, jnp.where(blk < n_b, blk, 0)]
         mk = pltpu.make_async_copy
+
+        def src(ref):
+            return ref.at[page, hs] if contig else ref.at[hs, page]
+
         return (
-            mk(k_hbm.at[hs, page], k_buf.at[slot], k_sem.at[slot]),
-            mk(ks_hbm.at[hs, page], ks_buf.at[slot], ks_sem.at[slot]),
-            mk(v_hbm.at[hs, page], v_buf.at[slot], v_sem.at[slot]),
-            mk(vs_hbm.at[hs, page], vs_buf.at[slot], vs_sem.at[slot]),
+            mk(src(k_hbm), k_buf.at[slot], k_sem.at[slot]),
+            mk(src(ks_hbm), ks_buf.at[slot], ks_sem.at[slot]),
+            mk(src(v_hbm), v_buf.at[slot], v_sem.at[slot]),
+            mk(src(vs_hbm), vs_buf.at[slot], vs_sem.at[slot]),
         )
 
     m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
@@ -404,30 +420,33 @@ def _kernel_walk(
     jax.lax.fori_loop(0, total, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("head_block", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("head_block", "contig", "interpret"))
 def paged_flash_decode_int8_walk(
     q: jax.Array,  # [B, Hkv, rep, Dh]
-    k_pages: jax.Array,  # int8 [Hkv, n_pages, ps, Dh]
-    ks_pages: jax.Array,  # f32 [Hkv, n_pages, ps]
+    k_pages: jax.Array,  # int8 [Hkv, n_pages, ps, Dh] | contig page-major
+    ks_pages: jax.Array,  # f32 [Hkv, n_pages, ps] | contig [n_pages, Hkv, ps]
     v_pages: jax.Array,
     vs_pages: jax.Array,
     page_table: jax.Array,  # [B, max_pages] int32
     lengths: jax.Array,  # [B] int32
     *,
     head_block: int = 32,
+    contig: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """paged_flash_decode_int8 with the multi-slot flattened walk."""
     from tokenhawk_tpu.ops.pallas.flash_decode_dma import _pick_hb
 
     B, Hkv, rep, Dh = q.shape
-    n_pages, ps = k_pages.shape[1], k_pages.shape[2]
-    sc_view = (Hkv, n_pages, 1, ps)
+    n_pages = k_pages.shape[0] if contig else k_pages.shape[1]
+    ps = k_pages.shape[2]
+    sc_view = ((n_pages, Hkv, 1, ps) if contig else (Hkv, n_pages, 1, ps))
     hb = _pick_hb(head_block, Hkv, rep, ps, Dh, k_pages.dtype.itemsize)
 
     grid = (Hkv // hb,)
     kernel = functools.partial(_kernel_walk, page_size=ps, head_block=hb,
-                               batch=B)
+                               batch=B, contig=contig)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

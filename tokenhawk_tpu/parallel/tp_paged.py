@@ -50,16 +50,22 @@ EOS_ID = 2
 def paged_cache_spec_tp(quant: bool = False):
     """Page-pool partition specs: heads sharded, everything else local.
 
-    bf16: payload pages [L, Hkv, n_pages, ps, Dh].
-    int8: payload pages plus per-token scale pages [L, Hkv, n_pages, ps]
-    — the scales shard along the SAME head axis as their payloads, so
-    quantize-on-append and the int8 attention kernels stay fully local
-    per shard."""
-    s = P(None, MODEL_AXIS, None, None, None)
+    bf16: payload pages [L, Hkv, n_pages, ps, Dh] (head layout) or
+    [L, n_pages, Hkv, ps, Dh] (contig layout — THAWK_POOL_LAYOUT).
+    int8: payload pages plus per-token scale pages — the scales shard
+    along the SAME head axis as their payloads, so quantize-on-append
+    and the int8 attention kernels stay fully local per shard."""
+    from tokenhawk_tpu.runtime.paged import _contig
+
+    if _contig():
+        s = P(None, None, MODEL_AXIS, None, None)
+        sc = P(None, None, MODEL_AXIS, None)
+    else:
+        s = P(None, MODEL_AXIS, None, None, None)
+        sc = P(None, MODEL_AXIS, None, None)
     if quant:
         from tokenhawk_tpu.runtime.paged import PagedQuantKVCache
 
-        sc = P(None, MODEL_AXIS, None, None)
         return PagedQuantKVCache(s, sc, s, sc)
     return PagedKVCache(s, s)
 

@@ -6,9 +6,15 @@ The paged cache allocates fixed-size pages on demand and maps them
 through a per-sequence page table — the vLLM/paged-attention design,
 realized TPU-style:
 
-  k_pages / v_pages : [L, Hkv, n_pages, page_size, Dh]
+  k_pages / v_pages : [L, n_pages, Hkv, page_size, Dh]   (contig, default)
+                      [L, Hkv, n_pages, page_size, Dh]   (head — THAWK_POOL_LAYOUT=head)
   page_table        : [B, max_pages]  int32 physical page ids
   lengths           : [B]             tokens currently stored
+
+The contig (page-major) layout keeps all of a page's heads adjacent in
+HBM, so a decode-walk head-group slab is ONE contiguous DMA run instead
+of Hkv strided 32 KB runs — the short-walk DMA floor measured at 62% of
+stream peak in the round-5 attend analysis (BENCH_NOTES).
 
 This replaces the reference's dense per-conversation KV buffers sized
 n_ctx (/root/reference/th-llama-loader.cpp:428-429).
@@ -25,6 +31,7 @@ scheduler.
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -34,14 +41,51 @@ import numpy as np
 from tokenhawk_tpu.config import LlamaConfig
 
 
+def pool_layout() -> str:
+    """Physical page-pool layout, process-global (THAWK_POOL_LAYOUT).
+
+    "head"   — [.., Hkv, n_pages, ps, Dh]: head-major.  A page-walk DMA
+               for a head group is Hkv strided runs of ps*Dh bytes
+               (32 KB at ps=Dh=128 bf16) — measured 62% of stream peak
+               at short walks (BENCH_NOTES round 5).
+    "contig" — [.., n_pages, Hkv, ps, Dh]: page-major.  All heads of a
+               page are adjacent, so the same walk DMA is ONE contiguous
+               hb*ps*Dh run — the "contiguous (slot, block) slab" layout
+               the round-5 DMA-floor analysis called for.
+
+    The layout is read at pool creation AND at trace time inside the
+    paged ops, so it must not change mid-process (same contract as the
+    other THAWK_* trace-time knobs)."""
+    v = os.environ.get("THAWK_POOL_LAYOUT", "contig")
+    if v not in ("head", "contig"):
+        raise ValueError(f"THAWK_POOL_LAYOUT must be head|contig, got {v!r}")
+    return v
+
+
+def _contig() -> bool:
+    return pool_layout() == "contig"
+
+
+def pool_head_axis(pages_ndim: int = 4) -> int:
+    """Index of the KV-head axis in a pool array of `pages_ndim` dims
+    (4 = per-layer payload, 5 = stacked payload, 3/4 for scale pages)."""
+    lead = pages_ndim - 4 if pages_ndim >= 4 else pages_ndim - 3
+    return lead + (1 if _contig() else 0)
+
+
 class PagedKVCache(NamedTuple):
-    k_pages: jax.Array  # [L, Hkv, n_pages, page_size, Dh]
+    k_pages: jax.Array  # [L, Hkv, n_pages, ps, Dh] | [L, n_pages, Hkv, ps, Dh]
     v_pages: jax.Array
 
     @staticmethod
     def create(cfg: LlamaConfig, n_pages: int, page_size: int = 128,
                dtype=jnp.bfloat16) -> "PagedKVCache":
-        shape = (cfg.n_layer, cfg.n_kv_head, n_pages, page_size, cfg.head_dim)
+        if _contig():
+            shape = (cfg.n_layer, n_pages, cfg.n_kv_head, page_size,
+                     cfg.head_dim)
+        else:
+            shape = (cfg.n_layer, cfg.n_kv_head, n_pages, page_size,
+                     cfg.head_dim)
         return PagedKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     @property
@@ -50,7 +94,7 @@ class PagedKVCache(NamedTuple):
 
     @property
     def n_pages(self) -> int:
-        return self.k_pages.shape[2]
+        return self.k_pages.shape[1 if _contig() else 2]
 
 
 def make_unrolled_pool(cfg: LlamaConfig, n_pages: int, page_size: int = 128,
@@ -65,7 +109,10 @@ def make_unrolled_pool(cfg: LlamaConfig, n_pages: int, page_size: int = 128,
     vs 28 at 26 on v5e, i.e. serve decode cost scaled with POOL SIZE,
     not live tokens (the round-4 5x serving gap).  Per-layer donated
     arrays updated by dynamic_update_slice chains alias in place."""
-    shape = (cfg.n_kv_head, n_pages, page_size, cfg.head_dim)
+    if _contig():
+        shape = (n_pages, cfg.n_kv_head, page_size, cfg.head_dim)
+    else:
+        shape = (cfg.n_kv_head, n_pages, page_size, cfg.head_dim)
     return tuple(
         (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         for _ in range(cfg.n_layer)
@@ -76,8 +123,12 @@ def make_unrolled_quant_pool(cfg: LlamaConfig, n_pages: int,
                              page_size: int = 128):
     """int8 per-layer pool: tuple of (k, ks, v, vs) per layer (payloads
     int8 [Hkv, n_pages, ps, Dh], scales f32 [Hkv, n_pages, ps])."""
-    shape = (cfg.n_kv_head, n_pages, page_size, cfg.head_dim)
-    sshape = (cfg.n_kv_head, n_pages, page_size)
+    if _contig():
+        shape = (n_pages, cfg.n_kv_head, page_size, cfg.head_dim)
+        sshape = (n_pages, cfg.n_kv_head, page_size)
+    else:
+        shape = (cfg.n_kv_head, n_pages, page_size, cfg.head_dim)
+        sshape = (cfg.n_kv_head, n_pages, page_size)
     return tuple(
         (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32),
          jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32))
@@ -102,8 +153,23 @@ def pool_page_size(cache) -> int:
 
 def pool_n_pages(cache) -> int:
     if isinstance(cache, tuple) and not hasattr(cache, "n_pages"):
-        return cache[0][0].shape[1]
+        return cache[0][0].shape[0 if _contig() else 1]
     return cache.n_pages
+
+
+def gather_pool_payload(pages: jax.Array, page_table: jax.Array) -> jax.Array:
+    """Gather payload pages by table -> [B, Hkv, mp, ps, Dh] regardless
+    of the physical pool layout (XLA fallback paths)."""
+    if _contig():
+        return jnp.swapaxes(pages[page_table], 1, 2)
+    return jnp.swapaxes(pages[:, page_table], 0, 1)
+
+
+def gather_pool_scales(spages: jax.Array, page_table: jax.Array) -> jax.Array:
+    """Gather scale pages by table -> [B, Hkv, mp, ps]."""
+    if _contig():
+        return jnp.swapaxes(spages[page_table], 1, 2)
+    return jnp.swapaxes(spages[:, page_table], 0, 1)
 
 
 class PageAllocator:
@@ -156,10 +222,18 @@ def append_token_layer(
         from tokenhawk_tpu.ops.pallas.paged_decode import paged_append_rows
 
         return paged_append_rows(pages, new, page, slot,
+                                 contig=_contig(),
                                  interpret=(mode == "interpret"))
     B = new.shape[0]
+    contig = _contig()
 
     def body(b, pages):
+        if contig:
+            return jax.lax.dynamic_update_slice(
+                pages,
+                new[b].astype(pages.dtype)[None, :, None, :],  # [1, Hkv, 1, Dh]
+                (page[b], 0, slot[b], 0),
+            )
         return jax.lax.dynamic_update_slice(
             pages,
             new[b].astype(pages.dtype)[:, None, None, :],  # [Hkv, 1, 1, Dh]
@@ -192,6 +266,7 @@ def paginate_fragment_layer_at(
     chunk c of a long prompt lands at pages [c*C/ps, ...))."""
     B, Hkv, C, Dh = frag.shape
     ps = pages.shape[2]
+    contig = _contig()
     n_frag_pages = -(-C // ps)
     for p in range(n_frag_pages):
         chunk = frag[:, :, p * ps : (p + 1) * ps, :]
@@ -202,6 +277,12 @@ def paginate_fragment_layer_at(
             page_table, (start_page + p)[:, None], axis=1)[:, 0]
 
         def write(b, pages):
+            if contig:
+                return jax.lax.dynamic_update_slice(
+                    pages,
+                    chunk[b].astype(pages.dtype)[None, :, :, :],
+                    (page[b], 0, 0, 0),
+                )
             return jax.lax.dynamic_update_slice(
                 pages,
                 chunk[b].astype(pages.dtype)[:, None, :, :],
@@ -221,7 +302,7 @@ def attend_paged_layer(
     scale: Optional[float] = None,
 ) -> jax.Array:
     B, T, H, Dh = q.shape
-    Hkv = k_pages_l.shape[0]
+    Hkv = k_pages_l.shape[pool_head_axis()]
     rep = H // Hkv
     if scale is None:
         scale = 1.0 / (Dh**0.5)
@@ -241,15 +322,23 @@ def attend_paged_layer(
               if _os.environ.get("THAWK_DECODE_WALK", "1") == "1"
               else paged_flash_decode)
         qg = (q[:, 0] * scale).reshape(B, Hkv, rep, Dh)
+        # Under contig, 16-head groups beat 32 when they tile Hkv (two
+        # cells keep two slab DMAs in flight; on-chip A/B: B=1 10.2 vs
+        # 12.6 us/layer, B=8 wash).  When 16 does NOT divide Hkv (13B's
+        # 40) asking for 16 would land on hb=8 — 5 cells x full walk
+        # measured ~9% slower than the whole-axis block, so keep the
+        # head-layout request there.  BENCH_NOTES round-5 contig log.
+        hb_req = 16 if (_contig() and Hkv % 16 == 0) else 32
         out = fn(qg, k_pages_l, v_pages_l, page_table,
-                 lengths.astype(jnp.int32))
+                 lengths.astype(jnp.int32),
+                 head_block=hb_req, contig=_contig())
         return out.reshape(B, 1, H, Dh).astype(q.dtype)
 
     # XLA gather fallback
     from tokenhawk_tpu.ops.attention import attend_cache
 
-    kg = jnp.swapaxes(k_pages_l[:, page_table], 0, 1)  # [B, Hkv, mp, ps, Dh]
-    vg = jnp.swapaxes(v_pages_l[:, page_table], 0, 1)
+    kg = gather_pool_payload(k_pages_l, page_table)  # [B, Hkv, mp, ps, Dh]
+    vg = gather_pool_payload(v_pages_l, page_table)
     mp, ps = kg.shape[2], kg.shape[3]
     kg = kg.reshape(B, Hkv, mp * ps, Dh)
     vg = vg.reshape(B, Hkv, mp * ps, Dh)
@@ -281,8 +370,8 @@ def gather_kv(cache: PagedKVCache, page_table, layer):
     """Materialize [B, Hkv, max_pages*ps, Dh] views (XLA reference path)."""
     k = cache.k_pages[layer]
     v = cache.v_pages[layer]
-    kg = jnp.swapaxes(k[:, page_table], 0, 1)
-    vg = jnp.swapaxes(v[:, page_table], 0, 1)
+    kg = gather_pool_payload(k, page_table)
+    vg = gather_pool_payload(v, page_table)
     B, Hkv, mp, ps, Dh = kg.shape
     return kg.reshape(B, Hkv, mp * ps, Dh), vg.reshape(B, Hkv, mp * ps, Dh)
 
@@ -317,8 +406,14 @@ class PagedQuantKVCache(NamedTuple):
     @staticmethod
     def create(cfg: LlamaConfig, n_pages: int,
                page_size: int = 128) -> "PagedQuantKVCache":
-        shape = (cfg.n_layer, cfg.n_kv_head, n_pages, page_size, cfg.head_dim)
-        sshape = (cfg.n_layer, cfg.n_kv_head, n_pages, page_size)
+        if _contig():
+            shape = (cfg.n_layer, n_pages, cfg.n_kv_head, page_size,
+                     cfg.head_dim)
+            sshape = (cfg.n_layer, n_pages, cfg.n_kv_head, page_size)
+        else:
+            shape = (cfg.n_layer, cfg.n_kv_head, n_pages, page_size,
+                     cfg.head_dim)
+            sshape = (cfg.n_layer, cfg.n_kv_head, n_pages, page_size)
         return PagedQuantKVCache(
             jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32),
             jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32),
@@ -330,7 +425,7 @@ class PagedQuantKVCache(NamedTuple):
 
     @property
     def n_pages(self) -> int:
-        return self.k_pages.shape[2]
+        return self.k_pages.shape[1 if _contig() else 2]
 
 
 def append_token_layer_int8(
@@ -362,21 +457,34 @@ def append_token_layer_int8(
         )
 
         interp = mode == "interpret"
-        pages = paged_append_rows(pages, q8, page, slot, interpret=interp)
+        pages = paged_append_rows(pages, q8, page, slot, contig=_contig(),
+                                  interpret=interp)
         spages = paged_append_scales(spages, sc, page, slot,
-                                     interpret=interp)
+                                     contig=_contig(), interpret=interp)
         return pages, spages
+
+    contig = _contig()
 
     def body(b, carry):
         pages, spages = carry
-        pages = jax.lax.dynamic_update_slice(
-            pages, q8[b].astype(pages.dtype)[:, None, None, :],
-            (0, page[b], slot[b], 0),
-        )
-        spages = jax.lax.dynamic_update_slice(
-            spages, sc[b].astype(spages.dtype)[:, None, None],
-            (0, page[b], slot[b]),
-        )
+        if contig:
+            pages = jax.lax.dynamic_update_slice(
+                pages, q8[b].astype(pages.dtype)[None, :, None, :],
+                (page[b], 0, slot[b], 0),
+            )
+            spages = jax.lax.dynamic_update_slice(
+                spages, sc[b].astype(spages.dtype)[None, :, None],
+                (page[b], 0, slot[b]),
+            )
+        else:
+            pages = jax.lax.dynamic_update_slice(
+                pages, q8[b].astype(pages.dtype)[:, None, None, :],
+                (0, page[b], slot[b], 0),
+            )
+            spages = jax.lax.dynamic_update_slice(
+                spages, sc[b].astype(spages.dtype)[:, None, None],
+                (0, page[b], slot[b]),
+            )
         return pages, spages
 
     return jax.lax.fori_loop(0, B, body, (pages, spages))
@@ -421,14 +529,24 @@ def paginate_fragment_layer_int8_at(
 
         def write(b, carry):
             pages, spages = carry
-            pages = jax.lax.dynamic_update_slice(
-                pages, chunk[b].astype(pages.dtype)[:, None, :, :],
-                (0, page[b], 0, 0),
-            )
-            spages = jax.lax.dynamic_update_slice(
-                spages, schunk[b].astype(spages.dtype)[:, None, :],
-                (0, page[b], 0),
-            )
+            if _contig():
+                pages = jax.lax.dynamic_update_slice(
+                    pages, chunk[b].astype(pages.dtype)[None, :, :, :],
+                    (page[b], 0, 0, 0),
+                )
+                spages = jax.lax.dynamic_update_slice(
+                    spages, schunk[b].astype(spages.dtype)[None, :, :],
+                    (page[b], 0, 0),
+                )
+            else:
+                pages = jax.lax.dynamic_update_slice(
+                    pages, chunk[b].astype(pages.dtype)[:, None, :, :],
+                    (0, page[b], 0, 0),
+                )
+                spages = jax.lax.dynamic_update_slice(
+                    spages, schunk[b].astype(spages.dtype)[:, None, :],
+                    (0, page[b], 0),
+                )
             return pages, spages
 
         pages, spages = jax.lax.fori_loop(0, B, write, (pages, spages))
@@ -446,7 +564,7 @@ def attend_paged_layer_int8(
     scale: Optional[float] = None,
 ) -> jax.Array:
     B, T, H, Dh = q.shape
-    Hkv = k_pages_l.shape[0]
+    Hkv = k_pages_l.shape[pool_head_axis()]
     rep = H // Hkv
     if scale is None:
         scale = 1.0 / (Dh**0.5)
@@ -466,19 +584,21 @@ def attend_paged_layer_int8(
               if _os.environ.get("THAWK_DECODE_WALK", "1") == "1"
               else paged_flash_decode_int8)
         qg = (q[:, 0] * scale).reshape(B, Hkv, rep, Dh)
+        hb_req = 16 if (_contig() and Hkv % 16 == 0) else 32
         out = fn(
             qg, k_pages_l, ks_pages_l, v_pages_l, vs_pages_l, page_table,
-            lengths.astype(jnp.int32))
+            lengths.astype(jnp.int32),
+            head_block=hb_req, contig=_contig())
         return out.reshape(B, 1, H, Dh).astype(q.dtype)
 
     # XLA gather + dequantize fallback
     from tokenhawk_tpu.ops.attention import attend_cache
     from tokenhawk_tpu.ops.kvquant import dequantize_kv
 
-    kg = jnp.swapaxes(k_pages_l[:, page_table], 0, 1)  # [B, Hkv, mp, ps, Dh]
-    ksg = jnp.swapaxes(ks_pages_l[:, page_table], 0, 1)  # [B, Hkv, mp, ps]
-    vg = jnp.swapaxes(v_pages_l[:, page_table], 0, 1)
-    vsg = jnp.swapaxes(vs_pages_l[:, page_table], 0, 1)
+    kg = gather_pool_payload(k_pages_l, page_table)  # [B, Hkv, mp, ps, Dh]
+    ksg = gather_pool_scales(ks_pages_l, page_table)  # [B, Hkv, mp, ps]
+    vg = gather_pool_payload(v_pages_l, page_table)
+    vsg = gather_pool_scales(vs_pages_l, page_table)
     mp, ps = kg.shape[2], kg.shape[3]
     kf = dequantize_kv(kg.reshape(B, Hkv, mp * ps, Dh),
                        ksg.reshape(B, Hkv, mp * ps))
